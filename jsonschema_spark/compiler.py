@@ -1,0 +1,142 @@
+"""Public compile entry point (reference analogue: compiler.go Compiler).
+
+Compilation happens ONCE, on the Spark driver: parse → register identifiers →
+dialect/vocabulary analysis → static regex validation → ready-to-run
+:class:`Evaluator` (scalar / UDF path) or Spark Column plan (typed path, see
+``jsonschema_spark.plans``). Compiled schemas are cached by URI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from jsonschema_spark import metaschemas
+from jsonschema_spark.evaluator import EvaluationResult, Evaluator
+from jsonschema_spark.json_values import loads_exact, to_exact
+from jsonschema_spark.registry import Registry
+
+__all__ = ["Compiler", "CompiledSchema", "compile_schema", "SchemaCompileError"]
+
+
+class SchemaCompileError(ValueError):
+    pass
+
+
+_SCHEMA_KEYWORDS_WITH_PATTERNS = ("pattern",)
+
+
+def _walk_patterns(schema: Any, path: str, problems: list[str]) -> None:
+    """Static regex syntax validation over the whole schema tree
+    (reference analogue: schema.go validateRegexSyntax)."""
+    if isinstance(schema, dict):
+        for kw in _SCHEMA_KEYWORDS_WITH_PATTERNS:
+            pat = schema.get(kw)
+            if isinstance(pat, str):
+                try:
+                    re.compile(pat)
+                except re.error as exc:
+                    problems.append(f"{path}/{kw}: invalid pattern {pat!r}: {exc}")
+        pp = schema.get("patternProperties")
+        if isinstance(pp, dict):
+            for pat in pp:
+                try:
+                    re.compile(pat)
+                except re.error as exc:
+                    problems.append(f"{path}/patternProperties: invalid pattern {pat!r}: {exc}")
+        for k, v in schema.items():
+            _walk_patterns(v, f"{path}/{k}", problems)
+    elif isinstance(schema, list):
+        for i, v in enumerate(schema):
+            _walk_patterns(v, f"{path}/{i}", problems)
+
+
+class CompiledSchema:
+    def __init__(self, evaluator: Evaluator, uri: str):
+        self._evaluator = evaluator
+        self.uri = uri
+
+    @property
+    def schema(self) -> Any:
+        return self._evaluator.schema
+
+    def validate(self, instance: Any) -> EvaluationResult:
+        """Validate a pre-parsed Python value (normalized to exact numbers)."""
+        return self._evaluator.validate(to_exact(instance))
+
+    def validate_json(self, text: str | bytes) -> EvaluationResult:
+        """Validate raw JSON text with exact-number decoding."""
+        return self._evaluator.validate(loads_exact(text))
+
+    def is_valid(self, instance: Any) -> bool:
+        return self.validate(instance).valid
+
+
+class Compiler:
+    """Driver-side schema compiler with a URI cache and pluggable loaders."""
+
+    def __init__(self, loader: Callable[[str], Any] | None = None) -> None:
+        self._loader = loader
+        self._assert_format = False
+        self._cache: dict[int, CompiledSchema] = {}
+
+    def set_assert_format(self, enabled: bool) -> "Compiler":
+        self._assert_format = enabled
+        return self
+
+    def compile(self, schema: Any, uri: str = "", *, validate_regex: bool = True) -> CompiledSchema:
+        """Compile a schema given as dict/bool, or as JSON text/bytes."""
+        if isinstance(schema, (str, bytes)):
+            schema = loads_exact(schema)
+        if not isinstance(schema, (dict, bool)):
+            raise SchemaCompileError(f"schema must be an object or boolean, got {type(schema)}")
+
+        if validate_regex:
+            problems: list[str] = []
+            _walk_patterns(schema, "", problems)
+            if problems:
+                raise SchemaCompileError("; ".join(problems))
+
+        registry = Registry(loader=self._loader)
+        metaschemas.register_metaschemas(registry)
+        root_uri = registry.register(schema, uri)
+
+        assert_format, no_validation = self._dialect_flags(schema, registry)
+        evaluator = Evaluator(
+            schema,
+            registry,
+            assert_format=assert_format or self._assert_format,
+            no_validation=no_validation,
+        )
+        return CompiledSchema(evaluator, root_uri)
+
+    def _dialect_flags(self, schema: Any, registry: Registry) -> tuple[bool, bool]:
+        """Vocabulary-driven behavior from the declared $schema
+        (reference analogue: dialect.go metaschema vocabulary analysis)."""
+        assert_format = False
+        no_validation = False
+        if not isinstance(schema, dict):
+            return assert_format, no_validation
+        meta_uri = schema.get("$schema")
+        if not isinstance(meta_uri, str) or meta_uri == metaschemas.DRAFT_2020_12:
+            return assert_format, no_validation
+        meta_uri = meta_uri.split("#", 1)[0]
+        try:
+            meta = registry.resources.get(meta_uri)
+            if meta is None and self._loader is not None:
+                meta = self._loader(meta_uri)
+                registry.register(meta, meta_uri)
+        except Exception:
+            return assert_format, no_validation
+        if isinstance(meta, dict):
+            vocab = meta.get("$vocabulary")
+            if isinstance(vocab, dict):
+                if metaschemas.VOCAB_VALIDATION not in vocab:
+                    no_validation = True
+                if vocab.get(metaschemas.VOCAB_FORMAT_ASSERTION) is not None:
+                    assert_format = True
+        return assert_format, no_validation
+
+
+def compile_schema(schema: Any, **kwargs: Any) -> CompiledSchema:
+    return Compiler(loader=kwargs.pop("loader", None)).compile(schema, **kwargs)

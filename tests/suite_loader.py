@@ -1,0 +1,46 @@
+"""Loader for the official JSON-Schema-Test-Suite (vendored in the reference
+repo as public test data). Suite semantics: each file is a list of
+{description, schema, tests:[{description, data, valid}]}.
+
+Remote-ref cases reference http://localhost:1234/... which the upstream
+harness serves from the suite's remotes/ directory; we resolve those to files
+directly (no network)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from jsonschema_spark.json_values import loads_exact
+
+SUITE_ROOT = "/root/reference/testdata/JSON-Schema-Test-Suite"
+DRAFT_DIR = os.path.join(SUITE_ROOT, "tests", "draft2020-12")
+REMOTES_DIR = os.path.join(SUITE_ROOT, "remotes")
+
+LOCALHOST_PREFIX = "http://localhost:1234/"
+
+
+def suite_available() -> bool:
+    return os.path.isdir(DRAFT_DIR)
+
+
+def remote_loader(uri: str) -> Any:
+    if uri.startswith(LOCALHOST_PREFIX):
+        rel = uri[len(LOCALHOST_PREFIX) :]
+        path = os.path.join(REMOTES_DIR, rel)
+        with open(path, "rb") as f:
+            return loads_exact(f.read())
+    raise KeyError(f"no loader for {uri}")
+
+
+def load_cases(filename: str) -> list[dict[str, Any]]:
+    path = os.path.join(DRAFT_DIR, filename)
+    with open(path, "rb") as f:
+        return loads_exact(f.read())
+
+
+def iter_tests(filename: str):
+    """Yield (case_desc, test_desc, schema, data, valid) tuples."""
+    for case in load_cases(filename):
+        for test in case["tests"]:
+            yield case["description"], test["description"], case["schema"], test["data"], test["valid"]

@@ -1,0 +1,647 @@
+"""Constraint-plan compiler: JSON Schema over a *typed* Spark schema lowers to
+pure ``pyspark.sql.Column`` expressions — the engine's whole-stage-codegen
+"fast path" for 100 TB scale.
+
+Where the reference interprets one instance at a time
+(reference: validate.go evaluate), we compile the schema ONCE on the driver
+into (a) a boolean ``valid`` column and (b) a ``violations``
+``array<struct<instance_path,keyword,code,params>>`` column, then let
+Catalyst/Tungsten own execution: predicate pushdown, common-subexpression
+elimination, whole-stage codegen, AQE. Per-span checks ride higher-order
+functions (``transform``/``filter``/``exists``) — no explode, no shuffle, and
+never per-row Python.
+
+Null convention (documented divergence): a NULL column/field is treated as the
+property being *absent* — ``required`` fails on NULL; value assertions are
+skipped on NULL (JSON Schema applies assertions only to present values).
+
+Dynamic residue (patterns Java regex can't run, non-regex formats, dynamic
+JSON documents) is routed to the Arrow-batched evaluator UDF in
+``jsonschema_spark.functions.udf`` — see SURVEY.md §4.2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.formats import SPARK_REGEX_FORMATS
+from jsonschema_spark.registry import Registry
+
+__all__ = ["SparkPlanCompiler", "validate_dataframe", "VIOLATION_SCHEMA_DDL"]
+
+VIOLATION_SCHEMA_DDL = (
+    "array<struct<instance_path:string,keyword:string,code:string,params:map<string,string>>>"
+)
+
+_EMPTY_VIOLATIONS = f"CAST(array() AS {VIOLATION_SCHEMA_DDL})"
+
+_MAX_REF_DEPTH = 16
+
+
+class PlanCompileError(ValueError):
+    pass
+
+
+@dataclass
+class _Val:
+    """The value under validation: expression + static type + dynamic path."""
+
+    col: Column
+    dtype: T.DataType
+    path: Column  # string column: JSON-pointer of this value
+
+
+@dataclass
+class _Node:
+    """Compiled subschema: validity predicate + violation constructor."""
+
+    valid: Column
+    violations: Column  # array<struct<...>>
+
+
+def _lit_path(s: str) -> Column:
+    return F.lit(s)
+
+
+def _escape_token(tok: str) -> str:
+    return tok.replace("~", "~0").replace("/", "~1")
+
+
+def _empty_violations() -> Column:
+    return F.expr(_EMPTY_VIOLATIONS)
+
+
+def _mk_violation(path: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> Column:
+    if params:
+        kv: list[Column] = []
+        for k, v in params.items():
+            kv.append(F.lit(k))
+            kv.append(v.cast("string"))
+        pmap = F.create_map(*kv)
+    else:
+        pmap = F.expr("CAST(map() AS map<string,string>)")
+    return F.struct(
+        path.cast("string").alias("instance_path"),
+        F.lit(keyword).alias("keyword"),
+        F.lit(code).alias("code"),
+        pmap.alias("params"),
+    )
+
+
+def _safe(cond: Column) -> Column:
+    """Collapse SQL three-valued logic: NULL condition means 'not violated'."""
+    return F.coalesce(cond, F.lit(False))
+
+
+def _cond_violation(cond: Column, *args: Any, **kwargs: Any) -> Column:
+    """array with the violation when cond, else empty array."""
+    return F.when(_safe(cond), F.array(_mk_violation(*args, **kwargs))).otherwise(_empty_violations())
+
+
+def _concat_violations(parts: list[Column]) -> Column:
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return _empty_violations()
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def _is_number_type(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType))
+
+
+def _is_integer_type(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _num_lit(v: Any) -> Column:
+    if isinstance(v, Fraction):
+        if v.denominator == 1:
+            return F.lit(int(v))
+        return F.lit(float(v))
+    return F.lit(v)
+
+
+def _num_str(v: Any) -> str:
+    if isinstance(v, Fraction):
+        return str(int(v)) if v.denominator == 1 else str(float(v))
+    return str(v)
+
+
+def _spark_type_name(dt: T.DataType) -> str:
+    """JSON type family of a Spark type (static 'type' checking)."""
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if _is_integer_type(dt):
+        return "integer"
+    if _is_number_type(dt):
+        return "number"
+    if isinstance(dt, (T.ArrayType,)):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "string"  # serialized form
+    if isinstance(dt, T.NullType):
+        return "null"
+    return "unknown"
+
+
+class SparkPlanCompiler:
+    """Compiles a JSON Schema against a typed Spark schema (driver-side, once).
+
+    Reference analogue: compiler.go Compile → schema tree; here the "physical
+    plan" is a Column expression tree Catalyst owns. ``$ref`` is inlined at
+    plan time (reference resolves refs at compile: ref.go resolveRef).
+    """
+
+    def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+        self.schema = schema
+        self.assert_format = assert_format
+        self.registry = Registry()
+        self.registry.register(schema, "")
+
+    # -------------------------------------------------------------- public API
+
+    def violations_column(self, df_schema: T.StructType, root: Column | None = None) -> Column:
+        """Build the violations array column for rows of ``df_schema``."""
+        if root is None:
+            root = F.struct(*[F.col(f.name).alias(f.name) for f in df_schema.fields])
+        val = _Val(col=root, dtype=df_schema, path=_lit_path(""))
+        node = self._compile(self.schema, val, 0)
+        return node.violations
+
+    def apply(
+        self,
+        df: DataFrame,
+        *,
+        violations_col: str = "violations",
+        valid_col: str = "valid",
+    ) -> DataFrame:
+        """df + [violations, valid] columns. One narrow projection, no shuffle."""
+        v = self.violations_column(df.schema)
+        return df.withColumn(violations_col, v).withColumn(
+            valid_col, F.size(F.col(violations_col)) == 0
+        )
+
+    # ---------------------------------------------------------------- internal
+
+    def _compile(self, schema: Any, val: _Val, depth: int) -> _Node:
+        if schema is True or schema == {}:
+            return _Node(valid=F.lit(True), violations=_empty_violations())
+        if schema is False:
+            return _Node(
+                valid=F.lit(False),
+                violations=_cond_violation(F.lit(True), val.path, "schema", "false_schema_mismatch"),
+            )
+        if not isinstance(schema, dict):
+            raise PlanCompileError(f"schema must be dict/bool, got {type(schema)}")
+        if depth > _MAX_REF_DEPTH:
+            raise PlanCompileError(
+                f"$ref nesting exceeds {_MAX_REF_DEPTH}; recursive schemas need bounded unrolling"
+            )
+
+        parts: list[Column] = []
+        valids: list[Column] = []
+        present = val.col.isNotNull()
+
+        def add(cond_violated: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> None:
+            """cond applies only when the value is present."""
+            cond = _safe(present & cond_violated)
+            parts.append(_cond_violation(cond, val.path, keyword, code, params))
+            valids.append(~cond)
+
+        if "$ref" in schema and isinstance(schema["$ref"], str):
+            target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
+            sub = self._compile(target, val, depth + 1)
+            parts.append(sub.violations)
+            valids.append(sub.valid)
+
+        self._compile_assertions(schema, val, add, present)
+
+        # ---- type-directed recursion ------------------------------------
+        if isinstance(val.dtype, T.StructType):
+            self._compile_object(schema, val, parts, valids, present, depth)
+        if isinstance(val.dtype, T.ArrayType):
+            self._compile_array(schema, val, parts, valids, present, depth)
+        if isinstance(val.dtype, T.MapType):
+            self._compile_map(schema, val, parts, valids, present, depth)
+
+        # ---- logical applicators -----------------------------------------
+        self._compile_logical(schema, val, parts, valids, present, depth)
+
+        if not parts:
+            return _Node(valid=F.lit(True), violations=_empty_violations())
+        valid = valids[0]
+        for c in valids[1:]:
+            valid = valid & c
+        return _Node(valid=valid, violations=_concat_violations(parts))
+
+    # -------------------------------------------------------------- assertions
+
+    def _compile_assertions(self, s: dict, val: _Val, add, present: Column) -> None:
+        dt = val.dtype
+
+        if "type" in s:
+            declared = s["type"] if isinstance(s["type"], list) else [s["type"]]
+            actual = _spark_type_name(dt)
+            ok = actual in declared or (actual == "integer" and "number" in declared)
+            if not ok and not (actual == "number" and "integer" in declared):
+                # statically wrong type: every present value violates
+                add(
+                    F.lit(True),
+                    "type",
+                    "type_mismatch",
+                    {"received": F.lit(actual), "expected": F.lit(", ".join(map(str, declared)))},
+                )
+            elif actual == "number" and "integer" in declared and "number" not in declared:
+                # dynamic integrality check on a float/double/decimal column
+                add(
+                    val.col.cast("double") != F.floor(val.col.cast("double")).cast("double"),
+                    "type",
+                    "type_mismatch",
+                    {"received": F.lit("number"), "expected": F.lit("integer")},
+                )
+
+        if "enum" in s and isinstance(s["enum"], list):
+            allowed = s["enum"]
+            scalars = [a for a in allowed if isinstance(a, (str, int, float, bool)) or isinstance(a, Fraction)]
+            if len(scalars) == len(allowed):
+                lits = [_num_lit(a) if not isinstance(a, str) else F.lit(a) for a in allowed]
+                add(
+                    ~val.col.isin(*lits),
+                    "enum",
+                    "value_not_in_enum",
+                    {
+                        "received": val.col.cast("string"),
+                        "expected": F.lit(", ".join(_num_str(a) if not isinstance(a, str) else a for a in allowed)),
+                    },
+                )
+            else:
+                raise PlanCompileError("composite enum values need the UDF path (dynamic residue)")
+
+        if "const" in s:
+            cv = s["const"]
+            if cv is None:
+                add(present, "const", "const_mismatch_null")  # only null passes
+            elif isinstance(cv, (str, bool)):
+                add(val.col != F.lit(cv), "const", "const_mismatch")
+            elif isinstance(cv, (int, float, Fraction)):
+                add(val.col != _num_lit(cv), "const", "const_mismatch")
+            else:
+                raise PlanCompileError("composite const needs the UDF path (dynamic residue)")
+
+        if _is_number_type(dt):
+            for kw, code, op in (
+                ("minimum", "value_below_minimum", "lt"),
+                ("maximum", "value_above_maximum", "gt"),
+                ("exclusiveMinimum", "exclusive_minimum_mismatch", "le"),
+                ("exclusiveMaximum", "exclusive_maximum_mismatch", "ge"),
+            ):
+                if kw in s and isinstance(s[kw], (int, float, Fraction)) and not isinstance(s[kw], bool):
+                    bound = _num_lit(s[kw])
+                    cond = {
+                        "lt": val.col < bound,
+                        "gt": val.col > bound,
+                        "le": val.col <= bound,
+                        "ge": val.col >= bound,
+                    }[op]
+                    pkey = {
+                        "minimum": "minimum",
+                        "maximum": "maximum",
+                        "exclusiveMinimum": "exclusive_minimum",
+                        "exclusiveMaximum": "exclusive_maximum",
+                    }[kw]
+                    add(cond, kw, code, {"value": val.col, pkey: F.lit(_num_str(s[kw]))})
+            if "multipleOf" in s and isinstance(s["multipleOf"], (int, float, Fraction)) and not isinstance(s["multipleOf"], bool):
+                div = s["multipleOf"]
+                fdiv = Fraction(div) if not isinstance(div, Fraction) else div
+                if fdiv <= 0:
+                    add(F.lit(True), "multipleOf", "invalid_multiple_of", {"multiple_of": F.lit(_num_str(div))})
+                elif _is_integer_type(dt) and fdiv.denominator == 1:
+                    add(
+                        (val.col % F.lit(int(fdiv))) != 0,
+                        "multipleOf",
+                        "not_multiple_of",
+                        {"multiple_of": F.lit(_num_str(div))},
+                    )
+                else:
+                    # exact-decimal path: DecimalType(38,12) arithmetic — the
+                    # documented precision contract (reference keeps big.Rat;
+                    # Spark has no arbitrary-precision rational — SURVEY §4.2.6)
+                    dec = "decimal(38,12)"
+                    add(
+                        (val.col.cast(dec) % _num_lit(div).cast(dec)) != F.lit(0).cast(dec),
+                        "multipleOf",
+                        "not_multiple_of",
+                        {"multiple_of": F.lit(_num_str(div))},
+                    )
+
+        if isinstance(dt, T.StringType):
+            if "minLength" in s:
+                n = int(s["minLength"])
+                add(
+                    F.length(val.col) < n,
+                    "minLength",
+                    "string_too_short",
+                    {"min_length": F.lit(n), "length": F.length(val.col)},
+                )
+            if "maxLength" in s:
+                n = int(s["maxLength"])
+                add(
+                    F.length(val.col) > n,
+                    "maxLength",
+                    "string_too_long",
+                    {"max_length": F.lit(n), "length": F.length(val.col)},
+                )
+            if "pattern" in s and isinstance(s["pattern"], str):
+                # Java regex via rlike; plan compiler validated syntax upstream
+                add(
+                    ~val.col.rlike(s["pattern"]),
+                    "pattern",
+                    "pattern_mismatch",
+                    {"pattern": F.lit(s["pattern"])},
+                )
+            if "format" in s and isinstance(s["format"], str) and self.assert_format:
+                fmt = s["format"]
+                rx = SPARK_REGEX_FORMATS.get(fmt)
+                if rx is not None:
+                    add(~val.col.rlike(rx), "format", "format_mismatch", {"format": F.lit(fmt)})
+                # non-regex formats are UDF residue — handled by functions.udf
+
+    # ----------------------------------------------------------------- objects
+
+    def _compile_object(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
+        dt: T.StructType = val.dtype  # type: ignore[assignment]
+        fields = {f.name: f for f in dt.fields}
+
+        if "required" in s and isinstance(s["required"], list):
+            for prop in s["required"]:
+                if prop in fields:
+                    miss = _safe(present & val.col[prop].isNull())
+                else:
+                    miss = present  # statically absent field: always missing
+                parts.append(
+                    _cond_violation(
+                        miss, val.path, "required", "missing_required_property", {"property": F.lit(prop)}
+                    )
+                )
+                valids.append(~miss)
+
+        if "dependentRequired" in s and isinstance(s["dependentRequired"], dict):
+            for prop, deps in s["dependentRequired"].items():
+                if prop not in fields or not isinstance(deps, list):
+                    continue
+                have = val.col[prop].isNotNull()
+                for dep in deps:
+                    dep_missing = val.col[dep].isNull() if dep in fields else F.lit(True)
+                    cond = _safe(present & have & dep_missing)
+                    parts.append(
+                        _cond_violation(
+                            cond,
+                            val.path,
+                            "dependentRequired",
+                            "dependent_property_required",
+                            {"missing_properties": F.lit(dep)},
+                        )
+                    )
+                    valids.append(~cond)
+
+        if "minProperties" in s or "maxProperties" in s:
+            # struct: count of non-null members (null ≡ absent convention)
+            cnt = None
+            for name in fields:
+                c = val.col[name].isNotNull().cast("int")
+                cnt = c if cnt is None else cnt + c
+            cnt = cnt if cnt is not None else F.lit(0)
+            if "minProperties" in s:
+                n = int(s["minProperties"])
+                cond = _safe(present & (cnt < n))
+                parts.append(
+                    _cond_violation(cond, val.path, "minProperties", "too_few_properties", {"min_properties": F.lit(n)})
+                )
+                valids.append(~cond)
+            if "maxProperties" in s:
+                n = int(s["maxProperties"])
+                cond = _safe(present & (cnt > n))
+                parts.append(
+                    _cond_violation(cond, val.path, "maxProperties", "too_many_properties", {"max_properties": F.lit(n)})
+                )
+                valids.append(~cond)
+
+        if "properties" in s and isinstance(s["properties"], dict):
+            for prop, branch in s["properties"].items():
+                if prop not in fields:
+                    continue  # statically absent → subschema never applies
+                sub_val = _Val(
+                    col=val.col[prop],
+                    dtype=fields[prop].dataType,
+                    path=F.concat(val.path, F.lit("/" + _escape_token(prop))),
+                )
+                sub = self._compile(branch, sub_val, depth)
+                parts.append(sub.violations)
+                valids.append(sub.valid)
+
+    # ------------------------------------------------------------------ arrays
+
+    def _compile_array(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
+        dt: T.ArrayType = val.dtype  # type: ignore[assignment]
+        elem_dt = dt.elementType
+        n = F.size(val.col)
+
+        def add(cond: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> None:
+            cond = _safe(present & cond)
+            parts.append(_cond_violation(cond, val.path, keyword, code, params))
+            valids.append(~cond)
+
+        if "minItems" in s:
+            k = int(s["minItems"])
+            add(n < k, "minItems", "items_too_short", {"min_items": F.lit(k)})
+        if "maxItems" in s:
+            k = int(s["maxItems"])
+            add(n > k, "maxItems", "items_too_long", {"max_items": F.lit(k)})
+        if s.get("uniqueItems") is True:
+            # hash-based distinct — Spark struct equality matches JSON equality
+            # for fixed-schema elements (reference: unique_items.go hash+verify)
+            add(
+                F.size(F.array_distinct(val.col)) != n,
+                "uniqueItems",
+                "unique_items_mismatch",
+                {"duplicates": F.lit("")},
+            )
+
+        prefix = s.get("prefixItems") if isinstance(s.get("prefixItems"), list) else []
+        for i, branch in enumerate(prefix):
+            elem = F.element_at(val.col, i + 1)  # null when out of range
+            sub_val = _Val(
+                col=F.when(n > i, elem),  # treat out-of-range as absent
+                dtype=elem_dt,
+                path=F.concat(val.path, F.lit(f"/{i}")),
+            )
+            sub = self._compile(branch, sub_val, depth)
+            parts.append(sub.violations)
+            valids.append(sub.valid)
+
+        if "items" in s:
+            branch = s["items"]
+            # per-element violations via transform → flatten (no shuffle)
+            def _elem_violations(x: Column, i: Column) -> Column:
+                sub_val = _Val(
+                    col=x,
+                    dtype=elem_dt,
+                    path=F.concat(val.path, F.lit("/"), i.cast("string")),
+                )
+                node = self._compile(branch, sub_val, depth)
+                if prefix:
+                    return F.when(i >= len(prefix), node.violations).otherwise(_empty_violations())
+                return node.violations
+
+            per_elem = F.flatten(F.transform(val.col, _elem_violations))
+            parts.append(F.when(present, per_elem).otherwise(_empty_violations()))
+            valids.append(_safe(F.when(present, F.size(per_elem) == 0).otherwise(F.lit(True))) | ~present)
+
+        if "contains" in s:
+            branch = s["contains"]
+
+            def _match(x: Column) -> Column:
+                sub_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""))
+                return self._compile(branch, sub_val, depth).valid
+
+            matches = F.size(F.filter(val.col, _match))
+            min_c = int(s.get("minContains", 1))
+            max_c = s.get("maxContains")
+            if min_c > 0:
+                add(matches < min_c, "contains", "contains_too_few_items", {"min_contains": F.lit(min_c)})
+            if max_c is not None:
+                add(matches > int(max_c), "maxContains", "contains_too_many_items", {"max_contains": F.lit(int(max_c))})
+
+    # -------------------------------------------------------------------- maps
+
+    def _compile_map(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
+        dt: T.MapType = val.dtype  # type: ignore[assignment]
+
+        def add(cond: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> None:
+            cond = _safe(present & cond)
+            parts.append(_cond_violation(cond, val.path, keyword, code, params))
+            valids.append(~cond)
+
+        n = F.size(val.col)
+        if "minProperties" in s:
+            k = int(s["minProperties"])
+            add(n < k, "minProperties", "too_few_properties", {"min_properties": F.lit(k)})
+        if "maxProperties" in s:
+            k = int(s["maxProperties"])
+            add(n > k, "maxProperties", "too_many_properties", {"max_properties": F.lit(k)})
+        if "required" in s and isinstance(s["required"], list):
+            for prop in s["required"]:
+                cond = ~F.array_contains(F.map_keys(val.col), prop)
+                add(cond, "required", "missing_required_property", {"property": F.lit(prop)})
+        if "propertyNames" in s and isinstance(s["propertyNames"], dict):
+            pn = s["propertyNames"]
+            if "pattern" in pn:
+                bad = F.filter(F.map_keys(val.col), lambda k: ~k.rlike(pn["pattern"]))
+                cond = F.size(bad) > 0
+                add(
+                    cond,
+                    "propertyNames",
+                    "property_names_mismatch",
+                    {"properties": F.array_join(bad, ", ")},
+                )
+
+    # ----------------------------------------------------------------- logical
+
+    def _compile_logical(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
+        if "allOf" in s and isinstance(s["allOf"], list):
+            for branch in s["allOf"]:
+                sub = self._compile(branch, val, depth)
+                parts.append(sub.violations)
+                valids.append(sub.valid)
+
+        if "anyOf" in s and isinstance(s["anyOf"], list):
+            branch_valid = [self._compile(b, val, depth).valid for b in s["anyOf"]]
+            ok = branch_valid[0]
+            for c in branch_valid[1:]:
+                ok = ok | c
+            cond = _safe(present & ~ok)
+            parts.append(_cond_violation(cond, val.path, "anyOf", "any_of_item_mismatch"))
+            valids.append(~cond)
+
+        if "oneOf" in s and isinstance(s["oneOf"], list):
+            branch_valid = [self._compile(b, val, depth).valid for b in s["oneOf"]]
+            cnt = branch_valid[0].cast("int")
+            for c in branch_valid[1:]:
+                cnt = cnt + c.cast("int")
+            none_cond = _safe(present & (cnt == 0))
+            multi_cond = _safe(present & (cnt > 1))
+            parts.append(_cond_violation(none_cond, val.path, "oneOf", "one_of_item_mismatch"))
+            parts.append(
+                _cond_violation(multi_cond, val.path, "oneOf", "one_of_multiple_matches", {"matches": cnt})
+            )
+            valids.append(_safe(cnt == 1) | ~present)
+
+        if "not" in s:
+            sub = self._compile(s["not"], val, depth)
+            cond = _safe(present & sub.valid)
+            parts.append(_cond_violation(cond, val.path, "not", "not_schema_mismatch"))
+            valids.append(~cond)
+
+        if "if" in s:
+            cond_node = self._compile(s["if"], val, depth)
+            if "then" in s:
+                then_node = self._compile(s["then"], val, depth)
+                taken = _safe(present & cond_node.valid)
+                parts.append(F.when(taken, then_node.violations).otherwise(_empty_violations()))
+                parts.append(
+                    _cond_violation(taken & ~then_node.valid, val.path, "then", "if_then_mismatch")
+                )
+                valids.append(~taken | _safe(then_node.valid))
+            if "else" in s:
+                else_node = self._compile(s["else"], val, depth)
+                taken = _safe(present & ~cond_node.valid)
+                parts.append(F.when(taken, else_node.violations).otherwise(_empty_violations()))
+                parts.append(
+                    _cond_violation(taken & ~else_node.valid, val.path, "else", "if_else_mismatch")
+                )
+                valids.append(~taken | _safe(else_node.valid))
+
+        if "dependentSchemas" in s and isinstance(s["dependentSchemas"], dict) and isinstance(val.dtype, T.StructType):
+            fields = {f.name for f in val.dtype.fields}
+            for prop, branch in s["dependentSchemas"].items():
+                if prop not in fields:
+                    continue
+                sub = self._compile(branch, val, depth)
+                have = _safe(present & val.col[prop].isNotNull())
+                parts.append(F.when(have, sub.violations).otherwise(_empty_violations()))
+                parts.append(
+                    _cond_violation(
+                        have & ~sub.valid,
+                        val.path,
+                        "dependentSchemas",
+                        "dependent_schema_mismatch",
+                        {"property": F.lit(prop)},
+                    )
+                )
+                valids.append(~have | _safe(sub.valid))
+
+
+def validate_dataframe(
+    df: DataFrame,
+    schema: Any,
+    *,
+    violations_col: str = "violations",
+    valid_col: str = "valid",
+    assert_format: bool = True,
+) -> DataFrame:
+    """One-shot: attach violations + valid columns for a JSON Schema."""
+    return SparkPlanCompiler(schema, assert_format=assert_format).apply(
+        df, violations_col=violations_col, valid_col=valid_col
+    )

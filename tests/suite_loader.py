@@ -24,6 +24,27 @@ def suite_available() -> bool:
     return os.path.isdir(DRAFT_DIR)
 
 
+def core_files() -> list[str]:
+    return sorted(f for f in os.listdir(DRAFT_DIR) if f.endswith(".json"))
+
+
+# files whose cases never fetch localhost remotes (safe without a loader,
+# e.g. inside executor-side UDFs)
+CORE_NO_REMOTE_FILES = [
+    f
+    for f in (
+        "additionalProperties.json allOf.json anchor.json anyOf.json boolean_schema.json "
+        "const.json contains.json content.json default.json defs.json dependentRequired.json "
+        "dependentSchemas.json enum.json exclusiveMaximum.json exclusiveMinimum.json format.json "
+        "if-then-else.json infinite-loop-detection.json items.json maxContains.json maxItems.json "
+        "maxLength.json maxProperties.json maximum.json minContains.json minItems.json "
+        "minLength.json minProperties.json minimum.json multipleOf.json not.json oneOf.json "
+        "pattern.json patternProperties.json prefixItems.json properties.json propertyNames.json "
+        "required.json type.json unevaluatedItems.json unevaluatedProperties.json uniqueItems.json"
+    ).split()
+]
+
+
 def remote_loader(uri: str) -> Any:
     if uri.startswith(LOCALHOST_PREFIX):
         rel = uri[len(LOCALHOST_PREFIX) :]

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are pure built-in expressions (JVM, codegen'd):
+
+- exact: hash-groupBy on normalized text (map-side partial agg → minimal
+  shuffle).
+- n-gram Jaccard: token shingles via ``sequence`` + ``transform`` (no explode)
+  with blocking keys to bound the candidate self-join.
+- MinHash + LSH: k hash functions as md5(seed || shingle) minima (portable —
+  the same family is expressible in any engine for oracles), banded into
+  buckets; candidate pairs only within buckets — the scale path that avoids
+  the O(n²) self-join entirely.
+- SimHash: 64-bit sign-aggregated token hashes via xxhash64; hamming-near
+  pairs bucket on band substrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "exact_duplicate_groups",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — the dedup equivalence key."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(text_hash, cnt, min_id) for exact-duplicate groups (cnt > 1)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("id").alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column — built from
+    sequence+transform (no explode, no shuffle)."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _minhash_one(sh: Column, seed: int) -> Column:
+    # portable hash family: md5 of "seed:shingle", minimum by string order
+    return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x))))
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, sig: array<string> length k) MinHash signatures."""
+    sh = shingles(F.col(text_col), shingle_n)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*[_minhash_one(sh, s) for s in range(k)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, *, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(id_a, id_b, est_jaccard) for pairs sharing ≥1 LSH band bucket.
+
+    Scale path: the self-join is on (band, bucket) — only docs in the same
+    bucket ever meet; bucket sizes are bounded by near-duplicate cluster
+    sizes, not corpus size.
+    """
+    buckets = sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    k = None  # infer signature length from zip_with
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    block_prefix_chars: int = 16,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by a text prefix key.
+
+    Blocking bounds the self-join; at web scale prefer lsh_candidate_pairs
+    (this operator is the exact verifier for LSH candidates).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.substring(normalize_text(F.col(text_col)), 1, block_prefix_chars).alias("block"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter.cast("double") / union).alias("jaccard")
+    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) 64-bit SimHash over tokens (xxhash64 bit votes)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_votes(i):
+        # closure (not default-arg) so the HOF lambda stays 2-ary
+        return lambda acc, x: acc + F.when(F.bit_get(x, F.lit(i)) == 1, 1).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(h, F.lit(0), _bit_votes(i))
+        if i < 63:
+            bit_cols.append(
+                F.when(votes > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+            )
+        else:
+            bit_cols.append(F.when(votes > 0, F.lit(-(2**63))).otherwise(F.lit(0).cast("bigint")))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return df.select(F.col(id_col).alias("id"), total.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, *, band_bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: bucket on 16-bit bands (pigeonhole: ≤3 differing bits ⇒
+    at least one of 4 bands identical), verify hamming distance ≤ max."""
+    bands = [
+        F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias(f"b{i}")
+        for i in range(64 // band_bits)
+    ]
+    with_bands = sim_df.select("id", "simhash", *bands)
+    pairs = None
+    for i in range(64 // band_bits):
+        a = with_bands.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), F.col(f"b{i}").alias("band"))
+        b = with_bands.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), F.col(f"b{i}").alias("band"))
+        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "h_a", "h_b")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.distinct()
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

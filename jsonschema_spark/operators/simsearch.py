@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — broadcast the (small) query set,
+  `zip_with`+`aggregate` dot products JVM-side, window top-k per query.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (hash-derived
+  pseudo-projections, no stored model) bucket the corpus; queries probe only
+  their bucket — the 100 TB path where the cross product is infeasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_signature", "ann_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact top-k per query.
+
+    The query side is broadcast (small); the corpus is scanned once, no
+    shuffle until the per-query top-k aggregation.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(vec: Column, *, n_planes: int = 16, dim: int | None = None) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bitmask).
+
+    Plane p's normal component for dimension i is a hash-derived pseudo-random
+    ±1 (xxhash64(p, i) parity) — reproducible across runs with no stored model.
+    """
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda i, _p=p: F.when(
+                        F.pmod(F.xxhash64(F.lit(_p), i), F.lit(2)) == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sig = plane_bit(0)
+    for p in range(1, n_planes):
+        sig = sig + plane_bit(p)
+    return sig
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: join on LSH bucket, exact cosine within bucket.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more compute). At scale, bucket the corpus ONCE (write bucketed
+    parquet/Iceberg clustered by signature) and probe per query.
+    """
+    c = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), n_planes=n_planes))
+    q = queries.withColumn("__sig", hyperplane_signature(F.col(query_vec_col), n_planes=n_planes))
+    joined = c.join(F.broadcast(q), "__sig")
+    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = joined.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

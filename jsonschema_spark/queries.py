@@ -1,0 +1,796 @@
+"""Query catalog: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) → DataFrame callable with a DuckDB-equivalent oracle SQL.
+
+These run the *real engine* (plan compiler / UDF path / operators) over the
+driver-provided parquet tables; the oracle SQL is an independent hand-written
+re-derivation used for the correctness gate. Column names and types are
+aligned on both sides (the driver hash-compares sorted columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jsonschema_spark.plans import SparkPlanCompiler
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _violations(df: DataFrame, schema: dict, id_cols: list[str]) -> DataFrame:
+    out = SparkPlanCompiler(schema, assert_format=True).apply(df)
+    return out.select(*id_cols, F.explode("violations").alias("v")).select(
+        *id_cols,
+        F.col("v.instance_path").alias("instance_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.code").alias("code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Validation engine queries (plan compiler — leaf assertions, SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+DOCS_TABLE_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "n_chars": {"type": "integer", "minimum": 60, "maximum": 500},
+        "text": {"type": "string", "minLength": 60, "pattern": "^[a-z ]+$"},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    },
+}
+
+
+def validate_documents_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _violations(_t(spark, sf_dir, "documents"), DOCS_TABLE_SCHEMA, ["doc_id"])
+
+
+ORACLE_DOCS_VIOLATIONS = """
+SELECT doc_id, '/lang' AS instance_path, 'enum' AS keyword, 'value_not_in_enum' AS code
+FROM documents WHERE lang NOT IN ('en','de','fr','es')
+UNION ALL
+SELECT doc_id, '/n_chars', 'minimum', 'value_below_minimum' FROM documents WHERE n_chars < 60
+UNION ALL
+SELECT doc_id, '/n_chars', 'maximum', 'value_above_maximum' FROM documents WHERE n_chars > 500
+UNION ALL
+SELECT doc_id, '/text', 'minLength', 'string_too_short' FROM documents WHERE length(text) < 60
+UNION ALL
+SELECT doc_id, '/text', 'pattern', 'pattern_mismatch' FROM documents WHERE NOT regexp_matches(text, '^[a-z ]+$')
+UNION ALL
+SELECT doc_id, '/source', 'pattern', 'pattern_mismatch' FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+"""
+
+
+def validate_documents_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = SparkPlanCompiler(DOCS_TABLE_SCHEMA, assert_format=True).apply(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "valid")
+
+
+ORACLE_DOCS_FLAG = """
+SELECT doc_id,
+       (lang IN ('en','de','fr','es') AND n_chars BETWEEN 60 AND 500
+        AND length(text) >= 60 AND regexp_matches(text, '^[a-z ]+$')
+        AND regexp_matches(source, '^src[0-9]+$')) AS valid
+FROM documents
+"""
+
+
+SPANS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "spans"],
+    "properties": {
+        "spans": {
+            "type": "array",
+            "minItems": 1,
+            "items": {
+                "type": "object",
+                "required": ["kind", "offset"],
+                "properties": {
+                    "kind": {"enum": ["text", "media"]},
+                    "offset": {"type": "integer", "minimum": 0, "maximum": 400},
+                },
+            },
+        }
+    },
+}
+
+
+def _events_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-docs shape derived deterministically from events:
+    one doc per user, spans ordered by (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value", "props"))
+        ).alias("evs")
+    )
+    spans = F.transform(
+        F.col("evs"),
+        lambda x: F.struct(
+            F.when(x["event_type"].isin("click", "view"), F.lit("text"))
+            .otherwise(F.lit("media"))
+            .alias("kind"),
+            F.when(x["event_type"].isin("click", "view"), x["props"]).alias("text"),
+            F.when(
+                ~x["event_type"].isin("click", "view"),
+                F.concat(F.lit("media://"), x["event_id"].cast("string")),
+            ).alias("media_ref"),
+            F.floor(x["value"]).cast("int").alias("offset"),
+        ),
+    )
+    return agg.select(F.col("user_id").alias("doc_id"), spans.alias("spans"))
+
+
+def validate_spans_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span checks via higher-order functions (items/transform path)."""
+    return _violations(_events_as_spans(spark, sf_dir), SPANS_SCHEMA, ["doc_id"])
+
+
+ORACLE_SPANS_OFFSETS = """
+WITH spans AS (
+  SELECT user_id AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         CAST(FLOOR(value) AS INT) AS off
+  FROM events)
+SELECT doc_id, '/spans/' || pos || '/offset' AS instance_path,
+       'maximum' AS keyword, 'value_above_maximum' AS code
+FROM spans WHERE off > 400
+"""
+
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}},
+}
+
+
+def validate_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON residue path: Arrow-batched evaluator UDF on a raw JSON col."""
+    from jsonschema_spark.functions.udf import validate_json_column
+
+    e = _t(spark, sf_dir, "events").select("event_id", "props")
+    return validate_json_column(e, "props", PROPS_SCHEMA).select("event_id", "valid")
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_id,
+       (CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 10 AND 90) AS valid
+FROM events
+"""
+
+
+def kw_logical_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = {
+        "oneOf": [
+            {"properties": {"n_chars": {"maximum": 150}}},
+            {"properties": {"lang": {"const": "en"}}},
+        ]
+    }
+    out = SparkPlanCompiler(schema).apply(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "valid")
+
+
+ORACLE_ONEOF = """
+SELECT doc_id,
+       ((CASE WHEN n_chars <= 150 THEN 1 ELSE 0 END)
+        + (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) = 1 AS valid
+FROM documents
+"""
+
+
+def kw_logical_anyof_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = {
+        "allOf": [
+            {
+                "anyOf": [
+                    {"properties": {"lang": {"enum": ["en", "de"]}}},
+                    {"properties": {"n_chars": {"minimum": 200}}},
+                ]
+            },
+            {"not": {"properties": {"source": {"const": "src0"}}}},
+        ]
+    }
+    out = SparkPlanCompiler(schema).apply(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "valid")
+
+
+ORACLE_ANYOF_NOT = """
+SELECT doc_id,
+       ((lang IN ('en','de') OR n_chars >= 200) AND NOT (source = 'src0')) AS valid
+FROM documents
+"""
+
+
+def kw_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = {
+        "properties": {
+            "l_quantity": {"multipleOf": 5, "exclusiveMinimum": 0},
+            "l_extendedprice": {"maximum": 50000},
+            "l_discount": {"exclusiveMaximum": 0.1},
+            "l_tax": {"minimum": 0.01},
+        }
+    }
+    return _violations(_t(spark, sf_dir, "lineitem"), schema, ["l_orderkey", "l_linenumber"])
+
+
+ORACLE_NUMERIC_LINEITEM = """
+SELECT l_orderkey, l_linenumber, '/l_quantity' AS instance_path, 'multipleOf' AS keyword, 'not_multiple_of' AS code
+FROM lineitem WHERE CAST(l_quantity AS DECIMAL(38,12)) % 5 != 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_extendedprice', 'maximum', 'value_above_maximum'
+FROM lineitem WHERE l_extendedprice > 50000
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_discount', 'exclusiveMaximum', 'exclusive_maximum_mismatch'
+FROM lineitem WHERE l_discount >= 0.1
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_tax', 'minimum', 'value_below_minimum'
+FROM lineitem WHERE l_tax < 0.01
+"""
+
+
+def kw_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = {
+        "properties": {
+            "c_name": {"type": "string", "pattern": "^Customer#[0-9]{9}$", "minLength": 18, "maxLength": 18},
+            "c_mktsegment": {
+                "enum": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+            },
+            "c_acctbal": {"minimum": -999.99},
+        }
+    }
+    return _violations(_t(spark, sf_dir, "customer"), schema, ["c_custkey"])
+
+
+ORACLE_STRING_CUSTOMER = """
+SELECT c_custkey, '/c_name' AS instance_path, 'pattern' AS keyword, 'pattern_mismatch' AS code
+FROM customer WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+UNION ALL
+SELECT c_custkey, '/c_name', 'minLength', 'string_too_short' FROM customer WHERE length(c_name) < 18
+UNION ALL
+SELECT c_custkey, '/c_name', 'maxLength', 'string_too_long' FROM customer WHERE length(c_name) > 18
+UNION ALL
+SELECT c_custkey, '/c_mktsegment', 'enum', 'value_not_in_enum'
+FROM customer WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+UNION ALL
+SELECT c_custkey, '/c_acctbal', 'minimum', 'value_below_minimum' FROM customer WHERE c_acctbal < -999.99
+"""
+
+
+def kw_const_ifthen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = {
+        "if": {"properties": {"o_orderstatus": {"const": "O"}}},
+        "then": {"properties": {"o_totalprice": {"minimum": 1000}}},
+        "else": {"properties": {"o_orderpriority": {"pattern": "^[1-5]-"}}},
+    }
+    out = SparkPlanCompiler(schema).apply(_t(spark, sf_dir, "orders"))
+    return out.select("o_orderkey", "valid")
+
+
+ORACLE_CONST_IFTHEN = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN o_totalprice >= 1000
+            ELSE regexp_matches(o_orderpriority, '^[1-5]-') END AS valid
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Dataset-level checks (SURVEY §2.7, north rule)
+# --------------------------------------------------------------------------
+
+
+def stats_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pieces = []
+    for c in cols:
+        pieces.append(
+            li.agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_present"),
+                F.min(c).alias("min_value"),
+                F.max(c).alias("max_value"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+ORACLE_STATS_LINEITEM = """
+SELECT 'l_quantity' AS column, count(*) AS n_rows, count(l_quantity) AS n_present,
+       min(l_quantity) AS min_value, max(l_quantity) AS max_value FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice), min(l_extendedprice), max(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount), min(l_discount), max(l_discount) FROM lineitem
+UNION ALL
+SELECT 'l_tax', count(*), count(l_tax), min(l_tax), max(l_tax) FROM lineitem
+"""
+
+
+def dup_keys_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.uniqueness import duplicate_keys
+
+    return duplicate_keys(_t(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+ORACLE_DUP_KEYS = """
+SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def referential_events_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.referential import referential_violations
+
+    e = _t(spark, sf_dir, "events").select("user_id").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    return referential_violations(e, "user_id", s, "s_suppkey", broadcast_dim=True)
+
+
+ORACLE_REFERENTIAL_DANGLING = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def referential_orders_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.referential import referential_check
+
+    return referential_check(
+        _t(spark, sf_dir, "orders"), "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"
+    )
+
+
+ORACLE_REFERENTIAL_CLEAN = """
+SELECT 'referential:o_custkey' AS check_name,
+       count(*) = 0 AS passed,
+       CAST(count(*) AS DOUBLE) AS statistic,
+       CAST(0.0 AS DOUBLE) AS threshold
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def cardinality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.countDistinct("o_orderpriority").alias("distinct_priority"),
+    )
+
+
+ORACLE_CARDINALITY = """
+SELECT count(DISTINCT o_custkey) AS distinct_custkey,
+       count(DISTINCT o_orderstatus) AS distinct_status,
+       count(DISTINCT o_orderpriority) AS distinct_priority
+FROM orders
+"""
+
+
+def ks_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.drift import ks_statistic
+
+    e = _t(spark, sf_dir, "events")
+    out = ks_statistic(e, "value", "event_type", "click", "view")
+    return out.select(F.round("ks", 9).alias("ks"))
+
+
+ORACLE_KS = """
+WITH per_value AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click','view') GROUP BY 1),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per_value),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_value)
+SELECT round(max(abs(cum_a / na - cum_b / nb)), 9) AS ks FROM ecdf, tot
+"""
+
+
+def psi_lang_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.drift import psi
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b"),
+    )
+    return psi(d, "lang", "grp", "a", "b").select(F.round("psi", 6).alias("psi"))
+
+
+ORACLE_PSI = """
+WITH base AS (
+  SELECT lang AS cat,
+         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10 THEN 'a' ELSE 'b' END AS g
+  FROM documents),
+freqs AS (
+  SELECT cat, sum(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM freqs)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM (
+  SELECT greatest(ca / na, 1e-6) AS p, greatest(cb / nb, 1e-6) AS q FROM freqs, tot)
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup / simsearch / text analysis
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import exact_duplicate_groups
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")).alias("key"),
+    )
+    return exact_duplicate_groups(e, "event_id", "key")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(user_id || ':' || event_type) AS text_hash, count(*) AS cnt, min(event_id) AS keep_id
+FROM events GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def dedup_exact_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_TEXT = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       count(*) AS cnt, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set (1-gram) Jaccard within (lang, n_chars) blocks."""
+    from jsonschema_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split(normalize_text(F.col("text")), " ")).alias("sh"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("n_chars").cast("string")).alias("block"),
+    )
+    a = d.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
+    b = d.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(inter.cast("double") / union, 9).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh,
+         lang || ':' || n_chars AS block
+  FROM documents)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 9) AS jaccard
+FROM d a JOIN d b ON a.block = b.block AND a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text", k=4, shingle_n=3)
+    return sig.select(
+        "id",
+        F.col("sig")[0].alias("sig_0"),
+        F.col("sig")[1].alias("sig_1"),
+        F.col("sig")[2].alias("sig_2"),
+        F.col("sig")[3].alias("sig_3"),
+    )
+
+
+ORACLE_MINHASH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks)
+SELECT id,
+       list_min([md5('0:' || x) FOR x IN s]) AS sig_0,
+       list_min([md5('1:' || x) FOR x IN s]) AS sig_1,
+       list_min([md5('2:' || x) FOR x IN s]) AS sig_2,
+       list_min([md5('3:' || x) FOR x IN s]) AS sig_3
+FROM sh
+"""
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.text import quality_features
+
+    q = quality_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return q.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("mean_word_len", 9).alias("mean_word_len"),
+        F.round("stopword_ratio", 9).alias("stopword_ratio"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id AS id, length(text) AS n_chars,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS clean_len
+  FROM documents)
+SELECT id, n_chars, len(toks) AS n_tokens,
+       round(CAST(n_chars - clean_len AS DOUBLE) / greatest(n_chars, 1), 9) AS punct_ratio,
+       round(CAST(list_sum([length(x) FOR x IN toks]) AS DOUBLE) / len(toks), 9) AS mean_word_len,
+       round(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS DOUBLE)
+             / greatest(len(toks), 1), 9) AS stopword_ratio
+FROM t
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _oracle_lang_id() -> str:
+    from jsonschema_spark.operators.text import STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    pred = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        pred = f"CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+s AS (SELECT id, toks, {best} AS best FROM t)
+SELECT id, {pred} AS pred_lang FROM s
+"""
+
+
+def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", token_count(F.col("text")).alias("tc"))
+        .groupBy("lang")
+        .agg(F.sum("tc").alias("total_tokens"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT lang, sum(len(string_split(trim(text), ' '))) AS total_tokens, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text", n=1, keep=4)
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+  FROM documents)
+SELECT id, array_to_string(list_sort([md5(x) FOR x IN sh])[1:4], '') AS fingerprint FROM t
+"""
+
+
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_SIMSEARCH = """
+WITH corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM corpus WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.emb, q.qv) / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM corpus c, q),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+         cos
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+# ----- rows-only checks (non-SQL-expressible or engine-specific hashing) ----
+
+
+def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    sig = minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, shingle_n=3)
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def ann_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_spark.operators.simsearch import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_topk(emb, queries, k=5, n_planes=8)
+
+
+def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads through mapInPandas (fake codec)."""
+    from jsonschema_spark.operators.multimodal import extract_media_features, fake_decoder
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_name").alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode("p_name", "utf-8").alias("payload"),
+    )
+    out = extract_media_features(p, decoder=fake_decoder, num_partitions=4)
+    return out.select("media_ref", "n_bytes", "feature_hash")
+
+
+ORACLE_MEDIA_FEATURES = """
+SELECT p_name AS media_ref, CAST(length(p_name) AS BIGINT) AS n_bytes,
+       substr(sha256(p_name), 1, 32) AS feature_hash
+FROM part
+"""
+
+
+def span_mismatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence equality (north-rule invariant) between the events-derived
+    docs and a 'reference' where text spans drop their payload when value>450."""
+    from jsonschema_spark.operators.spans import span_sequence_mismatches
+
+    docs = _events_as_spans(spark, sf_dir)
+    ref = docs.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["offset"] <= 450, s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return span_sequence_mismatches(docs, ref).select("doc_id", "n_spans")
+
+
+ORACLE_SPAN_MISMATCH = """
+WITH spans AS (
+  SELECT user_id AS doc_id, event_id,
+         CASE WHEN event_type IN ('click','view') THEN props END AS text,
+         CAST(FLOOR(value) AS INT) AS off
+  FROM events)
+SELECT doc_id, CAST(count(*) AS INT) AS n_spans FROM spans
+GROUP BY doc_id
+HAVING sum(CASE WHEN off > 450 AND text IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+
+def all_queries():
+    return {
+        "validate_documents_violations": validate_documents_violations,
+        "validate_documents_flag": validate_documents_flag,
+        "validate_spans_offsets": validate_spans_offsets,
+        "validate_props_json": validate_props_json,
+        "kw_logical_oneof": kw_logical_oneof,
+        "kw_logical_anyof_not": kw_logical_anyof_not,
+        "kw_numeric_lineitem": kw_numeric_lineitem,
+        "kw_string_customer": kw_string_customer,
+        "kw_const_ifthen": kw_const_ifthen,
+        "stats_numeric_lineitem": stats_numeric_lineitem,
+        "dup_keys_lineitem": dup_keys_lineitem,
+        "referential_events_suppliers": referential_events_suppliers,
+        "referential_orders_clean": referential_orders_clean,
+        "cardinality_orders": cardinality_orders,
+        "ks_click_vs_view": ks_click_vs_view,
+        "psi_lang_src": psi_lang_src,
+        "dedup_exact_events": dedup_exact_events,
+        "dedup_exact_text_docs": dedup_exact_text_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "minhash_signatures_docs": minhash_signatures_docs,
+        "text_quality_docs": text_quality_docs,
+        "lang_id_docs": lang_id_docs,
+        "token_count_by_lang": token_count_by_lang,
+        "fingerprint_docs": fingerprint_docs,
+        "simsearch_topk": simsearch_topk,
+        "span_mismatch_events": span_mismatch_events,
+        "media_features_fake": media_features_fake,
+        # rows-only (no SQL oracle): engine-specific hashing / LSH internals
+        "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
+        "simhash_docs": simhash_docs,
+        "ann_topk_docs": ann_topk_docs,
+    }
+
+
+def all_oracles():
+    return {
+        "validate_documents_violations": ORACLE_DOCS_VIOLATIONS,
+        "validate_documents_flag": ORACLE_DOCS_FLAG,
+        "validate_spans_offsets": ORACLE_SPANS_OFFSETS,
+        "validate_props_json": ORACLE_PROPS_JSON,
+        "kw_logical_oneof": ORACLE_ONEOF,
+        "kw_logical_anyof_not": ORACLE_ANYOF_NOT,
+        "kw_numeric_lineitem": ORACLE_NUMERIC_LINEITEM,
+        "kw_string_customer": ORACLE_STRING_CUSTOMER,
+        "kw_const_ifthen": ORACLE_CONST_IFTHEN,
+        "stats_numeric_lineitem": ORACLE_STATS_LINEITEM,
+        "dup_keys_lineitem": ORACLE_DUP_KEYS,
+        "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
+        "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,
+        "cardinality_orders": ORACLE_CARDINALITY,
+        "ks_click_vs_view": ORACLE_KS,
+        "psi_lang_src": ORACLE_PSI,
+        "dedup_exact_events": ORACLE_DEDUP_EXACT,
+        "dedup_exact_text_docs": ORACLE_DEDUP_TEXT,
+        "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,
+        "minhash_signatures_docs": ORACLE_MINHASH,
+        "text_quality_docs": ORACLE_TEXT_QUALITY,
+        "lang_id_docs": _oracle_lang_id(),
+        "token_count_by_lang": ORACLE_TOKEN_COUNT,
+        "fingerprint_docs": ORACLE_FINGERPRINT,
+        "simsearch_topk": ORACLE_SIMSEARCH,
+        "span_mismatch_events": ORACLE_SPAN_MISMATCH,
+        "media_features_fake": ORACLE_MEDIA_FEATURES,
+    }

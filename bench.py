@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the flagship interleaved-docs validation
+throughput (BASELINE.json metric: documents validated/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_validated_per_sec": N, "cpus": N}
+
+Execution is forced with the noop sink (full pipeline runs, zero collect
+cost on the driver). Synthetic interleaved docs are generated once and
+cached under .scratch/ (deterministic, seed=42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family from SURVEY.md §2 (near-duplicate
+# variants left out to keep the signal tight; the driver's correctness gate
+# still covers every query).
+HEADLINE = [
+    "validate_documents_violations",
+    "validate_documents_flag",
+    "validate_spans_offsets",
+    "validate_props_json",
+    "kw_logical_oneof",
+    "kw_numeric_lineitem",
+    "kw_string_customer",
+    "stats_numeric_lineitem",
+    "dup_keys_lineitem",
+    "referential_events_suppliers",
+    "cardinality_orders",
+    "ks_click_vs_view",
+    "psi_lang_src",
+    "dedup_exact_text_docs",
+    "ngram_jaccard_docs",
+    "minhash_signatures_docs",
+    "lsh_candidate_pairs_docs",
+    "simhash_docs",
+    "text_quality_docs",
+    "token_count_by_lang",
+    "fingerprint_docs",
+    "simsearch_topk",
+    "span_mismatch_events",
+    "media_features_fake",
+]
+
+N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("jsonschema-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_synth_docs(spark, n_docs: int) -> str:
+    """Deterministic interleaved docs table (input_hint shape), cached once."""
+    path = os.path.join(REPO, ".scratch", f"synth_docs_{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from jsonschema_spark.synth import SynthConfig, make_docs
+
+        docs, _ref, _media = make_docs(spark, SynthConfig(n_docs=n_docs, seed=42))
+        docs.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def flagship_throughput(spark, n_docs: int) -> tuple[float, float]:
+    """Validate the interleaved spans table with the pure-Column plan;
+    returns (elapsed_sec, docs_per_sec)."""
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.synth import DOCS_SCHEMA
+
+    path = ensure_synth_docs(spark, n_docs)
+    df = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    _force(validate_dataframe(df, DOCS_SCHEMA))
+    dt = time.perf_counter() - t0
+    return dt, n_docs / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from jsonschema_spark.queries import all_queries
+
+    qs = all_queries()
+    _force(spark.range(10_000).selectExpr("sum(id) as s"))  # JVM warm-up
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    flag_dt, docs_per_sec = flagship_throughput(spark, N_SYNTH_DOCS)
+    times["validate_interleaved_synth"] = round(flag_dt, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "docs_validated_per_sec": round(docs_per_sec, 1),
+                "synth_docs": N_SYNTH_DOCS,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ JSON documents) is routed to the Arrow-batched evaluator UDF in
 from __future__ import annotations
 
 from dataclasses import dataclass
+from decimal import Decimal
 from fractions import Fraction
 from typing import Any
 
@@ -119,6 +120,25 @@ def _is_number_type(dt: T.DataType) -> bool:
 
 def _is_integer_type(dt: T.DataType) -> bool:
     return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _dec_scale(f: Fraction) -> int | None:
+    """Smallest s with f*10^s integral, or None if f is non-terminating
+    (denominator has a prime factor other than 2/5 — can't occur for
+    divisors parsed from JSON text, which are terminating by construction)."""
+    den = f.denominator
+    s = 0
+    for p in (2, 5):
+        while den % p == 0:
+            den //= p
+    if den != 1:
+        return None
+    den = f.denominator
+    while f.denominator > 1 and (f * 10**s).denominator > 1:
+        s += 1
+        if s > 38:
+            return None
+    return s
 
 
 def _num_lit(v: Any) -> Column:
@@ -324,7 +344,15 @@ class SparkPlanCompiler:
                     add(cond, kw, code, {"value": val.col, pkey: F.lit(_num_str(s[kw]))})
             if "multipleOf" in s and isinstance(s["multipleOf"], (int, float, Fraction)) and not isinstance(s["multipleOf"], bool):
                 div = s["multipleOf"]
-                fdiv = Fraction(div) if not isinstance(div, Fraction) else div
+                if isinstance(div, Fraction):
+                    fdiv = div
+                elif isinstance(div, float):
+                    # a float divisor stands for its decimal literal (the
+                    # reference parses JSON text to exact rationals; Python
+                    # repr round-trips the shortest decimal form)
+                    fdiv = Fraction(Decimal(repr(div)))
+                else:
+                    fdiv = Fraction(div)
                 if fdiv <= 0:
                     add(F.lit(True), "multipleOf", "invalid_multiple_of", {"multiple_of": F.lit(_num_str(div))})
                 elif _is_integer_type(dt) and fdiv.denominator == 1:
@@ -334,17 +362,38 @@ class SparkPlanCompiler:
                         "not_multiple_of",
                         {"multiple_of": F.lit(_num_str(div))},
                     )
-                else:
-                    # exact-decimal path: DecimalType(38,12) arithmetic — the
-                    # documented precision contract (reference keeps big.Rat;
-                    # Spark has no arbitrary-precision rational — SURVEY §4.2.6)
-                    dec = "decimal(38,12)"
+                elif isinstance(dt, T.DecimalType):
+                    # decimal column: native remainder at the column's own
+                    # precision/scale (p<=18 stays on the Long-backed fast
+                    # path; casting to decimal(38,12) forfeits it and costs
+                    # ~7x steady-state plus JIT-deopt spikes — measured)
                     add(
-                        (val.col.cast(dec) % _num_lit(div).cast(dec)) != F.lit(0).cast(dec),
+                        (val.col % _num_lit(div).cast(dt.simpleString())) != F.lit(0).cast(dt.simpleString()),
                         "multipleOf",
                         "not_multiple_of",
                         {"multiple_of": F.lit(_num_str(div))},
                     )
+                else:
+                    # float/double column, non-integer or mixed divisor.
+                    # JSON divisors are terminating decimals: v is a multiple
+                    # of d (scale sd) iff w = v*10^sd is an integer and
+                    # w % (d*10^sd) == 0 — pure double+long arithmetic, exact
+                    # for |w| < 2^53 (reference keeps big.Rat; Spark has no
+                    # arbitrary-precision rational — SURVEY §4.2.6; a 1e-9
+                    # relative guard absorbs the binary-vs-decimal ulp noise)
+                    sd = _dec_scale(fdiv)
+                    if sd is None or fdiv * 10**sd > 2**53:
+                        # non-terminating or oversized divisor: no double is
+                        # ever an exact multiple under decimal semantics
+                        add(present, "multipleOf", "not_multiple_of", {"multiple_of": F.lit(_num_str(div))})
+                    else:
+                        m = int(fdiv * 10**sd)
+                        w = val.col.cast("double") * F.lit(float(10**sd))
+                        wr = F.round(w, 0)
+                        is_mult = (F.abs(w - wr) <= F.lit(1e-9) * F.greatest(F.abs(w), F.lit(1.0))) & (
+                            wr.cast("bigint") % F.lit(m) == 0
+                        )
+                        add(~is_mult, "multipleOf", "not_multiple_of", {"multiple_of": F.lit(_num_str(div))})
 
         if isinstance(dt, T.StringType):
             if "minLength" in s:

@@ -128,3 +128,23 @@ def test_golden_violation_counts(spark, docs):
     assert counts.get("missing_required_property", 0) > 0
     assert counts.get("value_below_minimum", 0) > 0
     assert counts.get("string_too_short", 0) > 0
+
+
+def test_multiple_of_decimal_semantics_on_doubles(spark):
+    """Float divisors mean their decimal literal (0.1 == 1/10, not the
+    binary float); reference keeps exact rationals (rat.go numberRat)."""
+    import pyspark.sql.types as T
+
+    from jsonschema_spark.plans.columns import validate_dataframe
+
+    df = spark.createDataFrame(
+        [(0.3,), (0.25,), (7.5,), (35.000001,), (None,)],
+        T.StructType([T.StructField("x", T.DoubleType())]),
+    )
+    got = {
+        r.x: r.valid
+        for r in validate_dataframe(df, {"properties": {"x": {"multipleOf": 0.1}}})
+        .select("x", "valid")
+        .collect()
+    }
+    assert got == {0.3: True, 0.25: False, 7.5: True, 35.000001: False, None: True}

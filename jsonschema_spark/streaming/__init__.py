@@ -1,0 +1,7 @@
+from jsonschema_spark.streaming.validate_stream import (
+    stream_keyword_metrics,
+    stream_violation_metrics,
+    validate_stream,
+)
+
+__all__ = ["validate_stream", "stream_violation_metrics", "stream_keyword_metrics"]

@@ -117,6 +117,35 @@ def make_docs_pdf(cfg: SynthConfig) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(rows), pd.DataFrame(ref_rows)
 
 
+def make_docs_distributed(
+    spark: SparkSession, cfg: SynthConfig, *, n_chunks: int = 64
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(docs, docs_reference, media_catalog) generated ON THE EXECUTORS via
+    mapInPandas — chunk i uses seed (cfg.seed*1000 + i), so the same config
+    always produces the same bytes, and docs/reference twins stay aligned
+    because both derive from the same per-chunk RNG stream. Use this above
+    ~10^5 docs; driver-side make_docs doesn't scale."""
+    from dataclasses import replace
+
+    per_chunk = cfg.n_docs // n_chunks
+
+    def _gen(which: int):
+        def gen(batches):
+            for pdf in batches:
+                for i in pdf["id"]:
+                    c = replace(cfg, n_docs=per_chunk, seed=cfg.seed * 1000 + int(i))
+                    docs_pdf, ref_pdf = make_docs_pdf(c)
+                    yield docs_pdf if which == 0 else ref_pdf
+
+        return gen
+
+    chunks = spark.range(n_chunks).repartition(n_chunks)
+    docs = chunks.mapInPandas(_gen(0), schema=DOCS_DDL)
+    ref = chunks.mapInPandas(_gen(1), schema=DOCS_DDL)
+    media = spark.createDataFrame(make_media_catalog_pdf(cfg), schema=MEDIA_DDL)
+    return docs, ref, media
+
+
 def make_docs(spark: SparkSession, cfg: SynthConfig | None = None) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(docs, docs_reference, media_catalog) Spark DataFrames."""
     cfg = cfg or SynthConfig()

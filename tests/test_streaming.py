@@ -1,0 +1,99 @@
+"""Structured Streaming validation: same plan, unbounded input.
+
+End-to-end: parquet landing dir -> readStream -> validate_stream ->
+writeStream (availableNow trigger) -> memory sink; results must match the
+batch path bit-for-bit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.plans.columns import validate_dataframe
+from jsonschema_spark.streaming import (
+    stream_keyword_metrics,
+    stream_violation_metrics,
+    validate_stream,
+)
+from jsonschema_spark.synth import DOCS_SCHEMA, SynthConfig, make_docs
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("landing"))
+    docs, _ref, _media = make_docs(spark, SynthConfig(n_docs=400, seed=5))
+    docs = docs.withColumn("ingest_ts", F.current_timestamp())
+    docs.write.mode("overwrite").parquet(base)
+    schema_ddl = docs.schema
+    return base, schema_ddl
+
+
+def test_stream_matches_batch(spark, landing, tmp_path):
+    base, ddl = landing
+    stream = spark.readStream.schema(ddl).parquet(base)
+    assert stream.isStreaming
+    validated = validate_stream(stream, DOCS_SCHEMA)
+
+    q = (
+        validated.select("doc_id", "valid", F.size("violations").alias("n_viol"))
+        .writeStream.format("memory")
+        .queryName("validated_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["n_viol"]): r["valid"]
+        for r in spark.sql("select * from validated_stream").collect()
+    }
+    batch = validate_dataframe(spark.read.parquet(base), DOCS_SCHEMA)
+    want = {
+        (r["doc_id"], r["n_viol"]): r["valid"]
+        for r in batch.select(
+            "doc_id", "valid", F.size("violations").alias("n_viol")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_metrics_stream(spark, landing, tmp_path):
+    base, ddl = landing
+    stream = spark.readStream.schema(ddl).parquet(base)
+    validated = validate_stream(stream, DOCS_SCHEMA)
+
+    q = (
+        stream_violation_metrics(validated, "ingest_ts", window_duration="1 minute")
+        .writeStream.format("memory")
+        .queryName("metrics_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_m"))
+        .start()
+    )
+    q2 = (
+        stream_keyword_metrics(validated, "ingest_ts")
+        .writeStream.format("memory")
+        .queryName("kw_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_k"))
+        .start()
+    )
+    q.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    # append mode emits only closed windows; with one micro-batch and a fresh
+    # watermark the windows may still be open — assert on the state instead:
+    # the streaming plan must at least run and register both sinks
+    assert spark.sql("select * from metrics_stream").columns == [
+        "window",
+        "doc_count",
+        "valid_count",
+        "violation_count",
+    ]
+    assert set(spark.sql("select * from kw_stream").columns) == {
+        "window",
+        "keyword",
+        "code",
+        "count",
+    }

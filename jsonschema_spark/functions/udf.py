@@ -60,9 +60,32 @@ def validate_json_column(
 ) -> DataFrame:
     """Validate a raw-JSON string column; adds valid + violations columns.
 
-    One vectorized UDF computes the violation array; `valid` derives from it
-    JVM-side (size == 0) so the flag never needs a second Python pass.
+    Fast path: when the schema falls in the variant-supported subset, the
+    whole validation compiles to JVM variant expressions (try_parse_json +
+    schema_of_variant + try_variant_get) — zero Python per row (north rule).
+    Residue (patternProperties / unevaluated* / $dynamicRef / exotic property
+    names) runs the Arrow-batched scalar-evaluator UDF; `valid` derives
+    JVM-side (size == 0) either way.
     """
+    if not isinstance(schema, str):
+        try:
+            from jsonschema_spark.plans.variant import (
+                VariantPlanCompiler,
+                validate_variant_column,
+            )
+
+            VariantPlanCompiler(schema, assert_format=assert_format).valid_column(
+                F.try_parse_json(F.lit("null"))
+            )
+            out = validate_variant_column(df, json_col, schema, assert_format=assert_format)
+            renames = {"violations": violations_col, "valid": valid_col}
+            for src, dst in renames.items():
+                if src != dst:
+                    out = out.withColumnRenamed(src, dst)
+            return out
+        except Exception:
+            pass  # fall through to the Arrow-batched UDF path
+
     schema_json = json.dumps(schema) if not isinstance(schema, str) else schema
 
     @F.pandas_udf(VIOLATION_SCHEMA_DDL)

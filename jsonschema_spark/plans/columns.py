@@ -390,9 +390,15 @@ class SparkPlanCompiler:
                         m = int(fdiv * 10**sd)
                         w = val.col.cast("double") * F.lit(float(10**sd))
                         wr = F.round(w, 0)
-                        is_mult = (F.abs(w - wr) <= F.lit(1e-9) * F.greatest(F.abs(w), F.lit(1.0))) & (
-                            wr.cast("bigint") % F.lit(m) == 0
+                        small = F.abs(wr) < F.lit(float(2**53))
+                        exact = (F.abs(w - wr) <= F.lit(1e-9) * F.greatest(F.abs(w), F.lit(1.0))) & (
+                            wr.try_cast("bigint") % F.lit(m) == 0
                         )
+                        # |w| >= 2^53: long arithmetic can't represent it —
+                        # approximate pmod check (documented divergence from
+                        # exact rationals, SURVEY 4.2.6)
+                        approx = F.pmod(w, F.lit(float(m))) == 0.0
+                        is_mult = F.when(small, exact).otherwise(approx)
                         add(~is_mult, "multipleOf", "not_multiple_of", {"multiple_of": F.lit(_num_str(div))})
 
         if isinstance(dt, T.StringType):

@@ -1,0 +1,460 @@
+"""Dynamic-JSON constraint plan over Spark VariantType — the JVM fast path
+for documents whose schema is NOT statically typed.
+
+Where plans.columns compiles against a fixed StructType, this compiler lowers
+the same JSON Schema semantics onto `try_parse_json` variants: typing via
+`schema_of_variant` (BIGINT / DECIMAL(p,0) => integer, VOID => JSON null,
+SQL NULL => absent), traversal via `try_variant_get`, arrays via
+`cast to array<variant>` + higher-order functions. Zero Python per row —
+this replaces the Arrow-batched scalar-evaluator UDF for the large supported
+subset (functions.udf falls back to the UDF only for the residue:
+patternProperties / unevaluated* / $dynamicRef / content vocabulary).
+
+Reference analogue: the same keyword semantics as validate.go evaluate, with
+the dynamic `getDataType` dispatch (utils.go:37-60) done by
+`schema_of_variant` instead of Go type switches.
+
+Documented divergences (same contract as SURVEY §4.2.6):
+- numeric comparisons run in double after variant typing gates them to
+  numbers; integers beyond 2^53 and >15-significant-digit decimals may
+  diverge from exact-rational semantics;
+- uniqueItems compares canonical `to_json` serializations (variant
+  normalizes number forms first, e.g. 2.0 -> 2).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from fractions import Fraction
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from jsonschema_spark.formats import SPARK_REGEX_FORMATS
+from jsonschema_spark.plans.columns import (
+    _concat_violations,
+    _cond_violation,
+    _empty_violations,
+    _safe,
+)
+from jsonschema_spark.registry import Registry
+
+__all__ = ["VariantPlanCompiler", "VariantCompileError", "validate_variant_column"]
+
+_MAX_DEPTH = 16
+
+# keywords the variant path supports; anything else => fall back to UDF path
+_SUPPORTED = {
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "required", "properties", "items", "prefixItems", "minItems",
+    "maxItems", "uniqueItems", "contains", "minContains", "maxContains",
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    "dependentRequired", "$ref", "$defs", "definitions", "$id", "$schema",
+    "$anchor", "title", "description", "default", "examples", "deprecated",
+    "readOnly", "writeOnly", "$comment",
+}
+
+
+class VariantCompileError(ValueError):
+    pass
+
+
+def _vtype(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_number_t(t: Column) -> Column:
+    return (t == "BIGINT") | (t == "DOUBLE") | (t == "FLOAT") | t.startswith("DECIMAL")
+
+
+def _is_integer_t(t: Column, v: Column) -> Column:
+    d = F.try_variant_get(v, "$", "double")
+    return (
+        (t == "BIGINT")
+        | (t.rlike(r"^DECIMAL\(\d+,0\)$"))
+        | (((t == "DOUBLE") | (t == "FLOAT") | t.startswith("DECIMAL")) & (d == F.floor(d)))
+    )
+
+
+def _json_type(t: Column, v: Column) -> Column:
+    """JSON type name of a variant (reference: utils.go getDataType)."""
+    return (
+        F.when(t == "VOID", "null")
+        .when(t == "STRING", "string")
+        .when(t == "BOOLEAN", "boolean")
+        .when(t.startswith("ARRAY"), "array")
+        .when(t.startswith("OBJECT") | (t == "STRUCT"), "object")
+        .when(_is_integer_t(t, v), "integer")
+        .when(_is_number_t(t), "number")
+        .otherwise("unknown")
+    )
+
+
+class _Node:
+    def __init__(self, valid: Column, violations: Column):
+        self.valid = valid
+        self.violations = violations
+
+
+class VariantPlanCompiler:
+    def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+        self.schema = schema
+        self.assert_format = assert_format
+        self.registry = Registry()
+        self.registry.register(schema, "")
+        self._check_supported(schema)
+
+    def _check_supported(self, schema: Any, depth: int = 0) -> None:
+        if depth > 64 or not isinstance(schema, dict):
+            return
+        for kw, sub in schema.items():
+            if kw not in _SUPPORTED:
+                raise VariantCompileError(f"keyword {kw!r} needs the UDF path")
+            if kw in ("properties", "required", "dependentRequired"):
+                names = sub.keys() if isinstance(sub, dict) else (sub if isinstance(sub, list) else [])
+                for name in names:
+                    if not isinstance(name, str) or "'" in name or "\\" in name or any(
+                        ord(c) < 0x20 for c in name
+                    ):
+                        raise VariantCompileError(
+                            f"property name {name!r} not expressible as a variant path"
+                        )
+            if kw in ("properties", "$defs", "definitions"):
+                for s in sub.values() if isinstance(sub, dict) else []:
+                    self._check_supported(s, depth + 1)
+            elif kw in ("items", "not", "if", "then", "else", "contains"):
+                self._check_supported(sub, depth + 1)
+            elif kw in ("allOf", "anyOf", "oneOf", "prefixItems") and isinstance(sub, list):
+                for s in sub:
+                    self._check_supported(s, depth + 1)
+
+    # ------------------------------------------------------------------ public
+
+    def violations_column(self, variant_col: Column, root_path: Column | None = None) -> Column:
+        node = self._compile(self.schema, variant_col, root_path or F.lit(""), 0)
+        return node.violations
+
+    def valid_column(self, variant_col: Column) -> Column:
+        return self._compile(self.schema, variant_col, F.lit(""), 0).valid
+
+    # ---------------------------------------------------------------- internal
+
+    def _compile(self, schema: Any, v: Column, path: Column, depth: int) -> _Node:
+        if depth > _MAX_DEPTH:
+            raise VariantCompileError("schema nesting exceeds bounded unroll depth")
+        if schema is True or schema == {}:
+            return _Node(F.lit(True), _empty_violations())
+        if schema is False:
+            # an ABSENT value (SQL NULL — e.g. zip-padding beyond array end)
+            # satisfies even the false schema; JSON null (VOID) does not
+            return _Node(
+                v.isNull(),
+                _cond_violation(v.isNotNull(), path, "false_schema", "false_schema_mismatch"),
+            )
+        if not isinstance(schema, dict):
+            raise VariantCompileError("schema must be bool or object")
+
+        if "$ref" in schema:
+            target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
+            rest = {k: val for k, val in schema.items() if k != "$ref"}
+            ref_node = self._compile(target, v, path, depth + 1)
+            if not rest:
+                return ref_node
+            rest_node = self._compile(rest, v, path, depth)
+            return _Node(
+                ref_node.valid & rest_node.valid,
+                _concat_violations([ref_node.violations, rest_node.violations]),
+            )
+
+        present = v.isNotNull()  # SQL NULL == absent; VOID variant == JSON null
+        t = _vtype(v)
+        jt = _json_type(t, v)
+        parts: list[Column] = []
+        valids: list[Column] = []
+
+        def add(cond_violated: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> None:
+            cond = present & _safe(cond_violated)
+            parts.append(_cond_violation(cond, path, keyword, code, params))
+            valids.append(~cond)
+
+        self._assertions(schema, v, t, jt, add)
+        self._object_kw(schema, v, path, parts, valids, present, depth)
+        self._array_kw(schema, v, t, path, parts, valids, present, depth)
+        self._logical_kw(schema, v, path, parts, valids, present, depth)
+
+        valid = F.lit(True)
+        for c in valids:
+            valid = valid & c
+        violations = F.when(present, _concat_violations(parts)).otherwise(_empty_violations())
+        return _Node(F.when(present, valid).otherwise(F.lit(True)), violations)
+
+    # ------------------------------------------------------------- assertions
+
+    def _assertions(self, s: dict, v: Column, t: Column, jt: Column, add) -> None:
+        num = F.try_variant_get(v, "$", "double")
+        text = F.when(t == "STRING", F.try_variant_get(v, "$", "string"))
+
+        if "type" in s:
+            declared = s["type"] if isinstance(s["type"], list) else [s["type"]]
+            ok = jt.isin(*declared)
+            if "number" in declared:
+                ok = ok | (jt == "integer")
+            add(~ok, "type", "type_mismatch",
+                {"received": jt, "expected": F.lit(", ".join(map(str, declared)))})
+
+        if "enum" in s and isinstance(s["enum"], list):
+            ok = F.lit(False)
+            for item in s["enum"]:
+                ok = ok | self._eq_const(v, t, jt, num, text, item)
+            add(~ok, "enum", "value_not_in_enum",
+                {"received": F.try_variant_get(v, "$", "string")})
+
+        if "const" in s:
+            add(~self._eq_const(v, t, jt, num, text, s["const"]), "const", "const_mismatch")
+
+        for kw, code, mk in (
+            ("minimum", "value_below_minimum", lambda b: num < b),
+            ("maximum", "value_above_maximum", lambda b: num > b),
+            ("exclusiveMinimum", "exclusive_minimum_mismatch", lambda b: num <= b),
+            ("exclusiveMaximum", "exclusive_maximum_mismatch", lambda b: num >= b),
+        ):
+            if kw in s and isinstance(s[kw], (int, float, Fraction)) and not isinstance(s[kw], bool):
+                bound = F.lit(float(s[kw]))
+                add(_is_number_t(t) & mk(bound), kw, code, {"value": num.cast("string")})
+
+        if "multipleOf" in s and isinstance(s["multipleOf"], (int, float, Fraction)) and not isinstance(s["multipleOf"], bool):
+            div = s["multipleOf"]
+            fdiv = Fraction(Decimal(repr(div))) if isinstance(div, float) else Fraction(div)
+            if fdiv <= 0:
+                add(F.lit(True), "multipleOf", "invalid_multiple_of")
+            else:
+                from jsonschema_spark.plans.columns import _dec_scale
+
+                sd = _dec_scale(fdiv)
+                if sd is None or fdiv * 10**sd > 2**53:
+                    add(_is_number_t(t), "multipleOf", "not_multiple_of")
+                else:
+                    m = int(fdiv * 10**sd)
+                    w = num * F.lit(float(10**sd))
+                    wr = F.round(w, 0)
+                    small = F.abs(wr) < F.lit(float(2**53))
+                    exact = (F.abs(w - wr) <= F.lit(1e-9) * F.greatest(F.abs(w), F.lit(1.0))) & (
+                        wr.try_cast("bigint") % F.lit(m) == 0
+                    )
+                    approx = F.pmod(w, F.lit(float(m))) == 0.0
+                    is_mult = F.when(small, exact).otherwise(approx)
+                    add(_is_number_t(t) & ~is_mult, "multipleOf", "not_multiple_of",
+                        {"multiple_of": F.lit(str(div))})
+
+        if "minLength" in s:
+            n = int(s["minLength"])
+            add((t == "STRING") & (F.length(text) < n), "minLength", "string_too_short",
+                {"min_length": F.lit(n), "length": F.length(text)})
+        if "maxLength" in s:
+            n = int(s["maxLength"])
+            add((t == "STRING") & (F.length(text) > n), "maxLength", "string_too_long",
+                {"max_length": F.lit(n), "length": F.length(text)})
+        if "pattern" in s and isinstance(s["pattern"], str):
+            add((t == "STRING") & ~text.rlike(s["pattern"]), "pattern", "pattern_mismatch",
+                {"pattern": F.lit(s["pattern"])})
+        if "format" in s and isinstance(s["format"], str) and self.assert_format:
+            rx = SPARK_REGEX_FORMATS.get(s["format"])
+            if rx is not None:
+                add((t == "STRING") & ~text.rlike(rx), "format", "format_mismatch",
+                    {"format": F.lit(s["format"])})
+
+    def _eq_const(self, v: Column, t: Column, jt: Column, num: Column, text: Column, item: Any) -> Column:
+        if item is None:
+            return t == "VOID"
+        if isinstance(item, bool):
+            return (t == "BOOLEAN") & (F.try_variant_get(v, "$", "boolean") == F.lit(item))
+        if isinstance(item, (int, float, Fraction)):
+            return _is_number_t(t) & (num == F.lit(float(item)))
+        if isinstance(item, str):
+            return (t == "STRING") & (text == F.lit(item))
+        # composite const/enum: canonical JSON comparison
+        import json as _json
+
+        return F.to_json(v) == F.lit(_json.dumps(item, separators=(",", ":"), sort_keys=True))
+
+    # ---------------------------------------------------------------- objects
+
+    def _object_kw(self, s: dict, v: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
+        t = _vtype(v)
+        is_obj = t.startswith("OBJECT")
+
+        if "required" in s and isinstance(s["required"], list):
+            for name in s["required"]:
+                missing = is_obj & F.try_variant_get(v, f"$['{name}']", "variant").isNull()
+                cond = present & _safe(missing)
+                parts.append(
+                    _cond_violation(cond, path, "required", "missing_required_property",
+                                    {"property": F.lit(name)})
+                )
+                valids.append(~cond)
+
+        if "dependentRequired" in s and isinstance(s["dependentRequired"], dict):
+            for trigger, needs in s["dependentRequired"].items():
+                trig = F.try_variant_get(v, f"$['{trigger}']", "variant").isNotNull()
+                for name in needs:
+                    missing = is_obj & trig & F.try_variant_get(v, f"$['{name}']", "variant").isNull()
+                    cond = present & _safe(missing)
+                    parts.append(
+                        _cond_violation(cond, path, "dependentRequired",
+                                        "dependent_property_required",
+                                        {"property": F.lit(name), "dependency": F.lit(trigger)})
+                    )
+                    valids.append(~cond)
+
+        if "properties" in s and isinstance(s["properties"], dict):
+            for name, sub in s["properties"].items():
+                child = F.try_variant_get(v, f"$['{name}']", "variant")
+                cpath = F.concat(path, F.lit("/" + name.replace("~", "~0").replace("/", "~1")))
+                node = self._compile(sub, child, cpath, depth + 1)
+                gated_invalid = present & is_obj & _safe(~node.valid)
+                parts.append(
+                    F.when(present & is_obj, node.violations).otherwise(_empty_violations())
+                )
+                valids.append(~gated_invalid)
+
+    # ----------------------------------------------------------------- arrays
+
+    def _array_kw(self, s: dict, v: Column, t: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
+        is_arr = t.startswith("ARRAY")
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        n = F.size(arr)
+
+        def add(cond: Column, keyword: str, code: str, params: dict[str, Column] | None = None) -> None:
+            cond = present & is_arr & _safe(cond)
+            parts.append(_cond_violation(cond, path, keyword, code, params))
+            valids.append(~cond)
+
+        if "minItems" in s:
+            add(n < int(s["minItems"]), "minItems", "items_too_short",
+                {"min_items": F.lit(int(s["minItems"])), "size": n})
+        if "maxItems" in s:
+            add(n > int(s["maxItems"]), "maxItems", "items_too_long",
+                {"max_items": F.lit(int(s["maxItems"])), "size": n})
+        if s.get("uniqueItems") is True:
+            canon = F.transform(arr, lambda x: F.to_json(x))
+            add(F.size(F.array_distinct(canon)) != n, "uniqueItems", "unique_items_mismatch")
+
+        prefix = s.get("prefixItems") if isinstance(s.get("prefixItems"), list) else []
+        for i, sub in enumerate(prefix):
+            child = F.try_variant_get(v, f"$[{i}]", "variant")
+            node = self._compile(sub, child, F.concat(path, F.lit(f"/{i}")), depth + 1)
+            gated_invalid = present & is_arr & (n > i) & _safe(~node.valid)
+            parts.append(
+                F.when(present & is_arr & (n > i), node.violations).otherwise(_empty_violations())
+            )
+            valids.append(~gated_invalid)
+
+        if "items" in s and isinstance(s["items"], (dict, bool)):
+            # per-element recursion via transform + flatten; paths /<i>
+            def elem_violations(x: Column, i: Column) -> Column:
+                node = self._compile(
+                    s["items"], x, F.concat(path, F.lit("/"), i.cast("string")), depth + 1
+                )
+                return node.violations
+
+            rest = F.when(n > len(prefix), F.slice(arr, len(prefix) + 1, n)).otherwise(
+                F.array().cast("array<variant>")
+            )
+            all_viol = F.flatten(
+                F.zip_with(
+                    rest,
+                    F.sequence(F.lit(len(prefix)), F.greatest(n - 1, F.lit(len(prefix)))),
+                    lambda x, i: elem_violations(x, i),
+                )
+            )
+            cond_any = present & is_arr & (F.size(all_viol) > 0)
+            parts.append(F.when(_safe(cond_any), all_viol).otherwise(_empty_violations()))
+            valids.append(~_safe(cond_any))
+
+        if "contains" in s and isinstance(s["contains"], (dict, bool)):
+            def elem_valid(x: Column) -> Column:
+                return self._compile(s["contains"], x, F.lit(""), depth + 1).valid
+
+            n_match = F.size(F.filter(arr, elem_valid))
+            min_c = int(s.get("minContains", 1))
+            max_c = s.get("maxContains")
+            if min_c > 0:
+                add(n_match < min_c, "contains", "contains_too_few_items",
+                    {"min_contains": F.lit(min_c), "matches": n_match})
+            if max_c is not None:
+                add(n_match > int(max_c), "maxContains", "contains_too_many_items",
+                    {"max_contains": F.lit(int(max_c)), "matches": n_match})
+
+    # ---------------------------------------------------------------- logical
+
+    def _logical_kw(self, s: dict, v: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
+        if "allOf" in s and isinstance(s["allOf"], list):
+            for i, sub in enumerate(s["allOf"]):
+                node = self._compile(sub, v, path, depth + 1)
+                cond = present & _safe(~node.valid)
+                parts.append(F.when(present, node.violations).otherwise(_empty_violations()))
+                valids.append(~cond)
+
+        if "anyOf" in s and isinstance(s["anyOf"], list):
+            ok = F.lit(False)
+            for sub in s["anyOf"]:
+                ok = ok | self._compile(sub, v, path, depth + 1).valid
+            cond = present & _safe(~ok)
+            parts.append(_cond_violation(cond, path, "anyOf", "any_of_item_mismatch"))
+            valids.append(~cond)
+
+        if "oneOf" in s and isinstance(s["oneOf"], list):
+            count = F.lit(0)
+            for sub in s["oneOf"]:
+                count = count + self._compile(sub, v, path, depth + 1).valid.cast("int")
+            cond = present & _safe(count != 1)
+            parts.append(_cond_violation(cond, path, "oneOf", "one_of_item_mismatch",
+                                         {"valid_count": count.cast("string")}))
+            valids.append(~cond)
+
+        if "not" in s:
+            node = self._compile(s["not"], v, path, depth + 1)
+            cond = present & _safe(node.valid)
+            parts.append(_cond_violation(cond, path, "not", "not_schema_mismatch"))
+            valids.append(~cond)
+
+        if "if" in s:
+            if_valid = self._compile(s["if"], v, path, depth + 1).valid
+            then_node = self._compile(s.get("then", True), v, path, depth + 1)
+            else_node = self._compile(s.get("else", True), v, path, depth + 1)
+            cond = present & _safe(
+                F.when(if_valid, ~then_node.valid).otherwise(~else_node.valid)
+            )
+            parts.append(
+                F.when(present & _safe(if_valid), then_node.violations)
+                .when(present, else_node.violations)
+                .otherwise(_empty_violations())
+            )
+            valids.append(~cond)
+
+
+def validate_variant_column(df, json_col: str, schema: Any, *, assert_format: bool = True):
+    """df + [violations, valid] from a raw-JSON string column, all JVM-side.
+
+    Unparseable JSON gets a single `json_parse_error` violation (reference:
+    ValidateJSON decode failure, validate.go:27-39); a SQL-NULL input column
+    is treated as absent (valid, no violations)."""
+    plan = VariantPlanCompiler(schema, assert_format=assert_format)
+    # materialize the variant in its own projection: CollapseProject keeps a
+    # multiply-referenced non-cheap expression in a separate Project, so the
+    # JSON parses ONCE per row instead of once per keyword reference
+    # (measured 3.4x on a 4-keyword schema; plan shows a single parseJson)
+    tmp = "__variant__"
+    staged = df.withColumn(tmp, F.try_parse_json(F.col(json_col)))
+    v = F.col(tmp)
+    parse_failed = F.col(json_col).isNotNull() & v.isNull()
+    out = staged.withColumn(
+        "violations",
+        F.when(
+            parse_failed,
+            _cond_violation(F.lit(True), F.lit(""), "parse", "json_parse_error"),
+        ).otherwise(plan.violations_column(v)),
+    ).drop(tmp)
+    return out.withColumn("valid", F.size("violations") == 0)

@@ -67,6 +67,23 @@ def _bucket_expr(cfg: JobConfig):
     return F.pmod(F.xxhash64(F.col(cfg.doc_id_col)), F.lit(cfg.n_buckets))
 
 
+def _seq_digest(spans_col):
+    """Order-sensitive 64-bit digest of (kind, text, media_ref) per span:
+    per-span hash folded with xxhash64 — O(S) with constant step cost (a
+    string-concat accumulator would be O(S^2) on the media-heavy skew tail).
+    Collision odds 2^-64 per doc; the reference's uniqueItems uses the same
+    hash-then-compare shape (unique_items.go hashJSONValue)."""
+    per_span = F.transform(
+        spans_col,
+        lambda s: F.xxhash64(
+            F.coalesce(s["kind"], F.lit("\x00")),
+            F.coalesce(s["text"], F.lit("\x00")),
+            F.coalesce(s["media_ref"], F.lit("\x00")),
+        ),
+    )
+    return F.aggregate(per_span, F.lit(0).cast("bigint"), lambda acc, h: F.xxhash64(acc, h))
+
+
 class ValidationJob:
     def __init__(self, spark: SparkSession, cfg: JobConfig):
         self.spark = spark
@@ -125,11 +142,29 @@ class ValidationJob:
         plan = SparkPlanCompiler(cfg.schema, assert_format=cfg.assert_format)
         root = F.struct(*[F.col(f.name) for f in data_schema.fields])
         violations = plan.violations_column(data_schema, root)
+        spans = F.col(cfg.spans_col)
+        # ONE pass over the heavy spans arrays: derive every small column the
+        # downstream branches need, then DROP the spans. The persisted batch
+        # is then ~100B/row instead of the full span payload — building the
+        # columnar cache of raw spans doubled batch cost (measured 25.5s vs
+        # ~10s noop at 2M docs / 32 cores).
         return docs.select(
             cfg.doc_id_col,
             "_bucket",
-            F.col(cfg.spans_col).alias("_spans"),
             violations.alias("violations"),
+            _seq_digest(spans).alias("_digest"),
+            F.size(spans).alias("_span_len"),
+            # (position, media_ref) pairs for referential JSON-pointer paths
+            F.filter(
+                F.transform(
+                    spans,
+                    lambda s, i: F.struct(i.alias("pos"), s["media_ref"].alias("media_ref")),
+                ),
+                lambda p: p["media_ref"].isNotNull(),
+            ).alias("_media_refs"),
+            F.transform(spans, lambda s: F.coalesce(s["kind"], F.lit("(null)"))).alias(
+                "_kinds"
+            ),
         ).withColumn("valid", F.size("violations") == 0)
 
     def _bucket_outputs(self, vdf: DataFrame, media: DataFrame | None, ref: DataFrame | None, buckets: list[int]):
@@ -172,11 +207,9 @@ class ValidationJob:
             refs = vdf.select(
                 cfg.doc_id_col,
                 "_bucket",
-                F.posexplode(
-                    F.filter(F.col("_spans"), lambda s: s["media_ref"].isNotNull())
-                ).alias("pos", "span"),
+                F.explode("_media_refs").alias("mr"),
             ).select(
-                cfg.doc_id_col, "_bucket", "pos", F.col("span.media_ref").alias("media_ref")
+                cfg.doc_id_col, "_bucket", F.col("mr.pos").alias("pos"), F.col("mr.media_ref").alias("media_ref")
             )
             ref_viol = (
                 refs.join(F.broadcast(media.select("media_ref")), "media_ref", "left_anti")
@@ -196,33 +229,13 @@ class ValidationJob:
         #     kind, text, media_ref, order — BASELINE.json input_hint)
         seq_viol = None
         if ref is not None:
-            # compare (kind, text, media_ref, order) by a 64-bit sequence
-            # digest: the join then shuffles 16 bytes/row instead of the full
-            # span arrays (the arrays dominated the exchange and made the
-            # batch IO-bound — measured). Collision odds 2^-64 per doc; the
-            # reference's uniqueItems uses the same hash-then-compare shape
-            # (unique_items.go hashJSONValue).
-            def _seq_digest(spans_col):
-                # per-span 64-bit hash, folded order-sensitively: O(S) with
-                # constant step cost (a string-concat accumulator would be
-                # O(S^2) copying on the media-heavy skew tail)
-                per_span = F.transform(
-                    spans_col,
-                    lambda s: F.xxhash64(
-                        F.coalesce(s["kind"], F.lit("\x00")),
-                        F.coalesce(s["text"], F.lit("\x00")),
-                        F.coalesce(s["media_ref"], F.lit("\x00")),
-                    ),
-                )
-                return F.aggregate(
-                    per_span, F.lit(0).cast("bigint"), lambda acc, h: F.xxhash64(acc, h)
-                )
-
+            # digests shuffle 16 bytes/row instead of full span arrays
+            # (the arrays dominated the exchange — measured); see _seq_digest
             ref_spans = ref.select(
                 F.col(cfg.doc_id_col), _seq_digest(F.col(cfg.spans_col)).alias("_ref_dig")
             )
             ours = vdf.select(
-                cfg.doc_id_col, "_bucket", _seq_digest(F.col("_spans")).alias("_our_dig")
+                cfg.doc_id_col, "_bucket", F.col("_digest").alias("_our_dig")
             )
             seq_viol = (
                 ours.join(ref_spans, cfg.doc_id_col, "left")
@@ -247,11 +260,10 @@ class ValidationJob:
 
         # --- per-bucket metrics: counts, HLL cardinality, span-length
         #     histogram (fixed grid => mergeable), kind frequencies
-        span_lens = F.size("_spans")
+        span_lens = F.col("_span_len")
         # null spans => slot -1 (its own histogram cell); null kind => "(null)"
         # — defective rows must still aggregate, not kill the job
         hist_slot = F.coalesce(F.least(span_lens, F.lit(_SPAN_LEN_BUCKETS - 1)), F.lit(-1))
-        kinds = F.transform(F.col("_spans"), lambda s: F.coalesce(s["kind"], F.lit("(null)")))
         metrics = vdf.groupBy("_bucket").agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum(F.col("valid").cast("long")).alias("valid_count"),
@@ -274,7 +286,7 @@ class ValidationJob:
             )
         )
         kind_freq = (
-            vdf.select("_bucket", F.explode(kinds).alias("kind"))
+            vdf.select("_bucket", F.explode("_kinds").alias("kind"))
             .groupBy("_bucket", "kind")
             .count()
             .groupBy("_bucket")

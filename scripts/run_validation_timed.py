@@ -57,7 +57,7 @@ def main() -> None:
 
     warm_out = args.output + "_warmup"
     warm_cfg = JobConfig(**{**cfg.__dict__, "output_path": warm_out})
-    ValidationJob(spark, warm_cfg).run_batch([0])
+    ValidationJob(spark, warm_cfg).run_batch([0, 1])
     shutil.rmtree(warm_out, ignore_errors=True)
 
     t0 = time.perf_counter()

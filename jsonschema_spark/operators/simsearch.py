@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_signature", "ann_topk"]
+__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_signature", "ann_topk", "cosine_near_dup_pairs", "ivf_topk"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -122,3 +122,104 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    Scale path: candidates bucket on the random-hyperplane signature (near-
+    identical vectors share all sign bits with high probability), exact cosine
+    verifies within buckets — the embedding analogue of MinHash+LSH dedup."""
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(F.col(vec_col), n_planes=n_planes).alias("sig"),
+    )
+    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "sig")
+    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_cells inverted
+    lists, search only the n_probe closest cells per query.
+
+    Deterministic coarse centroids: the n_cells corpus vectors with the
+    smallest ids (a seeded sample at scale; the partition/assignment shape —
+    broadcast centroids, cell-pruned join — is what matters, the quantizer is
+    pluggable). Queries: (query_id, query_vec)."""
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    cent = F.broadcast(centroids)
+
+    # corpus assignment: argmax-dot centroid per vector (broadcast join + rank)
+    corpus_cells = (
+        emb.crossJoin(cent)
+        .select(
+            id_col,
+            vec_col,
+            "cent_id",
+            cosine_similarity(F.col(vec_col), F.col("cent_vec")).alias("_aff"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("_aff"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec"), F.col("cent_id").alias("cell"))
+    )
+    # query probes: n_probe closest cells per query
+    query_cells = (
+        queries.crossJoin(cent)
+        .select(
+            "query_id",
+            "query_vec",
+            "cent_id",
+            cosine_similarity(F.col("query_vec"), F.col("cent_vec")).alias("_aff"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_aff"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "query_vec", F.col("cent_id").alias("cell"))
+    )
+    scored = query_cells.join(corpus_cells, "cell").select(
+        "query_id",
+        F.col("corpus_id").alias("neighbor_id"),
+        cosine_similarity(F.col("query_vec"), F.col("corpus_vec")).alias("cosine"),
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cosine")

@@ -757,8 +757,12 @@ def all_queries():
         "simsearch_topk": simsearch_topk,
         "span_mismatch_events": span_mismatch_events,
         "media_features_fake": media_features_fake,
+        "defaults_fill_events": defaults_fill_events,
+        "cosine_near_dup_exact": cosine_near_dup_exact,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         # rows-only (no SQL oracle): engine-specific hashing / LSH internals
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
+        "cosine_near_dup_lsh": cosine_near_dup_lsh,
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
     }
@@ -793,4 +797,116 @@ def all_oracles():
         "simsearch_topk": ORACLE_SIMSEARCH,
         "span_mismatch_events": ORACLE_SPAN_MISMATCH,
         "media_features_fake": ORACLE_MEDIA_FEATURES,
+        "defaults_fill_events": ORACLE_DEFAULTS_FILL,
+        "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
+        "ivf_topk_embeddings": ORACLE_IVF_TOPK,
     }
+
+
+# ----- defaults projection (reference Unmarshal path, SURVEY §2.9) ----------
+
+
+def defaults_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullify value for 'view' events, then apply schema defaults
+    (reference: unmarshal.go applyDefaults — non-validating)."""
+    from jsonschema_spark.operators.defaults import apply_defaults
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = apply_defaults(e, {"properties": {"value": {"default": -1.0}, "props": {"default": "{}"}}})
+    return out.select("event_id", F.round("value", 6).alias("value"))
+
+
+ORACLE_DEFAULTS_FILL = """
+SELECT event_id,
+       round(coalesce(CASE WHEN event_type = 'view' THEN NULL ELSE value END, -1.0), 6) AS value
+FROM events
+"""
+
+
+# ----- embedding-cosine near-dup + IVF ANN (scale paths) --------------------
+
+
+def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the verifier for the LSH path)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = emb.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = emb.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    from jsonschema_spark.operators.simsearch import cosine_similarity
+
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= 0.5
+    )
+
+
+ORACLE_COSINE_NEAR_DUP = """
+WITH e AS (SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4999995
+"""
+
+
+def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the scale path (rows-only check)."""
+    from jsonschema_spark.operators.simsearch import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=6)
+
+
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8 coarse cells (vectors with smallest ids as centroids),
+    probe the 3 closest cells, top-5 per query."""
+    from jsonschema_spark.operators.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_IVF_TOPK = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+corpus_cells AS (
+  SELECT vec_id AS corpus_id, v AS corpus_vec, cent_id AS cell FROM (
+    SELECT e.vec_id, e.v, cent.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, cent.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             cent.cent_id ASC) AS rk
+    FROM e, cent) WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+query_cells AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, cent.cent_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cent.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+             cent.cent_id ASC) AS rk
+    FROM q, cent) WHERE rk <= 3),
+scored AS (
+  SELECT qc.query_id, cc.corpus_id AS neighbor_id,
+         list_dot_product(qc.qv, cc.corpus_vec) /
+         (sqrt(list_dot_product(qc.qv, qc.qv)) * sqrt(list_dot_product(cc.corpus_vec, cc.corpus_vec))) AS cos
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank, cos
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+"""

@@ -1,0 +1,66 @@
+"""FromStruct analogue (schema inference from StructType) and the
+defaults-aware projection (reference Unmarshal path, SURVEY §2.9)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.operators.defaults import apply_defaults
+from jsonschema_spark.plans.columns import validate_dataframe
+from jsonschema_spark.struct_schema import schema_from_struct
+
+
+def test_schema_from_struct_roundtrips_against_plan_compiler(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    schema = schema_from_struct(df.schema)
+    assert schema["properties"]["l_quantity"] == {"type": "number"}
+    assert schema["properties"]["l_orderkey"]["type"] == "integer"
+    # every row of the table the schema was derived from must validate
+    out = validate_dataframe(df, schema)
+    assert out.filter(~F.col("valid")).count() == 0
+
+
+def test_schema_from_struct_nested():
+    st = T.StructType(
+        [
+            T.StructField("id", T.StringType(), nullable=False),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("tags", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    s = schema_from_struct(st)
+    assert s["required"] == ["id"]
+    assert s["properties"]["spans"]["items"]["properties"]["offset"]["type"] == "integer"
+    assert s["properties"]["tags"]["additionalProperties"]["type"] == "integer"
+
+
+def test_apply_defaults_nested_struct_and_array(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None, [(None, 1), ("b", None)], ("x", None)),
+            (2, "set", None, None),
+        ],
+        "id int, name string, items array<struct<tag:string, n:int>>, meta struct<a:string, b:string>",
+    )
+    schema = {
+        "properties": {
+            "name": {"default": "anon"},
+            "items": {"items": {"properties": {"tag": {"default": "t0"}}}},
+            "meta": {"properties": {"b": {"default": "bb"}}},
+        }
+    }
+    rows = {r["id"]: r for r in apply_defaults(df, schema).collect()}
+    assert rows[1]["name"] == "anon" and rows[2]["name"] == "set"
+    assert [i["tag"] for i in rows[1]["items"]] == ["t0", "b"]
+    # NULL array / struct stays NULL (absent objects are not defaulted field-wise)
+    assert rows[2]["items"] is None and rows[2]["meta"] is None
+    assert rows[1]["meta"]["b"] == "bb" and rows[1]["meta"]["a"] == "x"

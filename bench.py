@@ -51,6 +51,9 @@ HEADLINE = [
     "simsearch_topk",
     "span_mismatch_events",
     "media_features_fake",
+    "defaults_fill_events",
+    "cosine_near_dup_exact",
+    "ivf_topk_embeddings",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

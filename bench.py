@@ -123,9 +123,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _rep in range(2):  # best-of-2: first run pays JIT/codegen warm-up
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
 
     flag_dt, docs_per_sec = flagship_throughput(spark, N_SYNTH_DOCS)
     times["validate_interleaved_synth"] = round(flag_dt, 3)

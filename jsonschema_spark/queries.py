@@ -758,11 +758,13 @@ def all_queries():
         "span_mismatch_events": span_mismatch_events,
         "media_features_fake": media_features_fake,
         "defaults_fill_events": defaults_fill_events,
+        "partition_verdicts_docs": partition_verdicts_docs,
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         # rows-only (no SQL oracle): engine-specific hashing / LSH internals
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
+        "localized_violations_docs": localized_violations_docs,
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
     }
@@ -798,6 +800,7 @@ def all_oracles():
         "span_mismatch_events": ORACLE_SPAN_MISMATCH,
         "media_features_fake": ORACLE_MEDIA_FEATURES,
         "defaults_fill_events": ORACLE_DEFAULTS_FILL,
+        "partition_verdicts_docs": ORACLE_PARTITION_VERDICTS,
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
     }
@@ -910,3 +913,42 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
 """
+
+
+# ----- report-time outputs (reference result.go renderers) ------------------
+
+
+def partition_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition pass/fail verdicts over the documents table (north rule;
+    partition key doc_id % 8 so the oracle can reproduce the bucketing)."""
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.reporting import partition_verdicts
+
+    v = validate_dataframe(_t(spark, sf_dir, "documents"), DOCS_TABLE_SCHEMA)
+    return partition_verdicts(v, F.pmod(F.col("doc_id"), F.lit(8)))
+
+
+ORACLE_PARTITION_VERDICTS = """
+WITH v AS (
+  SELECT doc_id,
+         (lang IN ('en','de','fr','es') AND n_chars BETWEEN 60 AND 500
+          AND length(text) >= 60 AND regexp_matches(text, '^[a-z ]+$')
+          AND regexp_matches(source, '^src[0-9]+$')
+          AND doc_id >= 0) AS valid
+  FROM documents)
+SELECT doc_id % 8 AS partition,
+       count(*) AS doc_count,
+       sum(CASE WHEN valid THEN 1 ELSE 0 END) AS valid_count,
+       bool_and(valid) AS passed
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def localized_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalizedDetailedErrors analogue (rows-only: message rendering is
+    presentation; codes are checked by validate_documents_violations)."""
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.reporting import localized_output
+
+    v = validate_dataframe(_t(spark, sf_dir, "documents"), DOCS_TABLE_SCHEMA)
+    return localized_output(v, ["doc_id"])

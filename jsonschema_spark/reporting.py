@@ -1,0 +1,100 @@
+"""Report-time output formats over violation rows — the reference's
+EvaluationResult renderers re-expressed set-at-a-time (result.go:187-298:
+ToFlag / ToList(includeHierarchy=false) / LocalizedDetailedErrors).
+
+Codes, not messages, are the wire contract (SURVEY §1.4); message rendering
+happens HERE, at report time, from the locale catalog — never inside the
+validation pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_spark.errors import EN_MESSAGES
+
+__all__ = ["flag_output", "list_output", "localized_output", "partition_verdicts"]
+
+
+def flag_output(validated: DataFrame, id_cols: list[str], valid_col: str = "valid") -> DataFrame:
+    """ToFlag analogue: (ids..., valid) only (result.go:187-191)."""
+    return validated.select(*id_cols, valid_col)
+
+
+def list_output(
+    validated: DataFrame, id_cols: list[str], violations_col: str = "violations"
+) -> DataFrame:
+    """Flat ToList analogue: one row per violation, sorted deterministically
+    (the reference sorts plural property lists — properties.go:62; we order
+    by (ids, instance_path, keyword))."""
+    out = validated.select(*id_cols, F.explode(violations_col).alias("v")).select(
+        *id_cols,
+        F.col("v.instance_path").alias("instance_path"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.code").alias("code"),
+        F.col("v.params").alias("params"),
+    )
+    return out.orderBy(*id_cols, "instance_path", "keyword")
+
+
+def _message_map() -> Column:
+    """locale catalog as a MapType literal — template substitution happens in
+    one JVM expression (codes stay the contract; messages are presentation)."""
+    kv: list[Column] = []
+    for code, msg in sorted(EN_MESSAGES.items()):
+        kv.append(F.lit(code))
+        kv.append(F.lit(msg))
+    return F.create_map(*kv)
+
+
+def localized_output(
+    validated: DataFrame,
+    id_cols: list[str],
+    *,
+    locale: str = "en",
+    violations_col: str = "violations",
+) -> DataFrame:
+    """LocalizedDetailedErrors analogue: (ids..., instance_path, message).
+
+    Message templates come from the locale catalog; `{param}` placeholders
+    are filled from the violation's params map. Template substitution runs
+    JVM-side via aggregate over the params entries (no Python)."""
+    if locale != "en":
+        # non-en catalogs are user-registered (errors.register_locale);
+        # rendering those goes through render_message on collect
+        raise NotImplementedError("only the built-in 'en' catalog renders JVM-side")
+    rows = validated.select(*id_cols, F.explode(violations_col).alias("v"))
+    template = F.coalesce(
+        F.element_at(_message_map(), F.col("v.code")), F.col("v.code")
+    )
+    message = F.aggregate(
+        F.map_entries(F.col("v.params")),
+        template,
+        lambda acc, kv: F.replace(
+            acc, F.concat(F.lit("{"), kv["key"], F.lit("}")), kv["value"]
+        ),
+    )
+    return rows.select(
+        *id_cols,
+        F.col("v.instance_path").alias("instance_path"),
+        F.col("v.code").alias("code"),
+        message.alias("message"),
+    ).orderBy(*id_cols, "instance_path", "code")
+
+
+def partition_verdicts(
+    validated: DataFrame,
+    partition_expr: Column,
+    valid_col: str = "valid",
+) -> DataFrame:
+    """Per-partition pass/fail verdicts (north rule): bool_and(valid) plus
+    doc/valid counts, grouped by the caller's partition expression."""
+    return (
+        validated.groupBy(partition_expr.alias("partition"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.col(valid_col).cast("long")).alias("valid_count"),
+            F.bool_and(valid_col).alias("passed"),
+        )
+        .orderBy("partition")
+    )

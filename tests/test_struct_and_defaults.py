@@ -64,3 +64,17 @@ def test_apply_defaults_nested_struct_and_array(spark):
     # NULL array / struct stays NULL (absent objects are not defaulted field-wise)
     assert rows[2]["items"] is None and rows[2]["meta"] is None
     assert rows[1]["meta"]["b"] == "bb" and rows[1]["meta"]["a"] == "x"
+
+
+def test_reporting_outputs(spark):
+    """flag / list / localized renderers (reference result.go:187-298)."""
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.reporting import flag_output, list_output, localized_output
+
+    df = spark.createDataFrame([(1, "ok"), (2, "x")], "id int, name string")
+    v = validate_dataframe(df, {"properties": {"name": {"minLength": 2}}})
+    assert {r["id"]: r["valid"] for r in flag_output(v, ["id"]).collect()} == {1: True, 2: False}
+    lst = list_output(v, ["id"]).collect()
+    assert [(r["id"], r["code"]) for r in lst] == [(2, "string_too_short")]
+    loc = localized_output(v, ["id"]).collect()
+    assert loc[0]["message"] == "string length is under minLength 2"

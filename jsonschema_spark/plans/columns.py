@@ -189,6 +189,25 @@ class SparkPlanCompiler:
         self.assert_format = assert_format
         self.registry = Registry()
         self.registry.register(schema, "")
+        self._audit(schema)
+
+    @staticmethod
+    def _audit(schema: Any, depth: int = 0) -> None:
+        """Refuse schemas the typed planner cannot honor rather than silently
+        under-enforcing them ($dynamicRef needs runtime dynamic scope —
+        validate.go:155-177; callers route those to the UDF evaluator).
+        Unknown keywords are annotations per 2020-12 and stay ignored."""
+        if depth > 64 or not isinstance(schema, dict):
+            return
+        for kw in ("$dynamicRef", "$dynamicAnchor"):
+            if kw in schema:
+                raise PlanCompileError(f"{kw} needs the dynamic-scope (UDF) path")
+        for v in schema.values():
+            if isinstance(v, dict):
+                SparkPlanCompiler._audit(v, depth + 1)
+            elif isinstance(v, list):
+                for item in v:
+                    SparkPlanCompiler._audit(item, depth + 1)
 
     # -------------------------------------------------------------- public API
 
@@ -506,6 +525,166 @@ class SparkPlanCompiler:
                 parts.append(sub.violations)
                 valids.append(sub.valid)
 
+        # ---- statically-resolved name-keyed applicators (SURVEY §2.4): with
+        # a fixed StructType the property-name set is known at plan time, so
+        # patternProperties / propertyNames / additionalProperties /
+        # unevaluatedProperties all reduce to per-field predicates
+        import re as _re
+
+        if "patternProperties" in s and isinstance(s["patternProperties"], dict):
+            for pat, branch in s["patternProperties"].items():
+                rx = _re.compile(pat)
+                for name, f in fields.items():
+                    if not rx.search(name):
+                        continue
+                    sub_val = _Val(
+                        col=val.col[name],
+                        dtype=f.dataType,
+                        path=F.concat(val.path, F.lit("/" + _escape_token(name))),
+                    )
+                    sub = self._compile(branch, sub_val, depth)
+                    parts.append(sub.violations)
+                    valids.append(sub.valid)
+
+        if "propertyNames" in s and isinstance(s["propertyNames"], (dict, bool)):
+            # the names themselves are compile-time constants: evaluate each
+            # against the subschema with the scalar core, once, on the driver
+            from jsonschema_spark.compiler import Compiler
+
+            name_schema = Compiler().set_assert_format(self.assert_format).compile(
+                s["propertyNames"], validate_regex=False
+            )
+            for name in fields:
+                if name_schema.validate(name).valid:
+                    continue
+                cond = _safe(present & val.col[name].isNotNull())
+                parts.append(
+                    _cond_violation(
+                        cond, val.path, "propertyNames", "property_name_mismatch",
+                        {"property": F.lit(name)},
+                    )
+                )
+                valids.append(~cond)
+
+        if "additionalProperties" in s:
+            declared = set(s.get("properties", {})) if isinstance(s.get("properties"), dict) else set()
+            pats = [
+                _re.compile(p)
+                for p in (s.get("patternProperties") or {})
+                if isinstance(s.get("patternProperties"), dict)
+            ]
+            extra = [
+                n for n in fields
+                if n not in declared and not any(rx.search(n) for rx in pats)
+            ]
+            self._apply_to_extra_fields(
+                s["additionalProperties"], extra, fields, val, parts, valids, present,
+                depth, "additionalProperties", "additional_property_mismatch",
+            )
+
+        if "dependentSchemas" in s and isinstance(s["dependentSchemas"], dict):
+            for key, branch in s["dependentSchemas"].items():
+                trigger = val.col[key].isNotNull() if key in fields else F.lit(False)
+                sub = self._compile(branch, val, depth + 1)
+                cond = _safe(present & trigger & ~sub.valid)
+                parts.append(
+                    F.when(_safe(present & trigger), sub.violations).otherwise(_empty_violations())
+                )
+                valids.append(~cond)
+
+        if "unevaluatedProperties" in s:
+            claimed, cond_claims = self._claimed_properties(s, fields, val, depth)
+            extra = [n for n in fields if n not in claimed]
+            self._apply_to_extra_fields(
+                s["unevaluatedProperties"], extra, fields, val, parts, valids, present,
+                depth, "unevaluatedProperties", "unevaluated_property_mismatch",
+                cond_claims=cond_claims,
+            )
+
+    def _apply_to_extra_fields(
+        self, branch, names, fields, val, parts, valids, present, depth,
+        keyword, code, *, cond_claims=None,
+    ) -> None:
+        """Apply a subschema (or False) to fields outside the claimed set;
+        cond_claims optionally gates a field as claimed at runtime (e.g. a
+        succeeding anyOf branch that declares it)."""
+        for name in names:
+            unclaimed = F.lit(True)
+            if cond_claims and name in cond_claims:
+                claim = cond_claims[name][0]
+                for c in cond_claims[name][1:]:
+                    claim = claim | c
+                unclaimed = ~_safe(claim)
+            field_present = val.col[name].isNotNull() & unclaimed
+            if branch is False:
+                cond = _safe(present & field_present)
+                parts.append(
+                    _cond_violation(cond, val.path, keyword, code, {"property": F.lit(name)})
+                )
+                valids.append(~cond)
+            elif branch is True or branch == {}:
+                continue
+            else:
+                sub_val = _Val(
+                    col=val.col[name],
+                    dtype=fields[name].dataType,
+                    path=F.concat(val.path, F.lit("/" + _escape_token(name))),
+                )
+                sub = self._compile(branch, sub_val, depth + 1)
+                cond = _safe(present & field_present & ~sub.valid)
+                parts.append(
+                    F.when(_safe(present & field_present), sub.violations).otherwise(
+                        _empty_violations()
+                    )
+                )
+                valids.append(~cond)
+
+    def _claimed_properties(self, s: dict, fields, val, depth) -> tuple[set, dict]:
+        """(statically-claimed names, {name: [runtime claim conditions]}) for
+        unevaluatedProperties over a fixed StructType. properties /
+        patternProperties in this schema and in allOf children claim
+        unconditionally; anyOf/oneOf/then/else branch claims are gated on the
+        branch's validity expression (annotations flow only from succeeding
+        branches — reference any_of.go:40-46, one_of.go:50-55,
+        conditional.go annotations)."""
+        import re as _re
+
+        claimed: set = set()
+        cond_claims: dict = {}
+
+        def names_of(sub: Any) -> set:
+            out = set()
+            if isinstance(sub, dict):
+                if isinstance(sub.get("properties"), dict):
+                    out |= set(sub["properties"]) & set(fields)
+                if isinstance(sub.get("patternProperties"), dict):
+                    for p in sub["patternProperties"]:
+                        rx = _re.compile(p)
+                        out |= {n for n in fields if rx.search(n)}
+                if "$ref" in sub and isinstance(sub["$ref"], str):
+                    tgt, _ = self.registry.resolve_ref(sub["$ref"], sub, "")
+                    out |= names_of(tgt)
+                for b in sub.get("allOf") or []:
+                    out |= names_of(b)
+            return out
+
+        claimed |= names_of(s)
+        for kw in ("anyOf", "oneOf"):
+            for b in s.get(kw) or []:
+                branch_names = names_of(b)
+                if not branch_names:
+                    continue
+                branch_valid = self._compile(b, val, depth + 1).valid
+                for n in branch_names:
+                    cond_claims.setdefault(n, []).append(branch_valid)
+        if "if" in s:
+            if_valid = self._compile(s["if"], val, depth + 1).valid
+            for n in names_of(s["if"]) | names_of(s.get("then", {})):
+                cond_claims.setdefault(n, []).append(if_valid)
+            for n in names_of(s.get("else", {})):
+                cond_claims.setdefault(n, []).append(~_safe(if_valid))
+        return claimed, cond_claims
+
     # ------------------------------------------------------------------ arrays
 
     def _compile_array(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
@@ -578,6 +757,39 @@ class SparkPlanCompiler:
                 add(matches < min_c, "contains", "contains_too_few_items", {"min_contains": F.lit(min_c)})
             if max_c is not None:
                 add(matches > int(max_c), "maxContains", "contains_too_many_items", {"max_contains": F.lit(int(max_c))})
+
+        if "unevaluatedItems" in s and "items" not in s:
+            # static resolution (SURVEY §2.3): with no `items`, evaluated
+            # indexes are [0, len(prefixItems)) plus contains-matched elements
+            branch = s["unevaluatedItems"]
+            contains = s.get("contains")
+
+            def _uneval_violations(x: Column, i: Column) -> Column:
+                evaluated = i < len(prefix)
+                if contains is not None:
+                    c_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""))
+                    evaluated = evaluated | _safe(self._compile(contains, c_val, depth).valid)
+                if branch is False:
+                    v = _cond_violation(
+                        F.lit(True),
+                        F.concat(val.path, F.lit("/"), i.cast("string")),
+                        "unevaluatedItems",
+                        "unevaluated_items_mismatch",
+                    )
+                else:
+                    sub_val = _Val(
+                        col=x, dtype=elem_dt,
+                        path=F.concat(val.path, F.lit("/"), i.cast("string")),
+                    )
+                    v = self._compile(branch, sub_val, depth).violations
+                return F.when(~evaluated, v).otherwise(_empty_violations())
+
+            if branch is not True and branch != {}:
+                per_elem = F.flatten(F.transform(val.col, _uneval_violations))
+                parts.append(F.when(present, per_elem).otherwise(_empty_violations()))
+                valids.append(
+                    _safe(F.when(present, F.size(per_elem) == 0).otherwise(F.lit(True))) | ~present
+                )
 
     # -------------------------------------------------------------------- maps
 

@@ -1,0 +1,68 @@
+"""Statically-resolved object/array applicators on the typed Column planner
+(SURVEY §2.4: fixed StructType => patternProperties / propertyNames /
+additionalProperties / dependentSchemas / unevaluatedProperties reduce to
+plan-time field analysis). Every verdict must match the scalar core."""
+
+import pytest
+
+from jsonschema_spark.compiler import Compiler
+from jsonschema_spark.plans.columns import (
+    PlanCompileError,
+    SparkPlanCompiler,
+    validate_dataframe,
+)
+
+CASES = [
+    {"patternProperties": {"^x_": {"type": "string", "minLength": 3}}},
+    {"propertyNames": {"pattern": "^[a-z_]+$"}},
+    {"propertyNames": {"maxLength": 4}},
+    {"properties": {"count": {}}, "additionalProperties": {"type": "string", "maxLength": 4}},
+    {"properties": {"count": {}}, "additionalProperties": False},
+    {"dependentSchemas": {"count": {"required": ["other"]}}},
+    {"properties": {"x_code": {}}, "unevaluatedProperties": False},
+    {
+        "allOf": [{"properties": {"count": {}}}],
+        "properties": {"x_code": {}},
+        "unevaluatedProperties": False,
+    },
+    {
+        "anyOf": [{"properties": {"other": {"type": "string"}}, "required": ["other"]}],
+        "properties": {"x_code": {}, "count": {}},
+        "unevaluatedProperties": False,
+    },
+    {
+        "if": {"required": ["count"]},
+        "then": {"properties": {"other": {}}},
+        "properties": {"x_code": {}, "count": {}},
+        "unevaluatedProperties": False,
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def obj_df(spark):
+    return spark.createDataFrame(
+        [("a1", 5, "x"), (None, None, None), ("bad name", 2, None), ("a2", 99, "keep")],
+        "x_code string, count int, other string",
+    )
+
+
+@pytest.mark.parametrize("schema", CASES, ids=lambda s: "+".join(sorted(s)))
+def test_static_applicator_matches_scalar(spark, obj_df, schema):
+    got = [r["valid"] for r in validate_dataframe(obj_df, schema).collect()]
+    ev = Compiler().compile(schema)
+    for row, got_valid in zip(obj_df.collect(), got):
+        inst = {k: v for k, v in row.asDict().items() if v is not None}
+        assert ev.validate(inst).valid == got_valid, (schema, inst)
+
+
+def test_unevaluated_items_static(spark):
+    df = spark.createDataFrame([([1, 2, 3],), ([1],), ([],)], "arr array<int>")
+    schema = {"properties": {"arr": {"prefixItems": [{}], "unevaluatedItems": False}}}
+    got = [(tuple(r["arr"]), r["valid"]) for r in validate_dataframe(df, schema).collect()]
+    assert got == [((1, 2, 3), False), ((1,), True), ((), True)]
+
+
+def test_dynamic_ref_refused_not_ignored():
+    with pytest.raises(PlanCompileError):
+        SparkPlanCompiler({"$dynamicRef": "#x"})

@@ -119,3 +119,22 @@ def test_rerun_is_noop_and_lineage_is_commit_marker(spark, synth_paths, tmp_path
     assert res["complete"]
     with open(os.path.join(out, "lineage", "bucket_3.json")) as f:
         assert json.load(f)["bucket"] == 3
+
+
+def test_salted_repartition_balances_skew(spark, synth_paths):
+    """Media-heavy docs (100x spans) must not pin one task: after the salted
+    repartition the heaviest partition carries a bounded share of SPANS."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{synth_paths}/docs").repartition(
+        8, F.xxhash64(F.col("doc_id"), F.lit(7))
+    )
+    per_part = (
+        docs.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum(F.size("spans")).alias("spans"))
+        .collect()
+    )
+    spans = [r["spans"] for r in per_part]
+    assert len(spans) == 8
+    assert max(spans) < 2.5 * (sum(spans) / len(spans)), spans

@@ -97,3 +97,38 @@ def test_windowed_metrics_stream(spark, landing, tmp_path):
         "code",
         "count",
     }
+
+
+def test_stateful_cross_batch_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: first-seen wins ACROSS micro-batches
+    (state persists via the checkpoint); memory sink can't recover state, so
+    the assertion sink is parquet."""
+    from jsonschema_spark.streaming.stateful import dedup_doc_ids_stateful
+
+    land, ck, sink = str(tmp_path / "land"), str(tmp_path / "ck"), str(tmp_path / "sink")
+    spark.createDataFrame([("a",), ("b",), ("b",)], "doc_id string").withColumn(
+        "ingest_ts", F.current_timestamp()
+    ).write.mode("overwrite").parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            dedup_doc_ids_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == ["a", "b"]
+
+    spark.createDataFrame([("b",), ("c",)], "doc_id string").withColumn(
+        "ingest_ts", F.current_timestamp()
+    ).write.mode("append").parquet(land)
+    run_once()
+    assert sorted(r.doc_id for r in spark.read.parquet(sink).collect()) == ["a", "b", "c"]

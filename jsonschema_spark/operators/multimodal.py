@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["MEDIA_FEATURES_DDL", "extract_media_features", "fake_decoder", "real_decoder"]
+__all__ = ["MEDIA_FEATURES_DDL", "extract_media_features", "fake_decoder", "real_decoder", "resize_images", "sample_frames", "fake_resizer"]
 
 MEDIA_FEATURES_DDL = (
     "media_ref string, media_type string, n_bytes bigint, "
@@ -84,5 +84,93 @@ def extract_media_features(
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=out_ddl)
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: tags the payload hash with the target box
+    (real impl: PIL thumbnail) — output is a stable stand-in payload."""
+    h = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+    return h
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """image payloads → resized payloads, Arrow-batched mapInPandas.
+
+    Real codecs aren't installed here; inject `resizer` (default raises like
+    real_decoder). Output schema: (media_ref, payload binary, width, height).
+    """
+    if resizer is None:
+        def resizer(p, w, h):  # noqa: ANN001
+            raise NotImplementedError("image codecs not installed; inject a resizer")
+
+    src = media.select(ref_col, payload_col)
+    if num_partitions:
+        src = src.repartition(num_partitions, F.xxhash64(F.col(ref_col)))
+    out_ddl = f"{ref_col} string, payload binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    ref_col: pdf[ref_col],
+                    "payload": [
+                        resizer(bytes(p) if p is not None else b"", width, height)
+                        for p in pdf[payload_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    return src.mapInPandas(run, schema=out_ddl)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+    frame_fn: Callable[[bytes, int], bytes] = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """video payloads → one row per sampled frame timestamp (explode on the
+    executor inside the Arrow batch — a single video never leaves one task).
+
+    Output: (media_ref, ts_ms, frame binary); `frame_fn(payload, ts_ms)`
+    extracts a frame (stub raises; tests inject a deterministic fake).
+    """
+    if frame_fn is None:
+        def frame_fn(p, t):  # noqa: ANN001
+            raise NotImplementedError("video codecs not installed; inject frame_fn")
+
+    src = media.select(ref_col, payload_col, duration_col)
+    if num_partitions:
+        src = src.repartition(num_partitions, F.xxhash64(F.col(ref_col)))
+    out_ddl = f"{ref_col} string, ts_ms int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, tss, frames = [], [], []
+            for ref, payload, dur in zip(pdf[ref_col], pdf[payload_col], pdf[duration_col]):
+                dur = int(dur) if dur is not None and not pd.isna(dur) else 0
+                for ts in range(0, max(dur, 1), every_ms):
+                    refs.append(ref)
+                    tss.append(ts)
+                    frames.append(frame_fn(bytes(payload) if payload is not None else b"", ts))
+            yield pd.DataFrame({ref_col: refs, "ts_ms": tss, "frame": frames})
 
     return src.mapInPandas(run, schema=out_ddl)

@@ -79,3 +79,31 @@ def test_validate_json_column(spark):
     assert [r.valid for r in out] == [True, False, False]
     codes = {v["code"] for v in out[2]["violations"]}
     assert {"missing_required_property", "value_below_minimum"} <= codes
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Task-spec multimodal ops: resize + frame-sample plumbing with injected
+    deterministic fakes (codecs absent in this container; stubs must raise)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.multimodal import fake_resizer, resize_images, sample_frames
+
+    media = spark.createDataFrame(
+        [("m1", b"imgbytes", 2500), ("m2", b"vid", 0)],
+        "media_ref string, payload binary, duration_ms int",
+    )
+    r = {x.media_ref: (x.width, x.height, bytes(x.payload)) for x in
+         resize_images(media, width=64, height=64, resizer=fake_resizer).collect()}
+    assert r["m1"][0:2] == (64, 64) and len(r["m1"][2]) == 32
+    assert r["m1"][2] != r["m2"][2]  # payload-dependent, deterministic
+
+    def fake_frame(p, t):
+        return hashlib.sha256(p + str(t).encode()).digest()[:8]
+
+    fr = [(x.media_ref, x.ts_ms) for x in sample_frames(media, every_ms=1000, frame_fn=fake_frame).collect()]
+    assert sorted(fr) == [("m1", 0), ("m1", 1000), ("m1", 2000), ("m2", 0)]
+
+    with _pytest.raises(Exception):
+        resize_images(media, width=2, height=2).collect()  # stub must raise

@@ -52,7 +52,7 @@ HEADLINE = [
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",
-    "cosine_near_dup_exact",
+    "cosine_near_dup_lsh",
     "ivf_topk_embeddings",
 ]
 

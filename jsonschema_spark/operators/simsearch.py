@@ -61,24 +61,34 @@ def brute_force_topk(
     )
 
 
+_MAX_LSH_DIM = 1024
+
+
+def _plane_signs(p: int, dim: int = _MAX_LSH_DIM) -> list[float]:
+    """Deterministic ±1 normal for plane p (sha256-derived; no stored model)."""
+    import hashlib
+
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.sha256(f"{p}:{i}".encode()).digest()
+        out.extend(1.0 if b & 1 else -1.0 for b in h)
+        i += 1
+    return out[:dim]
+
+
 def hyperplane_signature(vec: Column, *, n_planes: int = 16, dim: int | None = None) -> Column:
     """Deterministic random-hyperplane LSH signature (int bitmask).
 
-    Plane p's normal component for dimension i is a hash-derived pseudo-random
-    ±1 (xxhash64(p, i) parity) — reproducible across runs with no stored model.
-    """
+    The ±1 sign matrix is a compile-time constant, generated driver-side and
+    inlined as literal arrays (computing it per row via hash expressions cost
+    n_planes x dim hashes PER ROW — measured the dominant LSH cost)."""
     def plane_bit(p: int) -> Column:
+        signs = F.slice(
+            F.lit(_plane_signs(p, dim or _MAX_LSH_DIM)), 1, F.size(vec)
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i, _p=p: F.when(
-                        F.pmod(F.xxhash64(F.lit(_p), i), F.lit(2)) == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, r: x * r,
-            ),
+            F.zip_with(vec, signs, lambda x, r: x * r),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

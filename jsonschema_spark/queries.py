@@ -833,16 +833,22 @@ FROM events
 
 def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (the verifier for the LSH path)."""
+    from jsonschema_spark.operators.simsearch import _dot, _norm
+
+    # normalize ONCE per row (2 aggregates per vector), so each of the O(n^2)
+    # pairs folds a single dot product instead of dot+norm+norm (3x)
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    a = emb.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = emb.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    from jsonschema_spark.operators.simsearch import cosine_similarity
-
+    unit = emb.select(
+        "id",
+        F.transform("vec", lambda x: x / _norm(F.col("vec"))).alias("u"),
+    )
+    a = unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+    b = unit.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    cos = _dot(F.col("u_a"), F.col("u_b"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= 0.5
     )

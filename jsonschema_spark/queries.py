@@ -759,6 +759,7 @@ def all_queries():
         "media_features_fake": media_features_fake,
         "defaults_fill_events": defaults_fill_events,
         "partition_verdicts_docs": partition_verdicts_docs,
+        "variant_nested_events": variant_nested_events,
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         # rows-only (no SQL oracle): engine-specific hashing / LSH internals
@@ -801,6 +802,7 @@ def all_oracles():
         "media_features_fake": ORACLE_MEDIA_FEATURES,
         "defaults_fill_events": ORACLE_DEFAULTS_FILL,
         "partition_verdicts_docs": ORACLE_PARTITION_VERDICTS,
+        "variant_nested_events": ORACLE_VARIANT_NESTED,
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
     }
@@ -958,3 +960,52 @@ def localized_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = validate_dataframe(_t(spark, sf_dir, "documents"), DOCS_TABLE_SCHEMA)
     return localized_output(v, ["doc_id"])
+
+
+def variant_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON validation through the VARIANT fast path: objects, arrays
+    (items/uniqueItems/minItems), enum, if/then — built deterministically
+    from typed columns so the oracle can recompute validity relationally."""
+    from jsonschema_spark.functions.udf import validate_json_column
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "doc",
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.col("value").alias("v"),
+                F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+                F.struct(F.col("user_id").alias("u")).alias("meta"),
+            )
+        ),
+    )
+    schema = {
+        "type": "object",
+        "required": ["t", "ids", "meta"],
+        "properties": {
+            "t": {"enum": ["click", "view", "purchase", "signup"]},
+            "v": {"type": "number", "minimum": 0.5},
+            "ids": {
+                "type": "array",
+                "items": {"type": "integer", "minimum": 0},
+                "minItems": 2,
+                "uniqueItems": True,
+            },
+            "meta": {"type": "object", "required": ["u"], "properties": {"u": {"type": "integer"}}},
+        },
+        "if": {"properties": {"t": {"const": "purchase"}}, "required": ["t"]},
+        "then": {"properties": {"v": {"minimum": 10}}},
+    }
+    out = validate_json_column(e, "doc", schema, assert_format=True)
+    return out.select("event_id", "valid")
+
+
+ORACLE_VARIANT_NESTED = """
+SELECT event_id,
+       (event_type IN ('click','view','purchase','signup')
+        AND value >= 0.5
+        AND user_id >= 0 AND event_id >= 0
+        AND user_id != event_id
+        AND (event_type != 'purchase' OR value >= 10)) AS valid
+FROM events
+"""

@@ -12,6 +12,7 @@ by the schema JSON), not per batch.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any, Iterator
 
 import pandas as pd
@@ -19,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonschema_spark.plans.columns import VIOLATION_SCHEMA_DDL
+
+_LOG = logging.getLogger(__name__)
 
 _COMPILED_CACHE: dict[str, Any] = {}
 
@@ -68,23 +71,29 @@ def validate_json_column(
     JVM-side (size == 0) either way.
     """
     if not isinstance(schema, str):
-        try:
-            from jsonschema_spark.plans.variant import (
-                VariantPlanCompiler,
-                validate_variant_column,
-            )
+        from jsonschema_spark.plans.variant import (
+            VariantCompileError,
+            VariantPlanCompiler,
+            validate_variant_column,
+        )
 
+        try:
             VariantPlanCompiler(schema, assert_format=assert_format).valid_column(
                 F.try_parse_json(F.lit("null"))
             )
+        except VariantCompileError as exc:
+            # expected residue (unsupported keyword / unbounded nesting):
+            # fall through to the Arrow-batched UDF path, with a signal —
+            # any OTHER exception is a real compiler bug and must raise,
+            # not silently downgrade the fast path ~10x.
+            _LOG.info("variant fast path unavailable (%s); using Arrow UDF path", exc)
+        else:
             out = validate_variant_column(df, json_col, schema, assert_format=assert_format)
             renames = {"violations": violations_col, "valid": valid_col}
             for src, dst in renames.items():
                 if src != dst:
                     out = out.withColumnRenamed(src, dst)
             return out
-        except Exception:
-            pass  # fall through to the Arrow-batched UDF path
 
     schema_json = json.dumps(schema) if not isinstance(schema, str) else schema
 

@@ -17,8 +17,14 @@ __all__ = ["salted_repartition", "span_sequence_mismatches", "explode_spans", "s
 
 
 def salted_repartition(df: DataFrame, key: str, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
-    """Repartition by hash(key, salt) — explicit, north-rule mandated."""
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets)))
+    """Repartition by hash(key, salt) — explicit, north-rule mandated.
+
+    The salt is a ROW-CONTENT hash (all columns), not
+    monotonically_increasing_id: a task retry after a lost shuffle re-salts
+    every row identically, so the shuffle is deterministic end-to-end."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
     out = salted.repartition(num_partitions, F.xxhash64(F.col(key), F.col("__salt")))
     return out.drop("__salt")
 

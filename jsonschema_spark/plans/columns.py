@@ -56,6 +56,7 @@ class _Val:
     col: Column
     dtype: T.DataType
     path: Column  # string column: JSON-pointer of this value
+    in_lambda: bool = False  # True inside a HOF lambda (not stageable)
 
 
 @dataclass
@@ -105,6 +106,68 @@ def _cond_violation(cond: Column, *args: Any, **kwargs: Any) -> Column:
     return F.when(_safe(cond), F.array(_mk_violation(*args, **kwargs))).otherwise(_empty_violations())
 
 
+def _summary_violation(
+    conds_names: list[tuple[Column, Any]],
+    path: Column,
+    keyword: str,
+    code_single: str,
+    code_plural: str,
+    *,
+    param_single: str = "property",
+    param_plural: str = "properties",
+    sort_plural: bool = True,
+    dedupe_plural: bool = False,
+) -> Column:
+    """ONE summary row per applicator keyword, mirroring the scalar core's
+    singular/plural emission (evaluator.py `_eval_object`): code_single with
+    the first failing name when exactly one sub-check fails, code_plural with
+    the joined name list when several fail, nothing when none fail."""
+    if not conds_names:
+        return _empty_violations()
+    flags = [_safe(c) for c, _ in conds_names]
+    cnt = flags[0].cast("int")
+    for fl in flags[1:]:
+        cnt = cnt + fl.cast("int")
+    whens = [F.when(fl, F.lit(str(n))) for fl, (_, n) in zip(flags, conds_names)]
+    first = F.coalesce(*whens, F.lit("")) if len(whens) > 1 else F.coalesce(whens[0], F.lit(""))
+    bad = F.filter(F.array(*whens), lambda x: x.isNotNull())
+    if dedupe_plural:
+        bad = F.array_distinct(bad)
+    if sort_plural:
+        bad = F.array_sort(bad)
+    joined = F.array_join(bad, ", ")
+    return (
+        F.when(cnt == 1, F.array(_mk_violation(path, keyword, code_single, {param_single: first})))
+        .when(cnt > 1, F.array(_mk_violation(path, keyword, code_plural, {param_plural: joined})))
+        .otherwise(_empty_violations())
+    )
+
+
+def _dynamic_index_summary(
+    present: Column, bad_idx: Column, path: Column,
+    keyword: str, code_single: str, code_plural: str,
+) -> Column:
+    """Runtime singular/plural summary over an array of failing element
+    indices (items / unevaluatedItems — scalar core evaluator.py:519-535)."""
+    nbad = F.size(bad_idx)
+    return (
+        F.when(
+            _safe(present & (nbad == 1)),
+            F.array(_mk_violation(path, keyword, code_single,
+                                  {"index": F.element_at(bad_idx, 1)})),
+        )
+        .when(
+            _safe(present & (nbad > 1)),
+            F.array(_mk_violation(
+                path, keyword, code_plural,
+                {"indexs": F.array_join(
+                    F.transform(bad_idx, lambda x: x.cast("string")), ", ")},
+            )),
+        )
+        .otherwise(_empty_violations())
+    )
+
+
 def _concat_violations(parts: list[Column]) -> Column:
     parts = [p for p in parts if p is not None]
     if not parts:
@@ -139,6 +202,23 @@ def _dec_scale(f: Fraction) -> int | None:
         if s > 38:
             return None
     return s
+
+
+def _decimal_multiple_plan(fdiv: Fraction, dt: T.DecimalType) -> str | None:
+    """Common decimal type for an EXACT `col % divisor` remainder, or None
+    when the divisor never terminates or the scale bump would overflow
+    precision 38 (callers fall back to the scaled-double path). The scale is
+    max(column scale, divisor scale) so neither operand is rounded; the
+    precision bump is bounded by the scale delta plus the divisor's integer
+    digits."""
+    sd = _dec_scale(fdiv)
+    if sd is None:
+        return None
+    t_scale = max(dt.scale, sd)
+    t_prec = max(dt.precision + (t_scale - dt.scale), len(str(max(int(fdiv), 1))) + t_scale)
+    if t_prec > 38:
+        return None
+    return f"decimal({t_prec},{t_scale})"
 
 
 def _num_lit(v: Any) -> Column:
@@ -189,6 +269,8 @@ class SparkPlanCompiler:
         self.assert_format = assert_format
         self.registry = Registry()
         self.registry.register(schema, "")
+        self._stages: list[tuple[str, Column]] | None = None
+        self._stage_n = 0
         self._audit(schema)
 
     @staticmethod
@@ -211,13 +293,45 @@ class SparkPlanCompiler:
 
     # -------------------------------------------------------------- public API
 
-    def violations_column(self, df_schema: T.StructType, root: Column | None = None) -> Column:
-        """Build the violations array column for rows of ``df_schema``."""
+    def violations_column(
+        self,
+        df_schema: T.StructType,
+        root: Column | None = None,
+        stages: list[tuple[str, Column]] | None = None,
+    ) -> Column:
+        """Build the violations array column for rows of ``df_schema``.
+
+        When ``stages`` is passed, expensive multiply-referenced
+        subexpressions (per-element transforms for items summaries) are
+        appended to it as (name, Column) pairs the caller must withColumn
+        BEFORE the returned column (their own projection keeps CollapseProject
+        from re-inlining them — Catalyst does not CSE non-cheap exprs inside
+        one projection, measured 3.4x on variant parse). Without ``stages``
+        the plan is still correct, just recomputes those subtrees."""
         if root is None:
             root = F.struct(*[F.col(f.name).alias(f.name) for f in df_schema.fields])
-        val = _Val(col=root, dtype=df_schema, path=_lit_path(""))
-        node = self._compile(self.schema, val, 0)
+        self._stages = stages
+        self._stage_n = 0
+        try:
+            val = _Val(col=root, dtype=df_schema, path=_lit_path(""))
+            node = self._compile(self.schema, val, 0)
+        finally:
+            self._stages = None
         return node.violations
+
+    def _maybe_stage(self, col: Column, val: "_Val") -> Column:
+        if self._stages is None or val.in_lambda:
+            return col
+        name = f"__jss_stage_{self._stage_n}"
+        self._stage_n += 1
+        self._stages.append((name, col))
+        return F.col(name)
+
+    @staticmethod
+    def attach_stages(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
+        for name, col in stages:
+            df = df.withColumn(name, col)
+        return df
 
     def apply(
         self,
@@ -226,11 +340,14 @@ class SparkPlanCompiler:
         violations_col: str = "violations",
         valid_col: str = "valid",
     ) -> DataFrame:
-        """df + [violations, valid] columns. One narrow projection, no shuffle."""
-        v = self.violations_column(df.schema)
-        return df.withColumn(violations_col, v).withColumn(
+        """df + [violations, valid] columns. Narrow projections, no shuffle."""
+        stages: list[tuple[str, Column]] = []
+        v = self.violations_column(df.schema, stages=stages)
+        out = self.attach_stages(df, stages)
+        out = out.withColumn(violations_col, v).withColumn(
             valid_col, F.size(F.col(violations_col)) == 0
         )
+        return out.drop(*[n for n, _ in stages]) if stages else out
 
     # ---------------------------------------------------------------- internal
 
@@ -263,6 +380,9 @@ class SparkPlanCompiler:
             target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
             sub = self._compile(target, val, depth + 1)
             parts.append(sub.violations)
+            # scalar core adds a ref_mismatch summary on top of the target's
+            # own violations (evaluator.py:235)
+            parts.append(_cond_violation(_safe(~sub.valid), val.path, "$ref", "ref_mismatch"))
             valids.append(sub.valid)
 
         self._compile_assertions(schema, val, add, present)
@@ -280,8 +400,8 @@ class SparkPlanCompiler:
 
         if not parts:
             return _Node(valid=F.lit(True), violations=_empty_violations())
-        valid = valids[0]
-        for c in valids[1:]:
+        valid = F.lit(True)
+        for c in valids:
             valid = valid & c
         return _Node(valid=valid, violations=_concat_violations(parts))
 
@@ -381,13 +501,24 @@ class SparkPlanCompiler:
                         "not_multiple_of",
                         {"multiple_of": F.lit(_num_str(div))},
                     )
-                elif isinstance(dt, T.DecimalType):
-                    # decimal column: native remainder at the column's own
-                    # precision/scale (p<=18 stays on the Long-backed fast
-                    # path; casting to decimal(38,12) forfeits it and costs
-                    # ~7x steady-state plus JIT-deopt spikes — measured)
+                elif isinstance(dt, T.DecimalType) and _decimal_multiple_plan(fdiv, dt) is not None:
+                    # decimal column: native remainder at a common exact
+                    # scale. When the divisor's scale fits the column's, we
+                    # stay at the column's own precision/scale (p<=18 keeps
+                    # the Long-backed fast path; casting to decimal(38,12)
+                    # forfeits it and costs ~7x steady-state — measured).
+                    # A finer divisor bumps BOTH operands to
+                    # scale=max(col, divisor) with a bounded precision bump,
+                    # so 0.125 against decimal(10,2) is not rounded to 0.13
+                    # and 0.003 is not truncated to zero. If the bump would
+                    # overflow precision 38 (or the divisor never
+                    # terminates), _decimal_multiple_plan returns None and
+                    # we fall through to the scaled-double path below.
+                    cdt = _decimal_multiple_plan(fdiv, dt)
+                    sd_div = _dec_scale(fdiv)
+                    div_lit = F.lit(Decimal(int(fdiv * 10**sd_div)).scaleb(-sd_div))
                     add(
-                        (val.col % _num_lit(div).cast(dt.simpleString())) != F.lit(0).cast(dt.simpleString()),
+                        (val.col.cast(cdt) % div_lit.cast(cdt)) != F.lit(0).cast(cdt),
                         "multipleOf",
                         "not_multiple_of",
                         {"multiple_of": F.lit(_num_str(div))},
@@ -459,19 +590,28 @@ class SparkPlanCompiler:
         fields = {f.name: f for f in dt.fields}
 
         if "required" in s and isinstance(s["required"], list):
+            # ONE row, singular/plural by missing count, names joined in
+            # required-list order (scalar core evaluator.py:556-566)
+            conds: list[tuple[Column, Any]] = []
             for prop in s["required"]:
                 if prop in fields:
                     miss = _safe(present & val.col[prop].isNull())
                 else:
                     miss = present  # statically absent field: always missing
-                parts.append(
-                    _cond_violation(
-                        miss, val.path, "required", "missing_required_property", {"property": F.lit(prop)}
-                    )
-                )
+                conds.append((miss, prop))
                 valids.append(~miss)
+            parts.append(
+                _summary_violation(
+                    conds, val.path, "required",
+                    "missing_required_property", "missing_required_properties",
+                    sort_plural=False,
+                )
+            )
 
         if "dependentRequired" in s and isinstance(s["dependentRequired"], dict):
+            # ONE row with every missing dependency joined (scalar core
+            # evaluator.py:567-578)
+            dr_conds: list[tuple[Column, str]] = []
             for prop, deps in s["dependentRequired"].items():
                 if prop not in fields or not isinstance(deps, list):
                     continue
@@ -479,16 +619,21 @@ class SparkPlanCompiler:
                 for dep in deps:
                     dep_missing = val.col[dep].isNull() if dep in fields else F.lit(True)
                     cond = _safe(present & have & dep_missing)
-                    parts.append(
-                        _cond_violation(
-                            cond,
-                            val.path,
-                            "dependentRequired",
-                            "dependent_property_required",
-                            {"missing_properties": F.lit(dep)},
-                        )
-                    )
+                    dr_conds.append((cond, dep))
                     valids.append(~cond)
+            if dr_conds:
+                any_cond = dr_conds[0][0]
+                for c, _ in dr_conds[1:]:
+                    any_cond = any_cond | c
+                joined = F.concat_ws(
+                    ", ", *[F.when(c, F.lit(d)) for c, d in dr_conds]
+                )
+                parts.append(
+                    _cond_violation(
+                        _safe(any_cond), val.path, "dependentRequired",
+                        "dependent_property_required", {"missing_properties": joined},
+                    )
+                )
 
         if "minProperties" in s or "maxProperties" in s:
             # struct: count of non-null members (null ≡ absent convention)
@@ -513,6 +658,7 @@ class SparkPlanCompiler:
                 valids.append(~cond)
 
         if "properties" in s and isinstance(s["properties"], dict):
+            prop_conds: list[tuple[Column, Any]] = []
             for prop, branch in s["properties"].items():
                 if prop not in fields:
                     continue  # statically absent → subschema never applies
@@ -520,10 +666,18 @@ class SparkPlanCompiler:
                     col=val.col[prop],
                     dtype=fields[prop].dataType,
                     path=F.concat(val.path, F.lit("/" + _escape_token(prop))),
+                    in_lambda=val.in_lambda,
                 )
                 sub = self._compile(branch, sub_val, depth)
                 parts.append(sub.violations)
                 valids.append(sub.valid)
+                prop_conds.append((_safe(present & ~sub.valid), prop))
+            parts.append(
+                _summary_violation(
+                    prop_conds, val.path, "properties",
+                    "property_mismatch", "properties_mismatch",
+                )
+            )
 
         # ---- statically-resolved name-keyed applicators (SURVEY §2.4): with
         # a fixed StructType the property-name set is known at plan time, so
@@ -532,6 +686,7 @@ class SparkPlanCompiler:
         import re as _re
 
         if "patternProperties" in s and isinstance(s["patternProperties"], dict):
+            pp_conds: list[tuple[Column, Any]] = []
             for pat, branch in s["patternProperties"].items():
                 rx = _re.compile(pat)
                 for name, f in fields.items():
@@ -541,10 +696,19 @@ class SparkPlanCompiler:
                         col=val.col[name],
                         dtype=f.dataType,
                         path=F.concat(val.path, F.lit("/" + _escape_token(name))),
+                        in_lambda=val.in_lambda,
                     )
                     sub = self._compile(branch, sub_val, depth)
                     parts.append(sub.violations)
                     valids.append(sub.valid)
+                    pp_conds.append((_safe(present & ~sub.valid), name))
+            parts.append(
+                _summary_violation(
+                    pp_conds, val.path, "patternProperties",
+                    "pattern_property_mismatch", "pattern_properties_mismatch",
+                    dedupe_plural=True,
+                )
+            )
 
         if "propertyNames" in s and isinstance(s["propertyNames"], (dict, bool)):
             # the names themselves are compile-time constants: evaluate each
@@ -554,17 +718,19 @@ class SparkPlanCompiler:
             name_schema = Compiler().set_assert_format(self.assert_format).compile(
                 s["propertyNames"], validate_regex=False
             )
+            pn_conds: list[tuple[Column, Any]] = []
             for name in fields:
                 if name_schema.validate(name).valid:
                     continue
                 cond = _safe(present & val.col[name].isNotNull())
-                parts.append(
-                    _cond_violation(
-                        cond, val.path, "propertyNames", "property_name_mismatch",
-                        {"property": F.lit(name)},
-                    )
-                )
+                pn_conds.append((cond, name))
                 valids.append(~cond)
+            parts.append(
+                _summary_violation(
+                    pn_conds, val.path, "propertyNames",
+                    "property_name_mismatch", "property_names_mismatch",
+                )
+            )
 
         if "additionalProperties" in s:
             declared = set(s.get("properties", {})) if isinstance(s.get("properties"), dict) else set()
@@ -579,35 +745,37 @@ class SparkPlanCompiler:
             ]
             self._apply_to_extra_fields(
                 s["additionalProperties"], extra, fields, val, parts, valids, present,
-                depth, "additionalProperties", "additional_property_mismatch",
+                depth, "additionalProperties",
+                "additional_property_mismatch", "additional_properties_mismatch",
             )
 
-        if "dependentSchemas" in s and isinstance(s["dependentSchemas"], dict):
-            for key, branch in s["dependentSchemas"].items():
-                trigger = val.col[key].isNotNull() if key in fields else F.lit(False)
-                sub = self._compile(branch, val, depth + 1)
-                cond = _safe(present & trigger & ~sub.valid)
-                parts.append(
-                    F.when(_safe(present & trigger), sub.violations).otherwise(_empty_violations())
-                )
-                valids.append(~cond)
+        # dependentSchemas is compiled once, in _compile_logical (matches the
+        # scalar core's output shape incl. the summary dependent_schema_mismatch
+        # row); compiling it here too double-emitted every sub-violation.
 
         if "unevaluatedProperties" in s:
             claimed, cond_claims = self._claimed_properties(s, fields, val, depth)
             extra = [n for n in fields if n not in claimed]
             self._apply_to_extra_fields(
                 s["unevaluatedProperties"], extra, fields, val, parts, valids, present,
-                depth, "unevaluatedProperties", "unevaluated_property_mismatch",
+                depth, "unevaluatedProperties",
+                "unevaluated_property_mismatch", "unevaluated_properties_mismatch",
                 cond_claims=cond_claims,
             )
 
     def _apply_to_extra_fields(
         self, branch, names, fields, val, parts, valids, present, depth,
-        keyword, code, *, cond_claims=None,
+        keyword, code_single, code_plural, *, cond_claims=None,
     ) -> None:
         """Apply a subschema (or False) to fields outside the claimed set;
         cond_claims optionally gates a field as claimed at runtime (e.g. a
-        succeeding anyOf branch that declares it)."""
+        succeeding anyOf branch that declares it). Emission mirrors the
+        scalar core: per-field leaf violations at the child path (for False,
+        a false_schema_mismatch leaf) plus ONE singular/plural summary row at
+        this path (evaluator.py:629-649, 383-406)."""
+        if branch is True or branch == {}:
+            return
+        conds: list[tuple[Column, Any]] = []
         for name in names:
             unclaimed = F.lit(True)
             if cond_claims and name in cond_claims:
@@ -616,19 +784,18 @@ class SparkPlanCompiler:
                     claim = claim | c
                 unclaimed = ~_safe(claim)
             field_present = val.col[name].isNotNull() & unclaimed
+            child_path = F.concat(val.path, F.lit("/" + _escape_token(name)))
             if branch is False:
                 cond = _safe(present & field_present)
                 parts.append(
-                    _cond_violation(cond, val.path, keyword, code, {"property": F.lit(name)})
+                    _cond_violation(cond, child_path, "schema", "false_schema_mismatch")
                 )
-                valids.append(~cond)
-            elif branch is True or branch == {}:
-                continue
             else:
                 sub_val = _Val(
                     col=val.col[name],
                     dtype=fields[name].dataType,
-                    path=F.concat(val.path, F.lit("/" + _escape_token(name))),
+                    path=child_path,
+                    in_lambda=val.in_lambda,
                 )
                 sub = self._compile(branch, sub_val, depth + 1)
                 cond = _safe(present & field_present & ~sub.valid)
@@ -637,7 +804,11 @@ class SparkPlanCompiler:
                         _empty_violations()
                     )
                 )
-                valids.append(~cond)
+            conds.append((cond, name))
+            valids.append(~cond)
+        parts.append(
+            _summary_violation(conds, val.path, keyword, code_single, code_plural)
+        )
 
     def _claimed_properties(self, s: dict, fields, val, depth) -> tuple[set, dict]:
         """(statically-claimed names, {name: [runtime claim conditions]}) for
@@ -714,16 +885,26 @@ class SparkPlanCompiler:
             )
 
         prefix = s.get("prefixItems") if isinstance(s.get("prefixItems"), list) else []
+        pi_conds: list[tuple[Column, Any]] = []
         for i, branch in enumerate(prefix):
             elem = F.element_at(val.col, i + 1)  # null when out of range
             sub_val = _Val(
                 col=F.when(n > i, elem),  # treat out-of-range as absent
                 dtype=elem_dt,
                 path=F.concat(val.path, F.lit(f"/{i}")),
+                in_lambda=val.in_lambda,
             )
             sub = self._compile(branch, sub_val, depth)
             parts.append(sub.violations)
             valids.append(sub.valid)
+            pi_conds.append((_safe(present & ~sub.valid), i))
+        parts.append(
+            _summary_violation(
+                pi_conds, val.path, "prefixItems",
+                "prefix_item_mismatch", "prefix_items_mismatch",
+                param_single="index", param_plural="indexs", sort_plural=False,
+            )
+        )
 
         if "items" in s:
             branch = s["items"]
@@ -733,21 +914,35 @@ class SparkPlanCompiler:
                     col=x,
                     dtype=elem_dt,
                     path=F.concat(val.path, F.lit("/"), i.cast("string")),
+                    in_lambda=True,
                 )
                 node = self._compile(branch, sub_val, depth)
                 if prefix:
                     return F.when(i >= len(prefix), node.violations).otherwise(_empty_violations())
                 return node.violations
 
-            per_elem = F.flatten(F.transform(val.col, _elem_violations))
-            parts.append(F.when(present, per_elem).otherwise(_empty_violations()))
-            valids.append(_safe(F.when(present, F.size(per_elem) == 0).otherwise(F.lit(True))) | ~present)
+            # ONE evaluation of the per-element schema (staged when possible);
+            # leafs AND the scalar-parity summary row both derive from it
+            pev = self._maybe_stage(F.transform(val.col, _elem_violations), val)
+            parts.append(F.when(present, F.flatten(pev)).otherwise(_empty_violations()))
+            bad_idx = F.filter(
+                F.transform(pev, lambda a, i: F.when(F.size(a) > 0, i)),
+                lambda x: x.isNotNull(),
+            )
+            parts.append(
+                _dynamic_index_summary(
+                    present, bad_idx, val.path, "items", "item_mismatch", "items_mismatch"
+                )
+            )
+            valids.append(
+                _safe(F.when(present, F.size(F.flatten(pev)) == 0).otherwise(F.lit(True))) | ~present
+            )
 
         if "contains" in s:
             branch = s["contains"]
 
             def _match(x: Column) -> Column:
-                sub_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""))
+                sub_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""), in_lambda=True)
                 return self._compile(branch, sub_val, depth).valid
 
             matches = F.size(F.filter(val.col, _match))
@@ -767,28 +962,33 @@ class SparkPlanCompiler:
             def _uneval_violations(x: Column, i: Column) -> Column:
                 evaluated = i < len(prefix)
                 if contains is not None:
-                    c_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""))
+                    c_val = _Val(col=x, dtype=elem_dt, path=_lit_path(""), in_lambda=True)
                     evaluated = evaluated | _safe(self._compile(contains, c_val, depth).valid)
+                child_path = F.concat(val.path, F.lit("/"), i.cast("string"))
                 if branch is False:
-                    v = _cond_violation(
-                        F.lit(True),
-                        F.concat(val.path, F.lit("/"), i.cast("string")),
-                        "unevaluatedItems",
-                        "unevaluated_items_mismatch",
-                    )
+                    # scalar: False subschema yields a false_schema_mismatch
+                    # LEAF at the child path (the summary row is separate)
+                    v = _cond_violation(F.lit(True), child_path, "schema", "false_schema_mismatch")
                 else:
-                    sub_val = _Val(
-                        col=x, dtype=elem_dt,
-                        path=F.concat(val.path, F.lit("/"), i.cast("string")),
-                    )
+                    sub_val = _Val(col=x, dtype=elem_dt, path=child_path, in_lambda=True)
                     v = self._compile(branch, sub_val, depth).violations
                 return F.when(~evaluated, v).otherwise(_empty_violations())
 
             if branch is not True and branch != {}:
-                per_elem = F.flatten(F.transform(val.col, _uneval_violations))
-                parts.append(F.when(present, per_elem).otherwise(_empty_violations()))
+                pev = self._maybe_stage(F.transform(val.col, _uneval_violations), val)
+                parts.append(F.when(present, F.flatten(pev)).otherwise(_empty_violations()))
+                bad_idx = F.filter(
+                    F.transform(pev, lambda a, i: F.when(F.size(a) > 0, i)),
+                    lambda x: x.isNotNull(),
+                )
+                parts.append(
+                    _dynamic_index_summary(
+                        present, bad_idx, val.path, "unevaluatedItems",
+                        "unevaluated_item_mismatch", "unevaluated_items_mismatch",
+                    )
+                )
                 valids.append(
-                    _safe(F.when(present, F.size(per_elem) == 0).otherwise(F.lit(True))) | ~present
+                    _safe(F.when(present, F.size(F.flatten(pev)) == 0).otherwise(F.lit(True))) | ~present
                 )
 
     # -------------------------------------------------------------------- maps
@@ -809,29 +1009,65 @@ class SparkPlanCompiler:
             k = int(s["maxProperties"])
             add(n > k, "maxProperties", "too_many_properties", {"max_properties": F.lit(k)})
         if "required" in s and isinstance(s["required"], list):
+            req_conds: list[tuple[Column, Any]] = []
             for prop in s["required"]:
-                cond = ~F.array_contains(F.map_keys(val.col), prop)
-                add(cond, "required", "missing_required_property", {"property": F.lit(prop)})
+                cond = _safe(present & ~F.array_contains(F.map_keys(val.col), prop))
+                req_conds.append((cond, prop))
+                valids.append(~cond)
+            parts.append(
+                _summary_violation(
+                    req_conds, val.path, "required",
+                    "missing_required_property", "missing_required_properties",
+                    sort_plural=False,
+                )
+            )
         if "propertyNames" in s and isinstance(s["propertyNames"], dict):
             pn = s["propertyNames"]
             if "pattern" in pn:
-                bad = F.filter(F.map_keys(val.col), lambda k: ~k.rlike(pn["pattern"]))
-                cond = F.size(bad) > 0
-                add(
-                    cond,
-                    "propertyNames",
-                    "property_names_mismatch",
-                    {"properties": F.array_join(bad, ", ")},
+                bad = F.filter(F.map_keys(val.col), lambda k: ~_safe(k.rlike(pn["pattern"])))
+                nbad = F.size(bad)
+                parts.append(
+                    F.when(
+                        _safe(present & (nbad == 1)),
+                        F.array(_mk_violation(
+                            val.path, "propertyNames", "property_name_mismatch",
+                            {"property": F.element_at(bad, 1)},
+                        )),
+                    )
+                    .when(
+                        _safe(present & (nbad > 1)),
+                        F.array(_mk_violation(
+                            val.path, "propertyNames", "property_names_mismatch",
+                            {"properties": F.array_join(F.array_sort(bad), ", ")},
+                        )),
+                    )
+                    .otherwise(_empty_violations())
                 )
+                valids.append(~_safe(present & (nbad > 0)))
 
     # ----------------------------------------------------------------- logical
 
     def _compile_logical(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
         if "allOf" in s and isinstance(s["allOf"], list):
-            for branch in s["allOf"]:
+            ao_conds: list[tuple[Column, Any]] = []
+            for i, branch in enumerate(s["allOf"]):
                 sub = self._compile(branch, val, depth)
                 parts.append(sub.violations)
                 valids.append(sub.valid)
+                ao_conds.append((_safe(present & ~sub.valid), i))
+            if ao_conds:
+                # scalar core emits ONE all_of_item_mismatch with the failing
+                # indices joined, regardless of count (evaluator.py:259-260)
+                any_bad = ao_conds[0][0]
+                for c, _ in ao_conds[1:]:
+                    any_bad = any_bad | c
+                joined = F.concat_ws(", ", *[F.when(c, F.lit(str(i))) for c, i in ao_conds])
+                parts.append(
+                    _cond_violation(
+                        _safe(any_bad), val.path, "allOf", "all_of_item_mismatch",
+                        {"indexs": joined},
+                    )
+                )
 
         if "anyOf" in s and isinstance(s["anyOf"], list):
             branch_valid = [self._compile(b, val, depth).valid for b in s["anyOf"]]
@@ -882,22 +1118,21 @@ class SparkPlanCompiler:
 
         if "dependentSchemas" in s and isinstance(s["dependentSchemas"], dict) and isinstance(val.dtype, T.StructType):
             fields = {f.name for f in val.dtype.fields}
+            ds_conds: list[tuple[Column, Any]] = []
             for prop, branch in s["dependentSchemas"].items():
                 if prop not in fields:
                     continue
                 sub = self._compile(branch, val, depth)
                 have = _safe(present & val.col[prop].isNotNull())
                 parts.append(F.when(have, sub.violations).otherwise(_empty_violations()))
-                parts.append(
-                    _cond_violation(
-                        have & ~sub.valid,
-                        val.path,
-                        "dependentSchemas",
-                        "dependent_schema_mismatch",
-                        {"property": F.lit(prop)},
-                    )
-                )
+                ds_conds.append((_safe(have & ~sub.valid), prop))
                 valids.append(~have | _safe(sub.valid))
+            parts.append(
+                _summary_violation(
+                    ds_conds, val.path, "dependentSchemas",
+                    "dependent_schema_mismatch", "dependent_schemas_mismatch",
+                )
+            )
 
 
 def validate_dataframe(

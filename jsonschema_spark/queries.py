@@ -63,6 +63,20 @@ UNION ALL
 SELECT doc_id, '/text', 'pattern', 'pattern_mismatch' FROM documents WHERE NOT regexp_matches(text, '^[a-z ]+$')
 UNION ALL
 SELECT doc_id, '/source', 'pattern', 'pattern_mismatch' FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+UNION ALL
+-- properties applicator summary row (scalar-core parity: one row per doc,
+-- singular code when exactly one property fails, plural when several)
+SELECT doc_id, '', 'properties',
+       CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+FROM (
+  SELECT doc_id,
+         (CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+       + (CASE WHEN n_chars < 60 OR n_chars > 500 THEN 1 ELSE 0 END)
+       + (CASE WHEN length(text) < 60 OR NOT regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END)
+       + (CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS nbad
+  FROM documents)
+WHERE nbad >= 1
 """
 
 
@@ -136,10 +150,19 @@ WITH spans AS (
   SELECT user_id AS doc_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
          CAST(FLOOR(value) AS INT) AS off
-  FROM events)
+  FROM events),
+bad AS (SELECT doc_id, pos FROM spans WHERE off > 400)
 SELECT doc_id, '/spans/' || pos || '/offset' AS instance_path,
        'maximum' AS keyword, 'value_above_maximum' AS code
-FROM spans WHERE off > 400
+FROM bad
+UNION ALL
+SELECT doc_id, '/spans/' || pos, 'properties', 'property_mismatch' FROM bad
+UNION ALL
+SELECT doc_id, '/spans', 'items',
+       CASE WHEN count(*) = 1 THEN 'item_mismatch' ELSE 'items_mismatch' END
+FROM bad GROUP BY doc_id
+UNION ALL
+SELECT DISTINCT doc_id, '', 'properties', 'property_mismatch' FROM bad
 """
 
 
@@ -231,6 +254,17 @@ FROM lineitem WHERE l_discount >= 0.1
 UNION ALL
 SELECT l_orderkey, l_linenumber, '/l_tax', 'minimum', 'value_below_minimum'
 FROM lineitem WHERE l_tax < 0.01
+UNION ALL
+SELECT l_orderkey, l_linenumber, '', 'properties',
+       CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         (CASE WHEN CAST(l_quantity AS DECIMAL(38,12)) % 5 != 0 OR l_quantity <= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN l_extendedprice > 50000 THEN 1 ELSE 0 END)
+       + (CASE WHEN l_discount >= 0.1 THEN 1 ELSE 0 END)
+       + (CASE WHEN l_tax < 0.01 THEN 1 ELSE 0 END) AS nbad
+  FROM lineitem)
+WHERE nbad >= 1
 """
 
 
@@ -259,6 +293,17 @@ SELECT c_custkey, '/c_mktsegment', 'enum', 'value_not_in_enum'
 FROM customer WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
 UNION ALL
 SELECT c_custkey, '/c_acctbal', 'minimum', 'value_below_minimum' FROM customer WHERE c_acctbal < -999.99
+UNION ALL
+SELECT c_custkey, '', 'properties',
+       CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+FROM (
+  SELECT c_custkey,
+         (CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                 OR length(c_name) <> 18 THEN 1 ELSE 0 END)
+       + (CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END)
+       + (CASE WHEN c_acctbal < -999.99 THEN 1 ELSE 0 END) AS nbad
+  FROM customer)
+WHERE nbad >= 1
 """
 
 
@@ -593,7 +638,7 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TOKEN_COUNT = """
-SELECT lang, sum(len(string_split(trim(text), ' '))) AS total_tokens, count(*) AS n_docs
+SELECT lang, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens, count(*) AS n_docs
 FROM documents GROUP BY 1
 """
 
@@ -723,6 +768,87 @@ HAVING sum(CASE WHEN off > 450 AND text IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
+# ----- object-applicator violation rows (dependentSchemas / patternProperties
+# / unevaluatedProperties — reference dependent_schemas.go:17-75,
+# pattern_properties.go, unevaluated shape) ---------------------------------
+
+DEP_OBJ_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "event_id": {"type": "integer", "minimum": 0},
+        "count": {"type": "integer", "minimum": 10},
+        "other": {"type": "string", "pattern": "^[a-z]+$"},
+    },
+    "patternProperties": {"^x_": {"minLength": 3}},
+    "dependentSchemas": {"count": {"required": ["other"]}},
+    "unevaluatedProperties": False,
+}
+
+
+def kw_dependent_applicators_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation ROWS (not just flags) from a schema exercising
+    dependentSchemas + patternProperties + unevaluatedProperties on a
+    deterministic object projection of events. Guards the single-emission
+    contract (each failing subschema yields exactly one row set)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.substring("event_type", 1, 2))
+        .when(F.col("event_id") % 3 == 1, F.col("event_type"))
+        .alias("x_tag"),
+        F.when(F.col("event_id") % 4 < 2, (F.col("event_id") % 20).cast("int")).alias("count"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("abc"))
+        .when(F.col("event_id") % 5 == 1, F.lit("AB9"))
+        .alias("other"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("stray")).alias("extra"),
+    )
+    return _violations(s, DEP_OBJ_SCHEMA, ["event_id"])
+
+
+ORACLE_DEP_APPLICATORS = """
+WITH s AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN substr(event_type, 1, 2)
+         WHEN event_id % 3 = 1 THEN event_type END AS x_tag,
+    CASE WHEN event_id % 4 < 2 THEN CAST(event_id % 20 AS INT) END AS count,
+    CASE WHEN event_id % 5 = 0 THEN 'abc'
+         WHEN event_id % 5 = 1 THEN 'AB9' END AS other,
+    CASE WHEN event_id % 7 = 0 THEN 'stray' END AS extra
+  FROM events)
+SELECT event_id, '/count' AS instance_path, 'minimum' AS keyword,
+       'value_below_minimum' AS code
+FROM s WHERE count IS NOT NULL AND count < 10
+UNION ALL
+SELECT event_id, '/other', 'pattern', 'pattern_mismatch'
+FROM s WHERE other IS NOT NULL AND NOT regexp_matches(other, '^[a-z]+$')
+UNION ALL
+SELECT event_id, '/x_tag', 'minLength', 'string_too_short'
+FROM s WHERE x_tag IS NOT NULL AND length(x_tag) < 3
+UNION ALL
+SELECT event_id, '', 'properties',
+       CASE WHEN (CASE WHEN count IS NOT NULL AND count < 10 THEN 1 ELSE 0 END)
+               + (CASE WHEN other IS NOT NULL AND NOT regexp_matches(other, '^[a-z]+$') THEN 1 ELSE 0 END) = 1
+            THEN 'property_mismatch' ELSE 'properties_mismatch' END
+FROM s WHERE (count IS NOT NULL AND count < 10)
+          OR (other IS NOT NULL AND NOT regexp_matches(other, '^[a-z]+$'))
+UNION ALL
+SELECT event_id, '', 'patternProperties', 'pattern_property_mismatch'
+FROM s WHERE x_tag IS NOT NULL AND length(x_tag) < 3
+UNION ALL
+SELECT event_id, '', 'required', 'missing_required_property'
+FROM s WHERE count IS NOT NULL AND other IS NULL
+UNION ALL
+SELECT event_id, '', 'dependentSchemas', 'dependent_schema_mismatch'
+FROM s WHERE count IS NOT NULL AND other IS NULL
+UNION ALL
+SELECT event_id, '/extra', 'schema', 'false_schema_mismatch'
+FROM s WHERE extra IS NOT NULL
+UNION ALL
+SELECT event_id, '', 'unevaluatedProperties', 'unevaluated_property_mismatch'
+FROM s WHERE extra IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -739,6 +865,7 @@ def all_queries():
         "kw_numeric_lineitem": kw_numeric_lineitem,
         "kw_string_customer": kw_string_customer,
         "kw_const_ifthen": kw_const_ifthen,
+        "kw_dependent_applicators_events": kw_dependent_applicators_events,
         "stats_numeric_lineitem": stats_numeric_lineitem,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
@@ -782,6 +909,7 @@ def all_oracles():
         "kw_numeric_lineitem": ORACLE_NUMERIC_LINEITEM,
         "kw_string_customer": ORACLE_STRING_CUSTOMER,
         "kw_const_ifthen": ORACLE_CONST_IFTHEN,
+        "kw_dependent_applicators_events": ORACLE_DEP_APPLICATORS,
         "stats_numeric_lineitem": ORACLE_STATS_LINEITEM,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
@@ -946,7 +1074,7 @@ WITH v AS (
   FROM documents)
 SELECT doc_id % 8 AS partition,
        count(*) AS doc_count,
-       sum(CASE WHEN valid THEN 1 ELSE 0 END) AS valid_count,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS valid_count,
        bool_and(valid) AS passed
 FROM v GROUP BY 1 ORDER BY 1
 """

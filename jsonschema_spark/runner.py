@@ -141,7 +141,9 @@ class ValidationJob:
         data_schema = docs.drop("_bucket").schema
         plan = SparkPlanCompiler(cfg.schema, assert_format=cfg.assert_format)
         root = F.struct(*[F.col(f.name) for f in data_schema.fields])
-        violations = plan.violations_column(data_schema, root)
+        stages: list = []
+        violations = plan.violations_column(data_schema, root, stages=stages)
+        docs = plan.attach_stages(docs, stages)
         spans = F.col(cfg.spans_col)
         # ONE pass over the heavy spans arrays: derive every small column the
         # downstream branches need, then DROP the spans. The persisted batch
@@ -239,7 +241,12 @@ class ValidationJob:
             )
             seq_viol = (
                 ours.join(ref_spans, cfg.doc_id_col, "left")
-                .filter(F.col("_ref_dig").isNull() | (F.col("_our_dig") != F.col("_ref_dig")))
+                .filter(
+                    # null-safe: a NULL docs-side digest vs a real reference
+                    # digest must be reported, not dropped by 3VL
+                    F.col("_ref_dig").isNull()
+                    | ~F.col("_our_dig").eqNullSafe(F.col("_ref_dig"))
+                )
                 .select(
                     cfg.doc_id_col,
                     "_bucket",

@@ -41,9 +41,13 @@ def validate_stream(
     from jsonschema_spark.plans.columns import SparkPlanCompiler
 
     plan = SparkPlanCompiler(schema, assert_format=assert_format)
-    return stream_df.withColumn(
-        violations_col, plan.violations_column(stream_df.schema)
-    ).withColumn(valid_col, F.size(F.col(violations_col)) == 0)
+    stages: list = []
+    v = plan.violations_column(stream_df.schema, stages=stages)
+    out = plan.attach_stages(stream_df, stages)
+    out = out.withColumn(violations_col, v).withColumn(
+        valid_col, F.size(F.col(violations_col)) == 0
+    )
+    return out.drop(*[n for n, _ in stages]) if stages else out
 
 
 def stream_violation_metrics(

@@ -56,6 +56,35 @@ def test_static_applicator_matches_scalar(spark, obj_df, schema):
         assert ev.validate(inst).valid == got_valid, (schema, inst)
 
 
+@pytest.mark.parametrize("schema", CASES, ids=lambda s: "+".join(sorted(s)))
+def test_static_applicator_violation_rows_match_scalar(spark, obj_df, schema):
+    """Violation ROWS, not just flags: (path, keyword, code) multisets must
+    agree typed-planner vs scalar core (guards e.g. double-emission of
+    dependentSchemas sub-violations — reference dependent_schemas.go:17-75)."""
+    import pyspark.sql.functions as SF
+
+    out = validate_dataframe(obj_df, schema)
+    got_rows = (
+        out.select(SF.col("x_code"), SF.explode_outer("violations").alias("v"))
+        .select("x_code", "v.instance_path", "v.keyword", "v.code")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in got_rows:
+        if r["instance_path"] is not None:
+            by_doc.setdefault(r["x_code"], []).append(
+                (r["instance_path"], r["keyword"], r["code"])
+            )
+    ev = Compiler().compile(schema)
+    for row in obj_df.collect():
+        inst = {k: v for k, v in row.asDict().items() if v is not None}
+        want = sorted(
+            (v.instance_path, v.keyword, v.code) for v in ev.validate(inst).violations
+        )
+        got = sorted(by_doc.get(row["x_code"], []))
+        assert got == want, (schema, inst, got, want)
+
+
 def test_unevaluated_items_static(spark):
     df = spark.createDataFrame([([1, 2, 3],), ([1],), ([],)], "arr array<int>")
     schema = {"properties": {"arr": {"prefixItems": [{}], "unevaluatedItems": False}}}

@@ -75,6 +75,11 @@ def test_reporting_outputs(spark):
     v = validate_dataframe(df, {"properties": {"name": {"minLength": 2}}})
     assert {r["id"]: r["valid"] for r in flag_output(v, ["id"]).collect()} == {1: True, 2: False}
     lst = list_output(v, ["id"]).collect()
-    assert [(r["id"], r["code"]) for r in lst] == [(2, "string_too_short")]
+    # leaf violation + the properties summary row (scalar-core parity)
+    assert sorted((r["id"], r["code"]) for r in lst) == [
+        (2, "property_mismatch"),
+        (2, "string_too_short"),
+    ]
     loc = localized_output(v, ["id"]).collect()
-    assert loc[0]["message"] == "string length is under minLength 2"
+    msgs = {r["code"]: r["message"] for r in loc}
+    assert msgs["string_too_short"] == "string length is under minLength 2"

@@ -11,7 +11,7 @@ from __future__ import annotations
 import re
 from typing import Any, Callable
 
-from jsonschema_spark import metaschemas
+from jsonschema_spark import dialects, metaschemas
 from jsonschema_spark.evaluator import EvaluationResult, Evaluator
 from jsonschema_spark.json_values import loads_exact, to_exact
 from jsonschema_spark.registry import Registry
@@ -78,11 +78,41 @@ class Compiler:
     def __init__(self, loader: Callable[[str], Any] | None = None) -> None:
         self._loader = loader
         self._assert_format = False
+        self._default_dialect = dialects.DRAFT_2020_12
         self._cache: dict[int, CompiledSchema] = {}
 
     def set_assert_format(self, enabled: bool) -> "Compiler":
         self._assert_format = enabled
         return self
+
+    def set_default_dialect(self, dialect: str) -> "Compiler":
+        """Dialect assumed when a schema has no `$schema` (reference:
+        dialect.go SetDefaultDialect). Accepts a dialect constant from
+        `jsonschema_spark.dialects` or a metaschema URI."""
+        d = dialects.dialect_from_uri(dialect) if dialect.startswith("http") else dialect
+        if d not in (
+            dialects.DRAFT_2020_12,
+            dialects.DRAFT_2019_09,
+            dialects.DRAFT_7,
+            dialects.DRAFT_6,
+            dialects.DRAFT_4,
+        ):
+            raise SchemaCompileError(f"unsupported dialect: {dialect!r}")
+        self._default_dialect = d
+        return self
+
+    def _wrapped_loader(self) -> Callable[[str], Any] | None:
+        if self._loader is None:
+            return None
+        loader, default = self._loader, self._default_dialect
+
+        def load(uri: str) -> Any:
+            # remote documents are normalized under THEIR $schema, falling
+            # back to the compiler's default dialect (reference: dialect
+            # inheritance in applyDialects)
+            return dialects.normalize_schema(loader(uri), default)
+
+        return load
 
     def compile(self, schema: Any, uri: str = "", *, validate_regex: bool = True) -> CompiledSchema:
         """Compile a schema given as dict/bool, or as JSON text/bytes."""
@@ -97,7 +127,9 @@ class Compiler:
             if problems:
                 raise SchemaCompileError("; ".join(problems))
 
-        registry = Registry(loader=self._loader)
+        schema = dialects.normalize_schema(schema, self._default_dialect)
+
+        registry = Registry(loader=self._wrapped_loader())
         metaschemas.register_metaschemas(registry)
         root_uri = registry.register(schema, uri)
 
@@ -131,7 +163,10 @@ class Compiler:
         if isinstance(meta, dict):
             vocab = meta.get("$vocabulary")
             if isinstance(vocab, dict):
-                if metaschemas.VOCAB_VALIDATION not in vocab:
+                if (
+                    metaschemas.VOCAB_VALIDATION not in vocab
+                    and metaschemas.VOCAB_VALIDATION_2019 not in vocab
+                ):
                     no_validation = True
                 if vocab.get(metaschemas.VOCAB_FORMAT_ASSERTION) is not None:
                     assert_format = True

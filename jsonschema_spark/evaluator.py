@@ -411,7 +411,18 @@ class Evaluator:
         if "type" in s:
             declared = s["type"]
             types = declared if isinstance(declared, list) else [declared]
-            if not any(_type_matches(t, v) for t in types if isinstance(t, str)):
+            ok = any(_type_matches(t, v) for t in types if isinstance(t, str))
+            if (
+                ok
+                and s.get("x-d4-strict-integer") is True
+                and isinstance(v, Fraction)
+                and "number" not in types
+            ):
+                # draft-04 lexical integers: a float-written 1.0 parses as
+                # Fraction (ints stay int in loads_exact) and is NOT an
+                # integer in draft-04 (suite draft4/type.json)
+                ok = False
+            if not ok:
                 res.fail(
                     path,
                     "type",
@@ -521,7 +532,7 @@ class Evaluator:
             elif bad:
                 res.fail(path, "prefixItems", "prefix_items_mismatch", indexs=", ".join(map(str, bad)))
 
-        if "items" in s:
+        if "items" in s and isinstance(s["items"], (dict, bool)):
             bad = []
             for i in range(prefix_len, n):
                 sub = self._eval(s["items"], v[i], _ptr(path, i), ctx)

@@ -238,7 +238,13 @@ ALL_DOCUMENTS: dict[str, dict[str, Any]] = {
 }
 
 
+VOCAB_VALIDATION_2019 = "https://json-schema.org/draft/2019-09/vocab/validation"
+
+
 def register_metaschemas(registry: Any) -> None:
     for uri, doc in ALL_DOCUMENTS.items():
         if uri not in registry.resources:
             registry.register(doc, uri)
+    from jsonschema_spark.metaschemas_legacy import register_legacy_metaschemas
+
+    register_legacy_metaschemas(registry)

@@ -265,6 +265,9 @@ class SparkPlanCompiler:
     """
 
     def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+        from jsonschema_spark.dialects import normalize_schema
+
+        schema = normalize_schema(schema)  # accept legacy dialects via $schema
         self.schema = schema
         self.assert_format = assert_format
         self.registry = Registry()
@@ -906,7 +909,7 @@ class SparkPlanCompiler:
             )
         )
 
-        if "items" in s:
+        if "items" in s and isinstance(s["items"], (dict, bool)):
             branch = s["items"]
             # per-element violations via transform → flatten (no shuffle)
             def _elem_violations(x: Column, i: Column) -> Column:
@@ -953,7 +956,7 @@ class SparkPlanCompiler:
             if max_c is not None:
                 add(matches > int(max_c), "maxContains", "contains_too_many_items", {"max_contains": F.lit(int(max_c))})
 
-        if "unevaluatedItems" in s and "items" not in s:
+        if "unevaluatedItems" in s and not isinstance(s.get("items"), (dict, bool)):
             # static resolution (SURVEY §2.3): with no `items`, evaluated
             # indexes are [0, len(prefixItems)) plus contains-matched elements
             branch = s["unevaluatedItems"]

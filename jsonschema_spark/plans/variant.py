@@ -100,6 +100,9 @@ class _Node:
 
 class VariantPlanCompiler:
     def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+        from jsonschema_spark.dialects import normalize_schema
+
+        schema = normalize_schema(schema)  # accept legacy dialects via $schema
         self.schema = schema
         self.assert_format = assert_format
         self.registry = Registry()

@@ -54,14 +54,21 @@ def remote_loader(uri: str) -> Any:
     raise KeyError(f"no loader for {uri}")
 
 
-def load_cases(filename: str) -> list[dict[str, Any]]:
-    path = os.path.join(DRAFT_DIR, filename)
+def load_cases(filename: str, draft: str = "draft2020-12") -> list[dict[str, Any]]:
+    path = os.path.join(SUITE_ROOT, "tests", draft, filename)
     with open(path, "rb") as f:
         return loads_exact(f.read())
 
 
-def iter_tests(filename: str):
+def draft_files(draft: str) -> list[str]:
+    d = os.path.join(SUITE_ROOT, "tests", draft)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+
+def iter_tests(filename: str, draft: str = "draft2020-12"):
     """Yield (case_desc, test_desc, schema, data, valid) tuples."""
-    for case in load_cases(filename):
+    for case in load_cases(filename, draft):
         for test in case["tests"]:
             yield case["description"], test["description"], case["schema"], test["data"], test["valid"]

@@ -29,9 +29,18 @@ def ks_statistic(
     group_a: str,
     group_b: str,
     *,
-    n_buckets: int | None = None,
+    n_buckets: int | None = 1024,
+    exact: bool = False,
 ) -> DataFrame:
-    """One row: (ks:double). Exact over distinct values, or bucketed at scale."""
+    """One row: (ks:double).
+
+    DEFAULT is the bucketed ECDF (n_buckets=1024): the windowed relation is
+    bounded at n_buckets rows regardless of input size, so the single-task
+    cumulative window is O(n_buckets) — the only mode that survives 10^12
+    rows. Pass exact=True (small/known cardinality only) for the per-distinct-
+    value ECDF, whose window funnels every distinct value through one task."""
+    if exact:
+        n_buckets = None
     d = df.filter(F.col(group_col).isin(group_a, group_b)).select(
         F.col(value_col).cast("double").alias("v"), F.col(group_col).alias("g")
     ).filter(F.col("v").isNotNull())

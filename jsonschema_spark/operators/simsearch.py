@@ -12,7 +12,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity", "brute_force_topk", "hyperplane_signature", "ann_topk", "cosine_near_dup_pairs", "ivf_topk"]
+__all__ = [
+    "cosine_similarity",
+    "brute_force_topk",
+    "hyperplane_projections",
+    "band_keys",
+    "infer_dim",
+    "ann_topk",
+    "cosine_near_dup_pairs",
+    "ivf_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -61,10 +70,7 @@ def brute_force_topk(
     )
 
 
-_MAX_LSH_DIM = 1024
-
-
-def _plane_signs(p: int, dim: int = _MAX_LSH_DIM) -> list[float]:
+def _plane_signs(p: int, dim: int) -> list[float]:
     """Deterministic ±1 normal for plane p (sha256-derived; no stored model)."""
     import hashlib
 
@@ -77,27 +83,63 @@ def _plane_signs(p: int, dim: int = _MAX_LSH_DIM) -> list[float]:
     return out[:dim]
 
 
-def hyperplane_signature(vec: Column, *, n_planes: int = 16, dim: int | None = None) -> Column:
-    """Deterministic random-hyperplane LSH signature (int bitmask).
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first row (driver-side, plan time)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension from column {vec_col!r}")
+    return int(row["d"])
 
-    The ±1 sign matrix is a compile-time constant, generated driver-side and
-    inlined as literal arrays (computing it per row via hash expressions cost
-    n_planes x dim hashes PER ROW — measured the dominant LSH cost)."""
-    def plane_bit(p: int) -> Column:
-        signs = F.slice(
-            F.lit(_plane_signs(p, dim or _MAX_LSH_DIM)), 1, F.size(vec)
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, signs, lambda x, r: x * r),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    sig = plane_bit(0)
-    for p in range(1, n_planes):
-        sig = sig + plane_bit(p)
-    return sig
+def hyperplane_projections(vec: Column, n_planes: int, dim: int) -> Column:
+    """All n_planes hyperplane projections of `vec` in ONE array traversal.
+
+    The ±1 sign matrix is a compile-time literal laid out dim × n_planes so a
+    single zip_with+aggregate folds every plane at once (the MinHash
+    array-accumulator trick — one fold per plane was n_planes full
+    re-traversals, the dominant LSH cost). Vectors whose size differs from
+    `dim` yield NULL (callers must filter size(vec) == dim; no silent
+    truncation — the sign matrix is generated at the actual dimension)."""
+    rows = [_plane_signs(p, dim) for p in range(n_planes)]
+    by_dim = F.array(
+        *[F.lit([rows[p][i] for p in range(n_planes)]) for i in range(dim)]
+    )
+    contrib = F.zip_with(vec, by_dim, lambda x, srow: F.transform(srow, lambda s: x * s))
+    proj = F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+    )
+    return F.when(F.size(vec) == dim, proj)
+
+
+def band_keys(proj: Column, bands: int, rows_per_band: int) -> Column:
+    """array<long> of per-band bucket keys from a projections array.
+
+    Banded OR-construction: two vectors are candidates when ANY band's
+    rows_per_band sign bits all agree — recall 1-(1-p^r)^b for per-plane
+    agreement p = 1 - θ/π. More rows_per_band → more buckets (2^r per band,
+    so the bucket count scales with the corpus); more bands → higher recall."""
+    keys = []
+    for b in range(bands):
+        bits: Column | None = None
+        for j in range(rows_per_band):
+            bit = (F.element_at(proj, b * rows_per_band + j + 1) > 0).cast("long") * (1 << j)
+            bits = bit if bits is None else bits + bit
+        keys.append(bits)
+    return F.array(*keys)
+
+
+def _banded(df: DataFrame, id_out: str, vec: Column, bands: int, rows_per_band: int, dim: int) -> DataFrame:
+    """(id_out, band, key) — one row per (vector, band)."""
+    proj = df.withColumn("__proj", hyperplane_projections(vec, bands * rows_per_band, dim))
+    return (
+        proj.filter(F.col("__proj").isNotNull())
+        .select(
+            id_out,
+            F.posexplode(band_keys(F.col("__proj"), bands, rows_per_band)).alias("band", "key"),
+        )
+    )
 
 
 def ann_topk(
@@ -109,22 +151,46 @@ def ann_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 5,
-    n_planes: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: join on LSH bucket, exact cosine within bucket.
+    """Approximate top-k: banded hyperplane LSH candidates, exact cosine rank.
 
-    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
-    recall, more compute). At scale, bucket the corpus ONCE (write bucketed
-    parquet/Iceberg clustered by signature) and probe per query.
+    Multi-band OR-construction (not a single signature): a corpus vector is a
+    candidate for a query when any band agrees, so recall stays high while
+    per-band bucket count (2^rows_per_band) keeps buckets small — the shape
+    that survives 10^9 vectors. Candidates are deduped on bare (query, id)
+    pairs BEFORE vectors are re-attached for exact scoring.
     """
-    c = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), n_planes=n_planes))
-    q = queries.withColumn("__sig", hyperplane_signature(F.col(query_vec_col), n_planes=n_planes))
-    joined = c.join(F.broadcast(q), "__sig")
-    sim = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
-    scored = joined.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        sim.alias("cosine"),
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
+    c_keys = _banded(
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v")),
+        "__cid", F.col("__v"), bands, rows_per_band, dim,
+    )
+    q_keys = _banded(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__v")),
+        "__qid", F.col("__v"), bands, rows_per_band, dim,
+    )
+    cand = (
+        c_keys.join(F.broadcast(q_keys), ["band", "key"])
+        .select("__qid", "__cid")
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")), "__cid")
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv"))
+            ),
+            "__qid",
+        )
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -140,23 +206,42 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
-    Scale path: candidates bucket on the random-hyperplane signature (near-
-    identical vectors share all sign bits with high probability), exact cosine
-    verifies within buckets — the embedding analogue of MinHash+LSH dedup."""
-    sig = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), n_planes=n_planes).alias("sig"),
+    Scale path: banded hyperplane LSH (OR over `bands` bands of
+    `rows_per_band` sign bits — the same multi-table construction as the
+    MinHash dedup path), pair-dedup on bare ids, then exact cosine
+    verification with vectors re-attached. Per-band bucket domain is
+    2^rows_per_band, so bucket granularity scales with the corpus instead of
+    capping at 2^n_planes global buckets. Recall ≈ 1-(1-p^r)^b with
+    p = 1 - arccos(threshold)/π; defaults give ~0.97 at threshold 0.95."""
+    if dim is None:
+        dim = infer_dim(emb, vec_col)
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    keyed = _banded(base, "id", F.col("vec"), bands, rows_per_band, dim)
+    a = keyed.select(F.col("id").alias("id_a"), "band", "key")
+    b = keyed.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # dedup on bare ids BEFORE re-attaching vectors
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "sig")
-    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "sig")
-    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
-    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+    # normalize ONCE per vector so each verified pair folds a single dot
+    # product instead of dot + 2 norms (3x fewer array traversals)
+    unit = base.select(
+        "id", F.transform("vec", lambda x: x / _norm(F.col("vec"))).alias("u")
+    )
+    verified = (
+        cand.join(unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a")), "id_a")
+        .join(unit.select(F.col("id").alias("id_b"), F.col("u").alias("u_b")), "id_b")
+    )
+    cos = _dot(F.col("u_a"), F.col("u_b"))
+    return verified.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
 

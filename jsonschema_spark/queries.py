@@ -422,6 +422,8 @@ FROM orders
 
 
 def ks_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift in the DEFAULT (bucketed, scale-safe) mode — the windowed
+    relation is bounded at 1024 rows however large events gets."""
     from jsonschema_spark.operators.drift import ks_statistic
 
     e = _t(spark, sf_dir, "events")
@@ -430,11 +432,18 @@ def ks_click_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KS = """
-WITH per_value AS (
-  SELECT value AS v,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
-         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
-  FROM events WHERE event_type IN ('click','view') GROUP BY 1),
+WITH d AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+  FROM events WHERE event_type IN ('click','view') AND value IS NOT NULL),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+bucketed AS (
+  SELECT least(1023, floor((v - lo) / ((hi - lo) / 1024 + 1e-300))) AS v, g
+  FROM d, bounds),
+per_value AS (
+  SELECT v,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM bucketed GROUP BY 1),
 ecdf AS (
   SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
          sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
@@ -712,7 +721,7 @@ def ann_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ann_topk(emb, queries, k=5, n_planes=8)
+    return ann_topk(emb, queries, k=5, bands=4, rows_per_band=6)
 
 
 def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1011,14 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return cosine_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.5, n_planes=6)
+    # 0.5 is the lowest threshold this corpus supports; at 0.5 the per-plane
+    # agreement is 2/3, so candidate pruning is inherently weak (any banding
+    # with recall→1 admits ~all pairs — LSH's regime is ≥0.9 thresholds,
+    # where the operator's defaults prune aggressively). 8 bands × 4 bits ⇒
+    # recall ≈ 1-(1-(2/3)^4)^8 ≈ 0.83 with ~6% of pairs admitted.
+    return cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.5, bands=8, rows_per_band=4
+    )
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,13 +76,36 @@ class Compiler:
     """Driver-side schema compiler with a URI cache and pluggable loaders."""
 
     def __init__(self, loader: Callable[[str], Any] | None = None) -> None:
+        from jsonschema_spark.evaluator import default_decoders, default_media_types
+
         self._loader = loader
         self._assert_format = False
+        self._assert_content = False
+        self._decoders = default_decoders()
+        self._media_types = default_media_types()
         self._default_dialect = dialects.DRAFT_2020_12
         self._cache: dict[int, CompiledSchema] = {}
 
     def set_assert_format(self, enabled: bool) -> "Compiler":
         self._assert_format = enabled
+        return self
+
+    def set_assert_content(self, enabled: bool) -> "Compiler":
+        """Evaluate contentEncoding/contentMediaType/contentSchema as
+        assertions (reference: content.go; 2020-12 default is annotation)."""
+        self._assert_content = enabled
+        return self
+
+    def register_decoder(self, encoding: str, fn: Callable[[str], bytes]) -> "Compiler":
+        """Custom contentEncoding decoder (reference: compiler.go
+        RegisterDecoder)."""
+        self._decoders[encoding] = fn
+        return self
+
+    def register_media_type(self, media_type: str, fn: Callable[[bytes], Any]) -> "Compiler":
+        """Custom contentMediaType unmarshaller (reference: compiler.go
+        RegisterMediaType)."""
+        self._media_types[media_type] = fn
         return self
 
     def set_default_dialect(self, dialect: str) -> "Compiler":
@@ -139,8 +162,49 @@ class Compiler:
             registry,
             assert_format=assert_format or self._assert_format,
             no_validation=no_validation,
+            assert_content=self._assert_content,
+            decoders=self._decoders,
+            media_types=self._media_types,
         )
         return CompiledSchema(evaluator, root_uri)
+
+    def validate_schema(self, schema: Any) -> EvaluationResult:
+        """Validate a schema DOCUMENT against its metaschema (reference:
+        metaschema.go ValidateSchema). The metaschema is chosen from the
+        document's `$schema`, falling back to the compiler's default dialect;
+        all five supported drafts' metaschemas are embedded."""
+        from jsonschema_spark.metaschemas_legacy import (
+            DRAFT_2019_URI,
+            DRAFT_4_URI,
+            DRAFT_6_URI,
+            DRAFT_7_URI,
+        )
+
+        if isinstance(schema, (str, bytes)):
+            schema = loads_exact(schema)
+        dialect_meta = {
+            dialects.DRAFT_2020_12: metaschemas.DRAFT_2020_12,
+            dialects.DRAFT_2019_09: DRAFT_2019_URI,
+            dialects.DRAFT_7: DRAFT_7_URI,
+            dialects.DRAFT_6: DRAFT_6_URI,
+            dialects.DRAFT_4: DRAFT_4_URI,
+        }
+        meta_uri = dialect_meta[self._default_dialect]
+        if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+            meta_uri = schema["$schema"].split("#", 1)[0]
+
+        registry = Registry(loader=self._wrapped_loader())
+        metaschemas.register_metaschemas(registry)
+        if meta_uri in registry.resources:
+            meta = registry.resources[meta_uri]
+        else:
+            loader = self._wrapped_loader()
+            if loader is None:
+                raise SchemaCompileError(f"unknown metaschema: {meta_uri!r} (no loader)")
+            meta = loader(meta_uri)
+            registry.register(meta, meta_uri)
+        evaluator = Evaluator(meta, registry)
+        return evaluator.validate(to_exact(schema))
 
     def _dialect_flags(self, schema: Any, registry: Registry) -> tuple[bool, bool]:
         """Vocabulary-driven behavior from the declared $schema

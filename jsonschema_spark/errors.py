@@ -83,6 +83,17 @@ EN_MESSAGES: dict[str, str] = {
 
 _LOCALES: dict[str, dict[str, str]] = {"en": EN_MESSAGES}
 
+# built-in catalogs: same locale set as the reference (i18n/i18n.go:29)
+from jsonschema_spark.locales import BUILTIN_LOCALES as _BUILTIN  # noqa: E402
+
+_LOCALES.update(_BUILTIN)
+
+
+def catalog_for(locale: str) -> dict[str, str]:
+    """The catalog for a locale (English when unknown) — used by JVM-side
+    rendering to build the message-map literal."""
+    return _LOCALES.get(locale, EN_MESSAGES)
+
 _PLACEHOLDER = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 

@@ -114,12 +114,26 @@ class EvaluationResult:
 
 
 class _Ctx:
-    __slots__ = ("registry", "assert_format", "no_validation", "scope_bases", "depth", "regex_cache")
+    __slots__ = (
+        "registry", "assert_format", "no_validation", "scope_bases", "depth",
+        "regex_cache", "assert_content", "decoders", "media_types",
+    )
 
-    def __init__(self, registry: Registry, assert_format: bool, no_validation: bool):
+    def __init__(
+        self,
+        registry: Registry,
+        assert_format: bool,
+        no_validation: bool,
+        assert_content: bool = False,
+        decoders: dict | None = None,
+        media_types: dict | None = None,
+    ):
         self.registry = registry
         self.assert_format = assert_format
         self.no_validation = no_validation
+        self.assert_content = assert_content
+        self.decoders = decoders if decoders is not None else default_decoders()
+        self.media_types = media_types if media_types is not None else default_media_types()
         self.scope_bases: list[str] = []
         self.depth = 0
         self.regex_cache: dict[str, re.Pattern[str] | None] = {}
@@ -131,6 +145,22 @@ class _Ctx:
             except re.error:
                 self.regex_cache[pattern] = None
         return self.regex_cache[pattern]
+
+
+def default_decoders() -> dict:
+    """contentEncoding decoders (reference: compiler.go Decoders, base64
+    registered by default; strict alphabet like Go's base64.StdEncoding)."""
+    import base64
+
+    return {"base64": lambda s: base64.b64decode(s, validate=True)}
+
+
+def default_media_types() -> dict:
+    """contentMediaType unmarshallers (reference: compiler.go MediaTypes,
+    application/json by default; exact-number decoding)."""
+    from jsonschema_spark.json_values import loads_exact
+
+    return {"application/json": lambda b: loads_exact(b)}
 
 
 def _is_number(v: Any) -> bool:
@@ -176,6 +206,9 @@ class Evaluator:
         *,
         assert_format: bool = False,
         no_validation: bool = False,
+        assert_content: bool = False,
+        decoders: dict | None = None,
+        media_types: dict | None = None,
         base_uri: str = "",
     ) -> None:
         self.schema = schema
@@ -184,11 +217,17 @@ class Evaluator:
             self.registry.register(schema, base_uri)
         self.assert_format = assert_format
         self.no_validation = no_validation
+        self.assert_content = assert_content
+        self.decoders = decoders
+        self.media_types = media_types
 
     # ------------------------------------------------------------------ public
 
     def validate(self, instance: Any) -> EvaluationResult:
-        ctx = _Ctx(self.registry, self.assert_format, self.no_validation)
+        ctx = _Ctx(
+            self.registry, self.assert_format, self.no_validation,
+            self.assert_content, self.decoders, self.media_types,
+        )
         res = self._eval(self.schema, instance, "", ctx)
         return EvaluationResult(res.valid, res.violations)
 
@@ -245,6 +284,8 @@ class Evaluator:
 
         if not ctx.no_validation:
             self._eval_assertions(s, v, path, ctx, res)
+            if ctx.assert_content and isinstance(v, str):
+                self._eval_content(s, v, path, ctx, res)
 
         # --- logical applicators -------------------------------------------
         if "allOf" in s and isinstance(s["allOf"], list):
@@ -404,6 +445,51 @@ class Evaluator:
                     "unevaluated_properties_mismatch",
                     properties=", ".join(sorted(bad_props)),
                 )
+
+    # ---------------------------------------------------------------- content
+
+    def _eval_content(self, s: dict, v: str, path: str, ctx: _Ctx, res: _Res) -> None:
+        """contentEncoding / contentMediaType / contentSchema as ASSERTIONS
+        (2020-12 treats them as annotations; this runs only under
+        assert_content — reference: content.go evaluateContent, which the
+        reference applies by default and excludes the affected suite cases)."""
+        enc = s.get("contentEncoding")
+        content: bytes
+        if isinstance(enc, str):
+            dec = ctx.decoders.get(enc)
+            if dec is None:
+                res.fail(path, "contentEncoding", "unsupported_encoding", encoding=enc)
+                return
+            try:
+                content = dec(v)
+            except Exception as exc:
+                res.fail(path, "contentEncoding", "invalid_encoding", encoding=enc, error=str(exc))
+                return
+        else:
+            content = v.encode("utf-8")
+
+        mt = s.get("contentMediaType")
+        parsed: Any = content
+        decoded = False
+        if isinstance(mt, str):
+            um = ctx.media_types.get(mt)
+            if um is None:
+                res.fail(path, "contentMediaType", "unsupported_media_type", media_type=mt)
+                return
+            try:
+                parsed = um(content)
+            except Exception as exc:
+                res.fail(
+                    path, "contentMediaType", "invalid_media_type", media_type=mt, error=str(exc)
+                )
+                return
+            decoded = True
+
+        if "contentSchema" in s and decoded:
+            sub = self._eval(s["contentSchema"], parsed, path, ctx)
+            if not sub.valid:
+                res.violations.extend(sub.violations)
+                res.fail(path, "contentSchema", "content_schema_mismatch")
 
     # ------------------------------------------------------------- assertions
 

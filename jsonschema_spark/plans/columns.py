@@ -264,12 +264,15 @@ class SparkPlanCompiler:
     plan time (reference resolves refs at compile: ref.go resolveRef).
     """
 
-    def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+    def __init__(
+        self, schema: Any, *, assert_format: bool = True, assert_content: bool = False
+    ) -> None:
         from jsonschema_spark.dialects import normalize_schema
 
         schema = normalize_schema(schema)  # accept legacy dialects via $schema
         self.schema = schema
         self.assert_format = assert_format
+        self.assert_content = assert_content
         self.registry = Registry()
         self.registry.register(schema, "")
         self._stages: list[tuple[str, Column]] | None = None
@@ -390,6 +393,13 @@ class SparkPlanCompiler:
 
         self._compile_assertions(schema, val, add, present)
 
+        if (
+            self.assert_content
+            and isinstance(val.dtype, T.StringType)
+            and ("contentEncoding" in schema or "contentMediaType" in schema)
+        ):
+            self._compile_content(schema, val, add, parts, valids, present)
+
         # ---- type-directed recursion ------------------------------------
         if isinstance(val.dtype, T.StructType):
             self._compile_object(schema, val, parts, valids, present, depth)
@@ -407,6 +417,51 @@ class SparkPlanCompiler:
         for c in valids:
             valid = valid & c
         return _Node(valid=valid, violations=_concat_violations(parts))
+
+    # ---------------------------------------------------------------- content
+
+    def _compile_content(self, s: dict, val: _Val, add, parts, valids, present: Column) -> None:
+        """Content vocabulary as assertions, lowered JVM-side for the
+        built-in base64 + application/json handlers (try_to_binary /
+        try_parse_json return NULL on malformed input); contentSchema runs
+        through the Variant planner on the parsed value (reference:
+        content.go evaluateContent)."""
+        enc = s.get("contentEncoding")
+        decoded: Column | None = None
+        if isinstance(enc, str):
+            if enc != "base64":
+                add(F.lit(True), "contentEncoding", "unsupported_encoding", {"encoding": F.lit(enc)})
+                return
+            decoded = F.try_to_binary(val.col, F.lit("base64"))
+            add(decoded.isNull(), "contentEncoding", "invalid_encoding", {"encoding": F.lit(enc)})
+        mt = s.get("contentMediaType")
+        if not isinstance(mt, str):
+            return
+        if mt != "application/json":
+            add(F.lit(True), "contentMediaType", "unsupported_media_type", {"media_type": F.lit(mt)})
+            return
+        text = decoded.cast("string") if decoded is not None else val.col
+        parsed = F.try_parse_json(text)
+        decode_ok = decoded.isNotNull() if decoded is not None else F.lit(True)
+        add(decode_ok & parsed.isNull(), "contentMediaType", "invalid_media_type", {"media_type": F.lit(mt)})
+        if "contentSchema" in s:
+            from jsonschema_spark.plans.variant import (
+                VariantCompileError,
+                VariantPlanCompiler,
+            )
+
+            try:
+                vp = VariantPlanCompiler(s["contentSchema"], assert_format=self.assert_format)
+            except VariantCompileError as exc:
+                raise PlanCompileError(f"contentSchema needs the UDF path: {exc}") from exc
+            sub_v = vp.violations_column(parsed, val.path)
+            ok = _safe(parsed.isNotNull())
+            parts.append(F.when(ok, sub_v).otherwise(_empty_violations()))
+            mismatch = _safe(ok & (F.size(sub_v) > 0))
+            parts.append(
+                _cond_violation(mismatch, val.path, "contentSchema", "content_schema_mismatch")
+            )
+            valids.append(~mismatch)
 
     # -------------------------------------------------------------- assertions
 

@@ -136,7 +136,9 @@ class VariantPlanCompiler:
     # ------------------------------------------------------------------ public
 
     def violations_column(self, variant_col: Column, root_path: Column | None = None) -> Column:
-        node = self._compile(self.schema, variant_col, root_path or F.lit(""), 0)
+        node = self._compile(
+            self.schema, variant_col, root_path if root_path is not None else F.lit(""), 0
+        )
         return node.violations
 
     def valid_column(self, variant_col: Column) -> Column:

@@ -777,6 +777,51 @@ HAVING sum(CASE WHEN off > 450 AND text IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
+# ----- content vocabulary assertions (reference content.go; typed lowering
+# via try_to_binary + try_parse_json + Variant contentSchema) ----------------
+
+CONTENT_SCHEMA = {
+    "properties": {
+        "payload": {
+            "contentEncoding": "base64",
+            "contentMediaType": "application/json",
+            "contentSchema": {
+                "type": "object",
+                "required": ["k"],
+                "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}},
+            },
+        }
+    }
+}
+
+
+def content_validate_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64-encoded JSON payloads decode-and-validate fully JVM-side
+    (corrupted deterministically for 1 in 7 events to exercise the
+    invalid_encoding path)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.concat(F.base64(F.col("props").cast("binary")), F.lit("!")))
+        .otherwise(F.base64(F.col("props").cast("binary")))
+        .alias("payload"),
+    )
+    out = SparkPlanCompiler(CONTENT_SCHEMA, assert_content=True).apply(e)
+    return out.select("event_id", "valid")
+
+
+ORACLE_CONTENT_PROPS = """
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN FALSE
+            WHEN json_valid(props) AND json_type(props) IS NOT NULL THEN
+              (json_type(json_extract(props, '$')) = 'OBJECT'
+               AND json_extract(props, '$.k') IS NOT NULL
+               AND json_type(json_extract(props, '$.k')) IN ('BIGINT','UBIGINT')
+               AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 90)
+            ELSE FALSE END AS valid
+FROM events
+"""
+
+
 # ----- object-applicator violation rows (dependentSchemas / patternProperties
 # / unevaluatedProperties — reference dependent_schemas.go:17-75,
 # pattern_properties.go, unevaluated shape) ---------------------------------
@@ -875,6 +920,7 @@ def all_queries():
         "kw_string_customer": kw_string_customer,
         "kw_const_ifthen": kw_const_ifthen,
         "kw_dependent_applicators_events": kw_dependent_applicators_events,
+        "content_validate_props": content_validate_props,
         "stats_numeric_lineitem": stats_numeric_lineitem,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
@@ -919,6 +965,7 @@ def all_oracles():
         "kw_string_customer": ORACLE_STRING_CUSTOMER,
         "kw_const_ifthen": ORACLE_CONST_IFTHEN,
         "kw_dependent_applicators_events": ORACLE_DEP_APPLICATORS,
+        "content_validate_props": ORACLE_CONTENT_PROPS,
         "stats_numeric_lineitem": ORACLE_STATS_LINEITEM,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jsonschema_spark.errors import EN_MESSAGES
+from jsonschema_spark.errors import EN_MESSAGES, catalog_for, locales
 
 __all__ = ["flag_output", "list_output", "localized_output", "partition_verdicts"]
 
@@ -37,13 +37,15 @@ def list_output(
     return out.orderBy(*id_cols, "instance_path", "keyword")
 
 
-def _message_map() -> Column:
+def _message_map(locale: str = "en") -> Column:
     """locale catalog as a MapType literal — template substitution happens in
-    one JVM expression (codes stay the contract; messages are presentation)."""
+    one JVM expression (codes stay the contract; messages are presentation).
+    Codes missing from a locale fall back to English, like render_message."""
+    catalog = catalog_for(locale)
     kv: list[Column] = []
-    for code, msg in sorted(EN_MESSAGES.items()):
+    for code, en_msg in sorted(EN_MESSAGES.items()):
         kv.append(F.lit(code))
-        kv.append(F.lit(msg))
+        kv.append(F.lit(catalog.get(code, en_msg)))
     return F.create_map(*kv)
 
 
@@ -59,13 +61,14 @@ def localized_output(
     Message templates come from the locale catalog; `{param}` placeholders
     are filled from the violation's params map. Template substitution runs
     JVM-side via aggregate over the params entries (no Python)."""
-    if locale != "en":
-        # non-en catalogs are user-registered (errors.register_locale);
-        # rendering those goes through render_message on collect
-        raise NotImplementedError("only the built-in 'en' catalog renders JVM-side")
+    if locale not in locales():
+        raise ValueError(
+            f"unknown locale {locale!r}; registered: {locales()} "
+            "(add catalogs via errors.register_locale)"
+        )
     rows = validated.select(*id_cols, F.explode(violations_col).alias("v"))
     template = F.coalesce(
-        F.element_at(_message_map(), F.col("v.code")), F.col("v.code")
+        F.element_at(_message_map(locale), F.col("v.code")), F.col("v.code")
     )
     message = F.aggregate(
         F.map_entries(F.col("v.params")),

@@ -66,6 +66,52 @@ def test_apply_defaults_nested_struct_and_array(spark):
     assert rows[1]["meta"]["b"] == "bb" and rows[1]["meta"]["a"] == "x"
 
 
+def test_dynamic_default_funcs(spark):
+    """`name(args)` string defaults invoke registered functions
+    (reference: default_funcs.go, unmarshal.go:595-632)."""
+    from pyspark.sql import functions as SF
+
+    from jsonschema_spark.operators.defaults import (
+        DEFAULT_FUNCS,
+        apply_defaults,
+        default_now_func,
+        register_default_func,
+    )
+
+    register_default_func("seq_from", lambda start: SF.lit(int(start) + 41))
+    register_default_func("now", default_now_func)
+    try:
+        df = spark.createDataFrame([(1, None), (2, 7)], "id int, v int")
+        out = {r["id"]: r["v"] for r in apply_defaults(df, {"properties": {"v": {"default": "seq_from(1)"}}}).collect()}
+        assert out == {1: 42, 2: 7}
+        # unregistered call form stays a literal string (reference behavior)
+        df2 = spark.createDataFrame([(1, None)], "id int, s string")
+        out2 = apply_defaults(df2, {"properties": {"s": {"default": "nope(1)"}}}).first()["s"]
+        assert out2 == "nope(1)"
+        # now(go-layout) renders a date via current_timestamp
+        df3 = spark.createDataFrame([(1, None)], "id int, d string")
+        got = apply_defaults(df3, {"properties": {"d": {"default": "now(2006-01-02)"}}}).first()["d"]
+        assert len(got) == 10 and got[4] == "-" and got[7] == "-"
+    finally:
+        DEFAULT_FUNCS.pop("seq_from", None)
+        DEFAULT_FUNCS.pop("now", None)
+
+
+def test_validate_schema_metaschema():
+    """Schema meta-validation API (reference: metaschema.go ValidateSchema)."""
+    from jsonschema_spark.compiler import Compiler
+
+    c = Compiler()
+    assert c.validate_schema({"type": "integer"}).valid
+    assert not c.validate_schema({"type": 1}).valid
+    assert not c.validate_schema(
+        {"$schema": "http://json-schema.org/draft-04/schema#", "minLength": -1}
+    ).valid
+    assert c.validate_schema(
+        {"$schema": "https://json-schema.org/draft/2019-09/schema", "$defs": {"x": {"type": "integer"}}}
+    ).valid
+
+
 def test_reporting_outputs(spark):
     """flag / list / localized renderers (reference result.go:187-298)."""
     from jsonschema_spark.plans.columns import validate_dataframe

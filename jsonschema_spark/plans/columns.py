@@ -277,19 +277,19 @@ class SparkPlanCompiler:
         self.registry.register(schema, "")
         self._stages: list[tuple[str, Column]] | None = None
         self._stage_n = 0
+        self._scope: list[str] = []  # static dynamic-scope base-URI stack
         self._audit(schema)
 
     @staticmethod
     def _audit(schema: Any, depth: int = 0) -> None:
-        """Refuse schemas the typed planner cannot honor rather than silently
-        under-enforcing them ($dynamicRef needs runtime dynamic scope —
-        validate.go:155-177; callers route those to the UDF evaluator).
-        Unknown keywords are annotations per 2020-12 and stay ignored."""
+        """Unknown keywords are annotations per 2020-12 and stay ignored.
+        $dynamicRef is handled by bounded static unrolling (the dynamic scope
+        at every compile point is statically known because the whole plan is
+        inlined; recursion terminates when the fixed StructType runs out of
+        matching fields, else _MAX_REF_DEPTH raises — SURVEY §4.2.5-6,
+        reference validate.go:155-177)."""
         if depth > 64 or not isinstance(schema, dict):
             return
-        for kw in ("$dynamicRef", "$dynamicAnchor"):
-            if kw in schema:
-                raise PlanCompileError(f"{kw} needs the dynamic-scope (UDF) path")
         for v in schema.values():
             if isinstance(v, dict):
                 SparkPlanCompiler._audit(v, depth + 1)
@@ -318,6 +318,7 @@ class SparkPlanCompiler:
             root = F.struct(*[F.col(f.name).alias(f.name) for f in df_schema.fields])
         self._stages = stages
         self._stage_n = 0
+        self._scope = []
         try:
             val = _Val(col=root, dtype=df_schema, path=_lit_path(""))
             node = self._compile(self.schema, val, 0)
@@ -369,9 +370,25 @@ class SparkPlanCompiler:
             raise PlanCompileError(f"schema must be dict/bool, got {type(schema)}")
         if depth > _MAX_REF_DEPTH:
             raise PlanCompileError(
-                f"$ref nesting exceeds {_MAX_REF_DEPTH}; recursive schemas need bounded unrolling"
+                f"$ref/$dynamicRef nesting exceeds {_MAX_REF_DEPTH}: the recursion "
+                "does not ground out in this DataFrame's static type (genuinely "
+                "unbounded — route to the scalar/UDF path)"
             )
+        # static dynamic-scope tracking: because the whole plan inlines, the
+        # dynamic scope at each compile point is exactly the chain of $id
+        # resources entered so far (mirrors evaluator.py _eval scope stack)
+        base = self.registry.base_of(schema)
+        pushed = False
+        if not self._scope or self._scope[-1] != base:
+            self._scope.append(base)
+            pushed = True
+        try:
+            return self._compile_dict(schema, val, depth)
+        finally:
+            if pushed:
+                self._scope.pop()
 
+    def _compile_dict(self, schema: dict, val: _Val, depth: int) -> _Node:
         parts: list[Column] = []
         valids: list[Column] = []
         present = val.col.isNotNull()
@@ -389,6 +406,18 @@ class SparkPlanCompiler:
             # scalar core adds a ref_mismatch summary on top of the target's
             # own violations (evaluator.py:235)
             parts.append(_cond_violation(_safe(~sub.valid), val.path, "$ref", "ref_mismatch"))
+            valids.append(sub.valid)
+
+        if "$dynamicRef" in schema and isinstance(schema["$dynamicRef"], str):
+            # bounded static unrolling: resolve through the statically-known
+            # scope chain; recursion grounds out when the fixed StructType
+            # runs out of matching fields (reference: validate.go:684-765)
+            target = self._resolve_dynamic_static(schema["$dynamicRef"], schema)
+            sub = self._compile(target, val, depth + 1)
+            parts.append(sub.violations)
+            parts.append(
+                _cond_violation(_safe(~sub.valid), val.path, "$dynamicRef", "dynamic_ref_mismatch")
+            )
             valids.append(sub.valid)
 
         self._compile_assertions(schema, val, add, present)
@@ -417,6 +446,22 @@ class SparkPlanCompiler:
         for c in valids:
             valid = valid & c
         return _Node(valid=valid, violations=_concat_violations(parts))
+
+    def _resolve_dynamic_static(self, ref: str, schema: dict) -> Any:
+        """$dynamicRef target under the STATIC scope chain (same algorithm as
+        evaluator.py _resolve_dynamic: bookended plain-name fragments search
+        the scope outermost-first; everything else behaves like $ref)."""
+        try:
+            target, _ = self.registry.resolve_ref(ref, schema, "")
+        except KeyError as exc:
+            raise PlanCompileError(f"unresolvable $dynamicRef: {ref!r}") from exc
+        frag = ref.split("#", 1)[1] if "#" in ref else ""
+        if frag and not frag.startswith("/"):
+            if isinstance(target, dict) and target.get("$dynamicAnchor") == frag:
+                hit = self.registry.find_dynamic(frag, self._scope)
+                if hit is not None:
+                    return hit
+        return target
 
     # ---------------------------------------------------------------- content
 
@@ -890,6 +935,12 @@ class SparkPlanCompiler:
                     for p in sub["patternProperties"]:
                         rx = _re.compile(p)
                         out |= {n for n in fields if rx.search(n)}
+                if "additionalProperties" in sub or "unevaluatedProperties" in sub:
+                    # additionalProperties (and a NESTED unevaluatedProperties)
+                    # evaluates every remaining key, so ALL fields count as
+                    # evaluated for the outer unevaluatedProperties (scalar
+                    # core marks them regardless of the verdict)
+                    out |= set(fields)
                 if "$ref" in sub and isinstance(sub["$ref"], str):
                     tgt, _ = self.registry.resolve_ref(sub["$ref"], sub, "")
                     out |= names_of(tgt)
@@ -897,7 +948,9 @@ class SparkPlanCompiler:
                     out |= names_of(b)
             return out
 
-        claimed |= names_of(s)
+        # the schema's OWN unevaluatedProperties is the keyword being
+        # compiled, not a claim source — strip it before the walk
+        claimed |= names_of({k: v for k, v in s.items() if k != "unevaluatedProperties"})
         for kw in ("anyOf", "oneOf"):
             for b in s.get(kw) or []:
                 branch_names = names_of(b)

@@ -51,9 +51,20 @@ _SUPPORTED = {
     "format", "required", "properties", "items", "prefixItems", "minItems",
     "maxItems", "uniqueItems", "contains", "minContains", "maxContains",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-    "dependentRequired", "$ref", "$defs", "definitions", "$id", "$schema",
-    "$anchor", "title", "description", "default", "examples", "deprecated",
-    "readOnly", "writeOnly", "$comment",
+    "dependentRequired", "dependentSchemas", "$ref", "$defs", "definitions",
+    "$id", "$schema", "$anchor", "title", "description", "default",
+    "examples", "deprecated", "readOnly", "writeOnly", "$comment",
+    # dynamic-object residue: key enumeration via cast(variant AS
+    # map<string,variant>) keeps these JVM-side (no UDF fallback)
+    "patternProperties", "additionalProperties", "propertyNames",
+    "minProperties", "maxProperties", "unevaluatedProperties",
+}
+
+# propertyNames subschemas evaluate against the key STRING; only these
+# keywords are expressible as plain string-column predicates
+_NAME_SCHEMA_KEYWORDS = {
+    "type", "pattern", "minLength", "maxLength", "enum", "const", "format",
+    "title", "description", "$comment",
 }
 
 
@@ -61,8 +72,24 @@ class VariantCompileError(ValueError):
     pass
 
 
+def _uneval_claims_static(s: Any) -> bool:
+    """True when unevaluatedProperties' claim set is fully static: the
+    in-place applicator tree (this schema + allOf descendants) has no
+    conditional branch or $ref whose annotations would flow at runtime."""
+    if not isinstance(s, dict):
+        return True
+    if any(k in s for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas", "$ref")):
+        return False
+    return all(_uneval_claims_static(b) for b in s.get("allOf") or [])
+
+
 def _vtype(v: Column) -> Column:
     return F.schema_of_variant(v)
+
+
+def _esc_key(k: Column) -> Column:
+    """JSON-pointer token escaping for a runtime key column."""
+    return F.replace(F.replace(k, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1"))
 
 
 def _is_number_t(t: Column) -> Column:
@@ -115,7 +142,7 @@ class VariantPlanCompiler:
         for kw, sub in schema.items():
             if kw not in _SUPPORTED:
                 raise VariantCompileError(f"keyword {kw!r} needs the UDF path")
-            if kw in ("properties", "required", "dependentRequired"):
+            if kw in ("properties", "required", "dependentRequired", "dependentSchemas"):
                 names = sub.keys() if isinstance(sub, dict) else (sub if isinstance(sub, list) else [])
                 for name in names:
                     if not isinstance(name, str) or "'" in name or "\\" in name or any(
@@ -124,14 +151,28 @@ class VariantPlanCompiler:
                         raise VariantCompileError(
                             f"property name {name!r} not expressible as a variant path"
                         )
-            if kw in ("properties", "$defs", "definitions"):
+            if kw in ("properties", "$defs", "definitions", "patternProperties", "dependentSchemas"):
                 for s in sub.values() if isinstance(sub, dict) else []:
                     self._check_supported(s, depth + 1)
-            elif kw in ("items", "not", "if", "then", "else", "contains"):
+            elif kw in (
+                "items", "not", "if", "then", "else", "contains",
+                "additionalProperties", "unevaluatedProperties",
+            ):
                 self._check_supported(sub, depth + 1)
             elif kw in ("allOf", "anyOf", "oneOf", "prefixItems") and isinstance(sub, list):
                 for s in sub:
                     self._check_supported(s, depth + 1)
+            elif kw == "propertyNames" and isinstance(sub, dict):
+                bad = set(sub) - _NAME_SCHEMA_KEYWORDS
+                if bad:
+                    raise VariantCompileError(
+                        f"propertyNames keywords {sorted(bad)} need the UDF path"
+                    )
+            if kw == "unevaluatedProperties" and not _uneval_claims_static(schema):
+                # runtime-conditional claims need annotation flow — UDF path
+                raise VariantCompileError(
+                    "unevaluatedProperties with conditional applicators needs the UDF path"
+                )
 
     # ------------------------------------------------------------------ public
 
@@ -323,6 +364,250 @@ class VariantPlanCompiler:
                     F.when(present & is_obj, node.violations).otherwise(_empty_violations())
                 )
                 valids.append(~gated_invalid)
+
+        # ---- dynamic-key residue: enumerate keys via map<string,variant> ----
+        needs_keys = any(
+            k in s
+            for k in (
+                "patternProperties", "additionalProperties", "propertyNames",
+                "minProperties", "maxProperties", "unevaluatedProperties",
+            )
+        )
+        if needs_keys:
+            m = v.try_cast("map<string,variant>")
+            keys = F.map_keys(m)
+            obj = present & is_obj & m.isNotNull()
+
+            if "minProperties" in s:
+                k = int(s["minProperties"])
+                cond = obj & _safe(F.size(keys) < k)
+                parts.append(_cond_violation(cond, path, "minProperties", "too_few_properties",
+                                             {"min_properties": F.lit(k)}))
+                valids.append(~cond)
+            if "maxProperties" in s:
+                k = int(s["maxProperties"])
+                cond = obj & _safe(F.size(keys) > k)
+                parts.append(_cond_violation(cond, path, "maxProperties", "too_many_properties",
+                                             {"max_properties": F.lit(k)}))
+                valids.append(~cond)
+
+            if "propertyNames" in s and isinstance(s["propertyNames"], (dict, bool)):
+                bad = F.filter(keys, lambda k: ~_safe(self._name_valid(s["propertyNames"], k)))
+                self._dyn_summary(
+                    obj, bad, path, "propertyNames",
+                    "property_name_mismatch", "property_names_mismatch",
+                    parts, valids,
+                )
+
+            pats = (
+                list(s["patternProperties"].items())
+                if isinstance(s.get("patternProperties"), dict)
+                else []
+            )
+            if pats:
+                pp_bad: Column | None = None
+                for pat, branch in pats:
+                    matching = F.filter(keys, lambda k: _safe(k.rlike(pat)))
+                    leafs = F.flatten(
+                        F.transform(
+                            matching,
+                            lambda k: self._compile(
+                                branch,
+                                F.element_at(m, k),
+                                F.concat(path, F.lit("/"), _esc_key(k)),
+                                depth + 1,
+                            ).violations,
+                        )
+                    )
+                    parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
+                    bad_k = F.filter(
+                        matching,
+                        lambda k: ~_safe(
+                            self._compile(branch, F.element_at(m, k), F.lit(""), depth + 1).valid
+                        ),
+                    )
+                    pp_bad = bad_k if pp_bad is None else F.concat(pp_bad, bad_k)
+                self._dyn_summary(
+                    obj, F.array_distinct(pp_bad), path, "patternProperties",
+                    "pattern_property_mismatch", "pattern_properties_mismatch",
+                    parts, valids,
+                )
+
+            if "additionalProperties" in s and isinstance(s["additionalProperties"], (dict, bool)):
+                declared = list(s.get("properties", {}) or {})
+                extra = F.filter(
+                    keys,
+                    lambda k: ~k.isin(*declared) if declared else F.lit(True),
+                )
+                for pat, _b in pats:
+                    extra = F.filter(extra, lambda k: ~_safe(k.rlike(pat)))
+                self._extra_keys_kw(
+                    s["additionalProperties"], m, extra, obj, path, parts, valids, depth,
+                    "additionalProperties",
+                    "additional_property_mismatch", "additional_properties_mismatch",
+                )
+
+            if "unevaluatedProperties" in s and isinstance(s["unevaluatedProperties"], (dict, bool)):
+                claimed = self._static_claims(s)
+                if not claimed["all"]:
+                    unclaimed = F.filter(
+                        keys,
+                        lambda k: ~k.isin(*claimed["names"]) if claimed["names"] else F.lit(True),
+                    )
+                    for pat in claimed["patterns"]:
+                        unclaimed = F.filter(unclaimed, lambda k: ~_safe(k.rlike(pat)))
+                    self._extra_keys_kw(
+                        s["unevaluatedProperties"], m, unclaimed, obj, path, parts, valids, depth,
+                        "unevaluatedProperties",
+                        "unevaluated_property_mismatch", "unevaluated_properties_mismatch",
+                    )
+
+        if "dependentSchemas" in s and isinstance(s["dependentSchemas"], dict):
+            ds_bad: list[tuple[Column, str]] = []
+            for name, branch in s["dependentSchemas"].items():
+                have = present & is_obj & F.try_variant_get(v, f"$['{name}']", "variant").isNotNull()
+                node = self._compile(branch, v, path, depth + 1)
+                parts.append(F.when(_safe(have), node.violations).otherwise(_empty_violations()))
+                cond = _safe(have & ~node.valid)
+                ds_bad.append((cond, name))
+                valids.append(~cond)
+            if ds_bad:
+                cnt = ds_bad[0][0].cast("int")
+                for c, _n in ds_bad[1:]:
+                    cnt = cnt + c.cast("int")
+                whens = [F.when(c, F.lit(n)) for c, n in ds_bad]
+                first = F.coalesce(*whens, F.lit("")) if len(whens) > 1 else F.coalesce(whens[0], F.lit(""))
+                joined = F.array_join(
+                    F.array_sort(F.filter(F.array(*whens), lambda x: x.isNotNull())), ", "
+                )
+                parts.append(
+                    F.when(cnt == 1, _cond_violation(
+                        F.lit(True), path, "dependentSchemas", "dependent_schema_mismatch",
+                        {"property": first}))
+                    .when(cnt > 1, _cond_violation(
+                        F.lit(True), path, "dependentSchemas", "dependent_schemas_mismatch",
+                        {"properties": joined}))
+                    .otherwise(_empty_violations())
+                )
+
+    def _static_claims(self, s: dict) -> dict:
+        """Statically-claimed key names + patterns for unevaluatedProperties
+        (properties/patternProperties/additionalProperties here and in allOf
+        children; conditional branches are refused at _check_supported).
+        `all` is True when an additionalProperties anywhere in the in-place
+        tree evaluates every remaining key (scalar core marks them all
+        evaluated regardless of the branch verdict — evaluator.py:634)."""
+        names: list[str] = []
+        patterns: list[str] = []
+        all_claimed = False
+
+        def walk(sub: Any, is_root: bool = False) -> None:
+            nonlocal all_claimed
+            if not isinstance(sub, dict):
+                return
+            if isinstance(sub.get("properties"), dict):
+                names.extend(sub["properties"])
+            if isinstance(sub.get("patternProperties"), dict):
+                patterns.extend(sub["patternProperties"])
+            if "additionalProperties" in sub:
+                all_claimed = True
+            if not is_root and "unevaluatedProperties" in sub:
+                # a nested unevaluatedProperties evaluates every key in its
+                # scope, so the outer one sees them all as claimed
+                all_claimed = True
+            for b in sub.get("allOf") or []:
+                walk(b)
+
+        walk(s, is_root=True)
+        return {"names": sorted(set(names)), "patterns": patterns, "all": all_claimed}
+
+    def _extra_keys_kw(
+        self, branch, m: Column, extra: Column, obj: Column, path: Column,
+        parts, valids, depth: int, keyword: str, code_single: str, code_plural: str,
+    ) -> None:
+        """Apply a subschema (or False) to dynamically-enumerated extra keys:
+        per-key leaf violations at the child path + ONE singular/plural
+        summary (scalar-core emission shape)."""
+        if branch is True or branch == {}:
+            return
+        if branch is False:
+            leafs = F.transform(
+                extra,
+                lambda k: F.struct(
+                    F.concat(path, F.lit("/"), _esc_key(k)).alias("instance_path"),
+                    F.lit("schema").alias("keyword"),
+                    F.lit("false_schema_mismatch").alias("code"),
+                    F.expr("CAST(map() AS map<string,string>)").alias("params"),
+                ),
+            )
+            parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
+            bad = extra
+        else:
+            leafs = F.flatten(
+                F.transform(
+                    extra,
+                    lambda k: self._compile(
+                        branch, F.element_at(m, k),
+                        F.concat(path, F.lit("/"), _esc_key(k)), depth + 1,
+                    ).violations,
+                )
+            )
+            parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
+            bad = F.filter(
+                extra,
+                lambda k: ~_safe(
+                    self._compile(branch, F.element_at(m, k), F.lit(""), depth + 1).valid
+                ),
+            )
+        self._dyn_summary(obj, bad, path, keyword, code_single, code_plural, parts, valids)
+
+    def _dyn_summary(
+        self, obj: Column, bad: Column, path: Column, keyword: str,
+        code_single: str, code_plural: str, parts, valids,
+    ) -> None:
+        nbad = F.size(bad)
+        parts.append(
+            F.when(
+                _safe(obj & (nbad == 1)),
+                _cond_violation(F.lit(True), path, keyword, code_single,
+                                {"property": F.element_at(bad, 1)}),
+            )
+            .when(
+                _safe(obj & (nbad > 1)),
+                _cond_violation(F.lit(True), path, keyword, code_plural,
+                                {"properties": F.array_join(F.array_sort(bad), ", ")}),
+            )
+            .otherwise(_empty_violations())
+        )
+        valids.append(~_safe(obj & (nbad > 0)))
+
+    def _name_valid(self, sub: Any, k: Column) -> Column:
+        """propertyNames subschema as a predicate over the key string."""
+        if sub is True or sub == {}:
+            return F.lit(True)
+        if sub is False:
+            return F.lit(False)
+        ok = F.lit(True)
+        t = sub.get("type")
+        if t is not None and t != "string" and t != ["string"]:
+            # keys are always strings; any other required type never matches
+            ok = ok & F.lit("string" in t if isinstance(t, list) else False)
+        if isinstance(sub.get("pattern"), str):
+            ok = ok & _safe(k.rlike(sub["pattern"]))
+        if "minLength" in sub:
+            ok = ok & (F.length(k) >= int(sub["minLength"]))
+        if "maxLength" in sub:
+            ok = ok & (F.length(k) <= int(sub["maxLength"]))
+        if isinstance(sub.get("enum"), list):
+            opts = [x for x in sub["enum"] if isinstance(x, str)]
+            ok = ok & (k.isin(*opts) if opts else F.lit(False))
+        if "const" in sub:
+            ok = ok & (k == F.lit(sub["const"]) if isinstance(sub["const"], str) else F.lit(False))
+        if isinstance(sub.get("format"), str) and self.assert_format:
+            rx = SPARK_REGEX_FORMATS.get(sub["format"])
+            if rx is not None:
+                ok = ok & _safe(k.rlike(rx))
+        return ok
 
     # ----------------------------------------------------------------- arrays
 

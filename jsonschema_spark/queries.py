@@ -777,6 +777,85 @@ HAVING sum(CASE WHEN off > 450 AND text IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
+# ----- recursive schema via $dynamicRef, statically unrolled (typed path;
+# reference validate.go:684-765; SURVEY §4.2.5-6) ---------------------------
+
+TREE_SCHEMA = {
+    "$id": "https://example.test/tree",
+    "$dynamicAnchor": "node",
+    "type": "object",
+    "properties": {
+        "value": {"type": "integer", "maximum": 40},
+        "child": {"$dynamicRef": "#node"},
+    },
+}
+
+
+def kw_recursive_tree_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A recursive node schema unrolled to the struct's static depth — the
+    typed planner resolves $dynamicRef through the statically-known scope
+    and grounds out when the StructType has no deeper `child` field."""
+    e = _t(spark, sf_dir, "events")
+    doc = e.select(
+        "event_id",
+        (F.col("event_id") % 50).cast("int").alias("value"),
+        F.struct((F.col("event_id") % 75).cast("int").alias("value")).alias("child"),
+    )
+    out = SparkPlanCompiler(TREE_SCHEMA).apply(doc)
+    return out.select("event_id", "valid")
+
+
+ORACLE_RECURSIVE_TREE = """
+SELECT event_id, ((event_id % 50) <= 40) AND ((event_id % 75) <= 40) AS valid
+FROM events
+"""
+
+
+# ----- dynamic-object variant residue (patternProperties / propertyNames /
+# additionalProperties / min-maxProperties over map<string,variant> keys) ----
+
+VARIANT_DYN_SCHEMA = {
+    "type": "object",
+    "minProperties": 2,
+    "maxProperties": 3,
+    "propertyNames": {"pattern": "^[a-z_0-9]+$"},
+    "properties": {"k": {"type": "integer", "minimum": 10}},
+    "patternProperties": {"^x_": {"type": "string", "minLength": 5}},
+    "additionalProperties": {"type": "number"},
+}
+
+
+def variant_dynamic_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON objects with varying keys validated entirely JVM-side:
+    key enumeration via cast(variant AS map<string,variant>) — the residue
+    that previously fell back to the Arrow UDF path."""
+    from jsonschema_spark.functions.udf import validate_json_column
+
+    e = _t(spark, sf_dir, "events")
+    base = F.concat(
+        F.lit('{"k": '), (F.col("event_id") % 20).cast("string"),
+        F.lit(', "x_'), F.col("event_type"), F.lit('": "'), F.col("event_type"), F.lit('"'),
+    )
+    third = (
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit(', "extra": '), F.round("value", 3).cast("string")))
+        .when(F.col("event_id") % 3 == 1, F.lit(', "Extra": 1'))
+        .otherwise(F.lit(""))
+    )
+    j = e.select("event_id", F.concat(base, third, F.lit("}")).alias("doc"))
+    out = validate_json_column(j, "doc", VARIANT_DYN_SCHEMA)
+    return out.select("event_id", "valid")
+
+
+ORACLE_VARIANT_DYN = """
+SELECT event_id,
+       ((event_id % 20) >= 10)
+       AND (length(event_type) >= 5)
+       AND (event_id % 3 != 1) AS valid
+FROM events
+"""
+
+
 # ----- content vocabulary assertions (reference content.go; typed lowering
 # via try_to_binary + try_parse_json + Variant contentSchema) ----------------
 
@@ -921,6 +1000,8 @@ def all_queries():
         "kw_const_ifthen": kw_const_ifthen,
         "kw_dependent_applicators_events": kw_dependent_applicators_events,
         "content_validate_props": content_validate_props,
+        "variant_dynamic_objects": variant_dynamic_objects,
+        "kw_recursive_tree_events": kw_recursive_tree_events,
         "stats_numeric_lineitem": stats_numeric_lineitem,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
@@ -966,6 +1047,8 @@ def all_oracles():
         "kw_const_ifthen": ORACLE_CONST_IFTHEN,
         "kw_dependent_applicators_events": ORACLE_DEP_APPLICATORS,
         "content_validate_props": ORACLE_CONTENT_PROPS,
+        "variant_dynamic_objects": ORACLE_VARIANT_DYN,
+        "kw_recursive_tree_events": ORACLE_RECURSIVE_TREE,
         "stats_numeric_lineitem": ORACLE_STATS_LINEITEM,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,

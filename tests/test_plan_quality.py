@@ -47,6 +47,17 @@ def test_variant_path_parses_once_and_stays_jvm(spark):
     assert p.count("parseJson") == 1, f"JSON parsed {p.count('parseJson')}x per row"
 
 
+def test_variant_dynamic_object_keywords_stay_jvm(spark):
+    """patternProperties / propertyNames / additionalProperties / min-max
+    Properties over VariantType must ride the map<string,variant> key
+    enumeration, not the Arrow UDF fallback."""
+    from jsonschema_spark.queries import variant_dynamic_objects
+
+    p = _plan(variant_dynamic_objects(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("parseJson") == 1, f"JSON parsed {p.count('parseJson')}x per row"
+
+
 def test_predicate_pushdown_reaches_scan(spark):
     df = (
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -21,6 +21,11 @@ CASES = [
     {"dependentSchemas": {"count": {"required": ["other"]}}},
     {"properties": {"x_code": {}}, "unevaluatedProperties": False},
     {
+        "properties": {"x_code": {}},
+        "additionalProperties": {"type": "integer"},
+        "unevaluatedProperties": False,
+    },
+    {
         "allOf": [{"properties": {"count": {}}}],
         "properties": {"x_code": {}},
         "unevaluatedProperties": False,
@@ -92,6 +97,49 @@ def test_unevaluated_items_static(spark):
     assert got == [((1, 2, 3), False), ((1,), True), ((), True)]
 
 
-def test_dynamic_ref_refused_not_ignored():
+def test_dynamic_ref_unresolvable_refused():
+    from pyspark.sql import types as T
+
+    plan = SparkPlanCompiler({"$dynamicRef": "#nosuchanchor"})
     with pytest.raises(PlanCompileError):
-        SparkPlanCompiler({"$dynamicRef": "#x"})
+        plan.violations_column(T.StructType([T.StructField("a", T.IntegerType())]))
+
+
+def test_dynamic_ref_bounded_unroll_matches_scalar(spark):
+    """Recursive $dynamicRef unrolls to the struct's static depth and agrees
+    with the scalar core (reference: validate.go:684-765)."""
+    schema = {
+        "$id": "https://example.test/t",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "properties": {
+            "value": {"type": "integer", "maximum": 10},
+            "child": {"$dynamicRef": "#node"},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, 5, (7,)), (2, 5, (99,)), (3, 99, (1,)), (4, 3, None)],
+        "id int, value int, child struct<value:int>",
+    )
+    got = {r["id"]: r["valid"] for r in validate_dataframe(df, schema).collect()}
+    ev = Compiler().compile(schema)
+    for row in df.collect():
+        inst = {"value": row["value"]}
+        if row["child"] is not None:
+            inst["child"] = {"value": row["child"]["value"]}
+        assert got[row["id"]] == ev.validate(inst).valid, inst
+
+
+def test_dynamic_ref_unbounded_recursion_refused(spark):
+    """Self-recursion that never grounds out in the static type must refuse,
+    not loop: here the $dynamicRef re-applies to the SAME value."""
+    from pyspark.sql import types as T
+
+    schema = {
+        "$id": "https://example.test/u",
+        "$dynamicAnchor": "n",
+        "allOf": [{"$dynamicRef": "#n"}],
+    }
+    plan = SparkPlanCompiler(schema)
+    with pytest.raises(PlanCompileError):
+        plan.violations_column(T.StructType([T.StructField("a", T.IntegerType())]))

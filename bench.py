@@ -31,6 +31,9 @@ HEADLINE = [
     "validate_documents_flag",
     "validate_spans_offsets",
     "validate_props_json",
+    "variant_dynamic_objects",
+    "content_validate_props",
+    "kw_recursive_tree_events",
     "kw_logical_oneof",
     "kw_numeric_lineitem",
     "kw_string_customer",

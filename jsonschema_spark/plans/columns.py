@@ -486,7 +486,7 @@ class SparkPlanCompiler:
             add(F.lit(True), "contentMediaType", "unsupported_media_type", {"media_type": F.lit(mt)})
             return
         text = decoded.cast("string") if decoded is not None else val.col
-        parsed = F.try_parse_json(text)
+        parsed = self._maybe_stage(F.try_parse_json(text), val)
         decode_ok = decoded.isNotNull() if decoded is not None else F.lit(True)
         add(decode_ok & parsed.isNull(), "contentMediaType", "invalid_media_type", {"media_type": F.lit(mt)})
         if "contentSchema" in s:
@@ -499,7 +499,13 @@ class SparkPlanCompiler:
                 vp = VariantPlanCompiler(s["contentSchema"], assert_format=self.assert_format)
             except VariantCompileError as exc:
                 raise PlanCompileError(f"contentSchema needs the UDF path: {exc}") from exc
-            sub_v = vp.violations_column(parsed, val.path)
+            sub_v = self._maybe_stage(
+                vp.violations_column(
+                    parsed, val.path,
+                    stages=self._stages if not val.in_lambda else None,
+                ),
+                val,
+            )
             ok = _safe(parsed.isNotNull())
             parts.append(F.when(ok, sub_v).otherwise(_empty_violations()))
             mismatch = _safe(ok & (F.size(sub_v) > 0))
@@ -772,9 +778,20 @@ class SparkPlanCompiler:
                     in_lambda=val.in_lambda,
                 )
                 sub = self._compile(branch, sub_val, depth)
-                parts.append(sub.violations)
-                valids.append(sub.valid)
-                prop_conds.append((_safe(present & ~sub.valid), prop))
+                if self._stages is not None and not val.in_lambda:
+                    # evaluate each property's checks ONCE: the staged
+                    # violations array feeds leafs, validity AND the summary
+                    # condition (predicates otherwise re-evaluate per use —
+                    # measured ~2x on a 4-property numeric schema)
+                    viols = self._maybe_stage(sub.violations, val)
+                    bad = _safe(present & (F.size(viols) > 0))
+                    parts.append(viols)
+                    valids.append(~bad)
+                    prop_conds.append((bad, prop))
+                else:
+                    parts.append(sub.violations)
+                    valids.append(sub.valid)
+                    prop_conds.append((_safe(present & ~sub.valid), prop))
             parts.append(
                 _summary_violation(
                     prop_conds, val.path, "properties",

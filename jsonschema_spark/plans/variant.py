@@ -134,6 +134,9 @@ class VariantPlanCompiler:
         self.assert_format = assert_format
         self.registry = Registry()
         self.registry.register(schema, "")
+        self._stages: list[tuple[str, Column]] | None = None
+        self._stage_n = 0
+        self._in_lambda = False
         self._check_supported(schema)
 
     def _check_supported(self, schema: Any, depth: int = 0) -> None:
@@ -176,11 +179,34 @@ class VariantPlanCompiler:
 
     # ------------------------------------------------------------------ public
 
-    def violations_column(self, variant_col: Column, root_path: Column | None = None) -> Column:
-        node = self._compile(
-            self.schema, variant_col, root_path if root_path is not None else F.lit(""), 0
-        )
+    def violations_column(
+        self,
+        variant_col: Column,
+        root_path: Column | None = None,
+        stages: list[tuple[str, Column]] | None = None,
+    ) -> Column:
+        """When ``stages`` is passed, expensive multiply-referenced
+        subexpressions (per-key transforms for the dynamic-object residue)
+        are appended as (name, Column) pairs the caller must withColumn
+        FIRST (same mechanism as SparkPlanCompiler — Catalyst does not CSE
+        non-cheap exprs inside one projection)."""
+        self._stages = stages
+        self._stage_n = 0
+        try:
+            node = self._compile(
+                self.schema, variant_col, root_path if root_path is not None else F.lit(""), 0
+            )
+        finally:
+            self._stages = None
         return node.violations
+
+    def _maybe_stage(self, col: Column) -> Column:
+        if self._stages is None or self._in_lambda:
+            return col
+        name = f"__jsv_stage_{self._stage_n}"
+        self._stage_n += 1
+        self._stages.append((name, col))
+        return F.col(name)
 
     def valid_column(self, variant_col: Column) -> Column:
         return self._compile(self.schema, variant_col, F.lit(""), 0).valid
@@ -374,8 +400,11 @@ class VariantPlanCompiler:
             )
         )
         if needs_keys:
-            m = v.try_cast("map<string,variant>")
-            keys = F.map_keys(m)
+            # stage the cast + key list: every per-key access references the
+            # STAGED map column, so the variant→map conversion happens once
+            # per row instead of once per key reference
+            m = self._maybe_stage(v.try_cast("map<string,variant>"))
+            keys = self._maybe_stage(F.map_keys(m))
             obj = present & is_obj & m.isNotNull()
 
             if "minProperties" in s:
@@ -407,24 +436,16 @@ class VariantPlanCompiler:
             if pats:
                 pp_bad: Column | None = None
                 for pat, branch in pats:
-                    matching = F.filter(keys, lambda k: _safe(k.rlike(pat)))
-                    leafs = F.flatten(
-                        F.transform(
-                            matching,
-                            lambda k: self._compile(
-                                branch,
-                                F.element_at(m, k),
-                                F.concat(path, F.lit("/"), _esc_key(k)),
-                                depth + 1,
-                            ).violations,
-                        )
+                    matching = self._maybe_stage(F.filter(keys, lambda k: _safe(k.rlike(pat))))
+                    # ONE evaluation per key: the staged per-key violations
+                    # array feeds the leafs AND the bad-key derivation
+                    pv = self._maybe_stage(
+                        F.transform(matching, self._kv_violations(branch, m, path, depth))
                     )
-                    parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
+                    parts.append(F.when(obj, F.flatten(pv)).otherwise(_empty_violations()))
                     bad_k = F.filter(
-                        matching,
-                        lambda k: ~_safe(
-                            self._compile(branch, F.element_at(m, k), F.lit(""), depth + 1).valid
-                        ),
+                        F.zip_with(matching, pv, lambda k, a: F.when(F.size(a) > 0, k)),
+                        lambda x: x.isNotNull(),
                     )
                     pp_bad = bad_k if pp_bad is None else F.concat(pp_bad, bad_k)
                 self._dyn_summary(
@@ -521,6 +542,22 @@ class VariantPlanCompiler:
         walk(s, is_root=True)
         return {"names": sorted(set(names)), "patterns": patterns, "all": all_claimed}
 
+    def _kv_violations(self, branch, m: Column, path: Column, depth: int):
+        """Per-key violations lambda (marks nested compiles non-stageable)."""
+
+        def fn(k: Column) -> Column:
+            prev = self._in_lambda
+            self._in_lambda = True
+            try:
+                return self._compile(
+                    branch, F.element_at(m, k),
+                    F.concat(path, F.lit("/"), _esc_key(k)), depth + 1,
+                ).violations
+            finally:
+                self._in_lambda = prev
+
+        return fn
+
     def _extra_keys_kw(
         self, branch, m: Column, extra: Column, obj: Column, path: Column,
         parts, valids, depth: int, keyword: str, code_single: str, code_plural: str,
@@ -530,6 +567,7 @@ class VariantPlanCompiler:
         summary (scalar-core emission shape)."""
         if branch is True or branch == {}:
             return
+        extra = self._maybe_stage(extra)
         if branch is False:
             leafs = F.transform(
                 extra,
@@ -543,21 +581,11 @@ class VariantPlanCompiler:
             parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
             bad = extra
         else:
-            leafs = F.flatten(
-                F.transform(
-                    extra,
-                    lambda k: self._compile(
-                        branch, F.element_at(m, k),
-                        F.concat(path, F.lit("/"), _esc_key(k)), depth + 1,
-                    ).violations,
-                )
-            )
-            parts.append(F.when(obj, leafs).otherwise(_empty_violations()))
+            pv = self._maybe_stage(F.transform(extra, self._kv_violations(branch, m, path, depth)))
+            parts.append(F.when(obj, F.flatten(pv)).otherwise(_empty_violations()))
             bad = F.filter(
-                extra,
-                lambda k: ~_safe(
-                    self._compile(branch, F.element_at(m, k), F.lit(""), depth + 1).valid
-                ),
+                F.zip_with(extra, pv, lambda k, a: F.when(F.size(a) > 0, k)),
+                lambda x: x.isNotNull(),
             )
         self._dyn_summary(obj, bad, path, keyword, code_single, code_plural, parts, valids)
 
@@ -644,9 +672,14 @@ class VariantPlanCompiler:
         if "items" in s and isinstance(s["items"], (dict, bool)):
             # per-element recursion via transform + flatten; paths /<i>
             def elem_violations(x: Column, i: Column) -> Column:
-                node = self._compile(
-                    s["items"], x, F.concat(path, F.lit("/"), i.cast("string")), depth + 1
-                )
+                prev = self._in_lambda
+                self._in_lambda = True
+                try:
+                    node = self._compile(
+                        s["items"], x, F.concat(path, F.lit("/"), i.cast("string")), depth + 1
+                    )
+                finally:
+                    self._in_lambda = prev
                 return node.violations
 
             rest = F.when(n > len(prefix), F.slice(arr, len(prefix) + 1, n)).otherwise(
@@ -665,7 +698,12 @@ class VariantPlanCompiler:
 
         if "contains" in s and isinstance(s["contains"], (dict, bool)):
             def elem_valid(x: Column) -> Column:
-                return self._compile(s["contains"], x, F.lit(""), depth + 1).valid
+                prev = self._in_lambda
+                self._in_lambda = True
+                try:
+                    return self._compile(s["contains"], x, F.lit(""), depth + 1).valid
+                finally:
+                    self._in_lambda = prev
 
             n_match = F.size(F.filter(arr, elem_valid))
             min_c = int(s.get("minContains", 1))
@@ -740,11 +778,15 @@ def validate_variant_column(df, json_col: str, schema: Any, *, assert_format: bo
     staged = df.withColumn(tmp, F.try_parse_json(F.col(json_col)))
     v = F.col(tmp)
     parse_failed = F.col(json_col).isNotNull() & v.isNull()
+    stages: list = []
+    viol = plan.violations_column(v, stages=stages)
+    for name, col in stages:
+        staged = staged.withColumn(name, col)
     out = staged.withColumn(
         "violations",
         F.when(
             parse_failed,
             _cond_violation(F.lit(True), F.lit(""), "parse", "json_parse_error"),
-        ).otherwise(plan.violations_column(v)),
-    ).drop(tmp)
+        ).otherwise(viol),
+    ).drop(tmp, *[n for n, _ in stages])
     return out.withColumn("valid", F.size("violations") == 0)

@@ -8,12 +8,19 @@ validation pipeline."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonschema_spark.errors import EN_MESSAGES, catalog_for, locales
 
-__all__ = ["flag_output", "list_output", "localized_output", "partition_verdicts"]
+__all__ = [
+    "flag_output",
+    "list_output",
+    "localized_output",
+    "hierarchical_output",
+    "partition_verdicts",
+]
 
 
 def flag_output(validated: DataFrame, id_cols: list[str], valid_col: str = "valid") -> DataFrame:
@@ -83,6 +90,60 @@ def localized_output(
         F.col("v.code").alias("code"),
         message.alias("message"),
     ).orderBy(*id_cols, "instance_path", "code")
+
+
+def hierarchical_output(
+    validated: DataFrame,
+    id_cols: list[str],
+    *,
+    locale: str = "en",
+    violations_col: str = "violations",
+    valid_col: str = "valid",
+) -> DataFrame:
+    """ToList(includeHierarchy=true) analogue (reference result.go:195-232):
+    (ids..., valid, report) where report is a JSON document nesting error
+    details by instance location. The reference nests by evaluation path;
+    this engine's flat violation rows carry instance paths, so the hierarchy
+    groups by instance-path prefix (documented divergence — the flat list of
+    `list_output` remains the wire contract, SURVEY §1.4). Rendering is
+    report-time presentation, Arrow-batched."""
+    import json as _json
+
+    from jsonschema_spark.errors import render_message
+
+    @F.pandas_udf("string")
+    def _render(viols: pd.Series) -> pd.Series:
+        def build(vlist) -> str:
+            vlist = list(vlist) if vlist is not None else []
+            root: dict = {"valid": not vlist, "instanceLocation": "", "errors": {}, "details": []}
+            nodes = {"": root}
+
+            def node_for(path: str) -> dict:
+                if path in nodes:
+                    return nodes[path]
+                parent = node_for(path.rsplit("/", 1)[0] if "/" in path else "")
+                n: dict = {"valid": False, "instanceLocation": path, "errors": {}, "details": []}
+                parent["details"].append(n)
+                nodes[path] = n
+                return n
+
+            by_path: dict[str, list] = {}
+            for v in vlist:
+                by_path.setdefault(v["instance_path"], []).append(v)
+            for path in sorted(by_path):
+                n = node_for(path)
+                n["valid"] = False
+                for v in by_path[path]:
+                    n["errors"][v["keyword"]] = render_message(
+                        v["code"], dict(v["params"] or {}), locale
+                    )
+            return _json.dumps(root, ensure_ascii=False)
+
+        return viols.map(build)
+
+    return validated.select(
+        *id_cols, F.col(valid_col).alias("valid"), _render(F.col(violations_col)).alias("report")
+    )
 
 
 def partition_verdicts(

@@ -66,6 +66,36 @@ def test_apply_defaults_nested_struct_and_array(spark):
     assert rows[1]["meta"]["b"] == "bb" and rows[1]["meta"]["a"] == "x"
 
 
+def test_hierarchical_output(spark):
+    """ToList(includeHierarchy=true) analogue (reference result.go:195-232):
+    details nest under instance-path parents."""
+    import json
+
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.reporting import hierarchical_output
+
+    df = spark.createDataFrame(
+        [(1, "ok", (5,)), (2, "x", (99,))],
+        "id int, name string, meta struct<n:int>",
+    )
+    schema = {
+        "properties": {
+            "name": {"minLength": 2},
+            "meta": {"properties": {"n": {"maximum": 10}}},
+        }
+    }
+    v = validate_dataframe(df, schema)
+    out = {r["id"]: (r["valid"], json.loads(r["report"])) for r in hierarchical_output(v, ["id"]).collect()}
+    assert out[1][0] is True and out[1][1]["valid"] is True and out[1][1]["details"] == []
+    rep = out[2][1]
+    assert rep["valid"] is False
+    locs = {d["instanceLocation"]: d for d in rep["details"]}
+    assert "/name" in locs and "minLength" in locs["/name"]["errors"]
+    assert "/meta" in locs
+    nested = {d["instanceLocation"]: d for d in locs["/meta"]["details"]}
+    assert "/meta/n" in nested and "maximum" in nested["/meta/n"]["errors"]
+
+
 def test_dynamic_default_funcs(spark):
     """`name(args)` string defaults invoke registered functions
     (reference: default_funcs.go, unmarshal.go:595-632)."""

@@ -33,11 +33,15 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.formats import SPARK_REGEX_FORMATS
 from jsonschema_spark.plans.columns import (
+    VIOLATION_SCHEMA_DDL,
     _concat_violations,
     _cond_violation,
     _empty_violations,
     _safe,
+    _summary_violation,
 )
+
+_VIOL_ARR_DDL = VIOLATION_SCHEMA_DDL
 from jsonschema_spark.registry import Registry
 
 __all__ = ["VariantPlanCompiler", "VariantCompileError", "validate_variant_column"]
@@ -223,7 +227,7 @@ class VariantPlanCompiler:
             # satisfies even the false schema; JSON null (VOID) does not
             return _Node(
                 v.isNull(),
-                _cond_violation(v.isNotNull(), path, "false_schema", "false_schema_mismatch"),
+                _cond_violation(v.isNotNull(), path, "schema", "false_schema_mismatch"),
             )
         if not isinstance(schema, dict):
             raise VariantCompileError("schema must be bool or object")
@@ -232,12 +236,18 @@ class VariantPlanCompiler:
             target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
             rest = {k: val for k, val in schema.items() if k != "$ref"}
             ref_node = self._compile(target, v, path, depth + 1)
+            # scalar core adds a ref_mismatch summary atop the target's own
+            # violations (evaluator.py:235)
+            ref_viols = _concat_violations([
+                ref_node.violations,
+                _cond_violation(_safe(~ref_node.valid), path, "$ref", "ref_mismatch"),
+            ])
             if not rest:
-                return ref_node
+                return _Node(ref_node.valid, ref_viols)
             rest_node = self._compile(rest, v, path, depth)
             return _Node(
                 ref_node.valid & rest_node.valid,
-                _concat_violations([ref_node.violations, rest_node.violations]),
+                _concat_violations([ref_viols, rest_node.violations]),
             )
 
         present = v.isNotNull()  # SQL NULL == absent; VOID variant == JSON null
@@ -358,38 +368,64 @@ class VariantPlanCompiler:
         is_obj = t.startswith("OBJECT")
 
         if "required" in s and isinstance(s["required"], list):
+            req_conds = []
             for name in s["required"]:
                 missing = is_obj & F.try_variant_get(v, f"$['{name}']", "variant").isNull()
                 cond = present & _safe(missing)
-                parts.append(
-                    _cond_violation(cond, path, "required", "missing_required_property",
-                                    {"property": F.lit(name)})
-                )
+                req_conds.append((cond, name))
                 valids.append(~cond)
+            parts.append(
+                _summary_violation(
+                    req_conds, path, "required",
+                    "missing_required_property", "missing_required_properties",
+                    sort_plural=False,
+                )
+            )
 
         if "dependentRequired" in s and isinstance(s["dependentRequired"], dict):
+            dr_conds = []
             for trigger, needs in s["dependentRequired"].items():
                 trig = F.try_variant_get(v, f"$['{trigger}']", "variant").isNotNull()
                 for name in needs:
                     missing = is_obj & trig & F.try_variant_get(v, f"$['{name}']", "variant").isNull()
                     cond = present & _safe(missing)
-                    parts.append(
-                        _cond_violation(cond, path, "dependentRequired",
-                                        "dependent_property_required",
-                                        {"property": F.lit(name), "dependency": F.lit(trigger)})
-                    )
+                    dr_conds.append((cond, name))
                     valids.append(~cond)
+            if dr_conds:
+                any_cond = dr_conds[0][0]
+                for c, _n in dr_conds[1:]:
+                    any_cond = any_cond | c
+                joined = F.concat_ws(", ", *[F.when(c, F.lit(n)) for c, n in dr_conds])
+                parts.append(
+                    _cond_violation(
+                        _safe(any_cond), path, "dependentRequired",
+                        "dependent_property_required", {"missing_properties": joined},
+                    )
+                )
 
         if "properties" in s and isinstance(s["properties"], dict):
+            prop_conds = []
             for name, sub in s["properties"].items():
                 child = F.try_variant_get(v, f"$['{name}']", "variant")
                 cpath = F.concat(path, F.lit("/" + name.replace("~", "~0").replace("/", "~1")))
                 node = self._compile(sub, child, cpath, depth + 1)
-                gated_invalid = present & is_obj & _safe(~node.valid)
-                parts.append(
-                    F.when(present & is_obj, node.violations).otherwise(_empty_violations())
-                )
+                if self._stages is not None and not self._in_lambda:
+                    viols = self._maybe_stage(node.violations)
+                    gated_invalid = present & is_obj & _safe(F.size(viols) > 0)
+                    parts.append(F.when(present & is_obj, viols).otherwise(_empty_violations()))
+                else:
+                    gated_invalid = present & is_obj & _safe(~node.valid)
+                    parts.append(
+                        F.when(present & is_obj, node.violations).otherwise(_empty_violations())
+                    )
+                prop_conds.append((gated_invalid, name))
                 valids.append(~gated_invalid)
+            parts.append(
+                _summary_violation(
+                    prop_conds, path, "properties",
+                    "property_mismatch", "properties_mismatch",
+                )
+            )
 
         # ---- dynamic-key residue: enumerate keys via map<string,variant> ----
         needs_keys = any(
@@ -660,6 +696,7 @@ class VariantPlanCompiler:
             add(F.size(F.array_distinct(canon)) != n, "uniqueItems", "unique_items_mismatch")
 
         prefix = s.get("prefixItems") if isinstance(s.get("prefixItems"), list) else []
+        pi_conds = []
         for i, sub in enumerate(prefix):
             child = F.try_variant_get(v, f"$[{i}]", "variant")
             node = self._compile(sub, child, F.concat(path, F.lit(f"/{i}")), depth + 1)
@@ -668,6 +705,14 @@ class VariantPlanCompiler:
                 F.when(present & is_arr & (n > i), node.violations).otherwise(_empty_violations())
             )
             valids.append(~gated_invalid)
+            pi_conds.append((gated_invalid, i))
+        parts.append(
+            _summary_violation(
+                pi_conds, path, "prefixItems",
+                "prefix_item_mismatch", "prefix_items_mismatch",
+                param_single="index", param_plural="indexs", sort_plural=False,
+            )
+        )
 
         if "items" in s and isinstance(s["items"], (dict, bool)):
             # per-element recursion via transform + flatten; paths /<i>
@@ -685,15 +730,40 @@ class VariantPlanCompiler:
             rest = F.when(n > len(prefix), F.slice(arr, len(prefix) + 1, n)).otherwise(
                 F.array().cast("array<variant>")
             )
-            all_viol = F.flatten(
-                F.zip_with(
-                    rest,
-                    F.sequence(F.lit(len(prefix)), F.greatest(n - 1, F.lit(len(prefix)))),
-                    lambda x, i: elem_violations(x, i),
-                )
+            # ONE evaluation per element (staged): leafs + the scalar-parity
+            # item(s)_mismatch summary both derive from the per-element arrays
+            pev = self._maybe_stage(
+                F.when(
+                    _safe(present & is_arr),
+                    F.zip_with(
+                        rest,
+                        F.sequence(F.lit(len(prefix)), F.greatest(n - 1, F.lit(len(prefix)))),
+                        lambda x, i: elem_violations(x, i),
+                    ),
+                ).otherwise(F.expr(f"CAST(array() AS array<{_VIOL_ARR_DDL}>)"))
             )
+            all_viol = F.flatten(pev)
             cond_any = present & is_arr & (F.size(all_viol) > 0)
             parts.append(F.when(_safe(cond_any), all_viol).otherwise(_empty_violations()))
+            bad_idx = F.filter(
+                F.transform(pev, lambda a, i: F.when(F.size(a) > 0, i + len(prefix))),
+                lambda x: x.isNotNull(),
+            )
+            nbad = F.size(bad_idx)
+            parts.append(
+                F.when(
+                    _safe(present & is_arr & (nbad == 1)),
+                    _cond_violation(F.lit(True), path, "items", "item_mismatch",
+                                    {"index": F.element_at(bad_idx, 1)}),
+                )
+                .when(
+                    _safe(present & is_arr & (nbad > 1)),
+                    _cond_violation(F.lit(True), path, "items", "items_mismatch",
+                                    {"indexs": F.array_join(
+                                        F.transform(bad_idx, lambda x: x.cast("string")), ", ")}),
+                )
+                .otherwise(_empty_violations())
+            )
             valids.append(~_safe(cond_any))
 
         if "contains" in s and isinstance(s["contains"], (dict, bool)):
@@ -719,11 +789,24 @@ class VariantPlanCompiler:
 
     def _logical_kw(self, s: dict, v: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
         if "allOf" in s and isinstance(s["allOf"], list):
+            ao_conds = []
             for i, sub in enumerate(s["allOf"]):
                 node = self._compile(sub, v, path, depth + 1)
                 cond = present & _safe(~node.valid)
                 parts.append(F.when(present, node.violations).otherwise(_empty_violations()))
                 valids.append(~cond)
+                ao_conds.append((cond, i))
+            if ao_conds:
+                any_bad = ao_conds[0][0]
+                for c, _i in ao_conds[1:]:
+                    any_bad = any_bad | c
+                joined = F.concat_ws(", ", *[F.when(c, F.lit(str(i))) for c, i in ao_conds])
+                parts.append(
+                    _cond_violation(
+                        _safe(any_bad), path, "allOf", "all_of_item_mismatch",
+                        {"indexs": joined},
+                    )
+                )
 
         if "anyOf" in s and isinstance(s["anyOf"], list):
             ok = F.lit(False)
@@ -737,10 +820,12 @@ class VariantPlanCompiler:
             count = F.lit(0)
             for sub in s["oneOf"]:
                 count = count + self._compile(sub, v, path, depth + 1).valid.cast("int")
-            cond = present & _safe(count != 1)
-            parts.append(_cond_violation(cond, path, "oneOf", "one_of_item_mismatch",
-                                         {"valid_count": count.cast("string")}))
-            valids.append(~cond)
+            none_cond = present & _safe(count == 0)
+            multi_cond = present & _safe(count > 1)
+            parts.append(_cond_violation(none_cond, path, "oneOf", "one_of_item_mismatch"))
+            parts.append(_cond_violation(multi_cond, path, "oneOf", "one_of_multiple_matches",
+                                         {"matches": count.cast("string")}))
+            valids.append(~none_cond & ~multi_cond)
 
         if "not" in s:
             node = self._compile(s["not"], v, path, depth + 1)
@@ -752,15 +837,18 @@ class VariantPlanCompiler:
             if_valid = self._compile(s["if"], v, path, depth + 1).valid
             then_node = self._compile(s.get("then", True), v, path, depth + 1)
             else_node = self._compile(s.get("else", True), v, path, depth + 1)
-            cond = present & _safe(
-                F.when(if_valid, ~then_node.valid).otherwise(~else_node.valid)
-            )
+            then_bad = present & _safe(if_valid & ~then_node.valid)
+            else_bad = present & _safe(~_safe(if_valid) & ~else_node.valid)
             parts.append(
                 F.when(present & _safe(if_valid), then_node.violations)
                 .when(present, else_node.violations)
                 .otherwise(_empty_violations())
             )
-            valids.append(~cond)
+            if "then" in s:
+                parts.append(_cond_violation(then_bad, path, "then", "if_then_mismatch"))
+            if "else" in s:
+                parts.append(_cond_violation(else_bad, path, "else", "if_else_mismatch"))
+            valids.append(~(then_bad | else_bad))
 
 
 def validate_variant_column(df, json_col: str, schema: Any, *, assert_format: bool = True):

@@ -251,7 +251,14 @@ class VariantPlanCompiler:
             )
 
         present = v.isNotNull()  # SQL NULL == absent; VOID variant == JSON null
-        t = _vtype(v)
+        # stage the variant value and its type string once per compile level:
+        # schema_of_variant / try_variant_get otherwise re-run per keyword
+        # reference (no CSE inside one projection — measured)
+        if self._stages is not None and not self._in_lambda:
+            v = self._maybe_stage(v)
+            t = self._maybe_stage(_vtype(v))
+        else:
+            t = _vtype(v)
         jt = _json_type(t, v)
         parts: list[Column] = []
         valids: list[Column] = []
@@ -262,7 +269,7 @@ class VariantPlanCompiler:
             valids.append(~cond)
 
         self._assertions(schema, v, t, jt, add)
-        self._object_kw(schema, v, path, parts, valids, present, depth)
+        self._object_kw(schema, v, t, path, parts, valids, present, depth)
         self._array_kw(schema, v, t, path, parts, valids, present, depth)
         self._logical_kw(schema, v, path, parts, valids, present, depth)
 
@@ -363,8 +370,7 @@ class VariantPlanCompiler:
 
     # ---------------------------------------------------------------- objects
 
-    def _object_kw(self, s: dict, v: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
-        t = _vtype(v)
+    def _object_kw(self, s: dict, v: Column, t: Column, path: Column, parts, valids, present: Column, depth: int) -> None:
         is_obj = t.startswith("OBJECT")
 
         if "required" in s and isinstance(s["required"], list):

@@ -9,6 +9,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +31,25 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_numpy() -> "Column":
+    """Arrow-batched numpy dot product (einsum over stacked batches) — ~1.4x
+    the end-to-end HOF fold on 12.5M 64-dim pairs (the fold costs ~5µs/pair
+    vs ~0.05µs vectorized). Summation order differs from the left-fold, so
+    results can differ in the last ulp — oracle-checked queries keep the JVM
+    fold; pass dot_method="numpy" where throughput wins."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def pd_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.values)
+        bv = np.stack(b.values)
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return pd_dot
 
 
 def _norm(a: Column) -> Column:
@@ -209,6 +229,7 @@ def cosine_near_dup_pairs(
     bands: int = 8,
     rows_per_band: int = 8,
     dim: int | None = None,
+    dot_method: str = "jvm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
@@ -240,7 +261,10 @@ def cosine_near_dup_pairs(
         cand.join(unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a")), "id_a")
         .join(unit.select(F.col("id").alias("id_b"), F.col("u").alias("u_b")), "id_b")
     )
-    cos = _dot(F.col("u_a"), F.col("u_b"))
+    if dot_method == "numpy":
+        cos = _dot_numpy()(F.col("u_a"), F.col("u_b"))
+    else:
+        cos = _dot(F.col("u_a"), F.col("u_b"))
     return verified.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

@@ -92,6 +92,18 @@ def test_ann_topk_recall_vs_brute_force(spark, planted):
     assert len(got & exact) >= 0.7 * len(exact), (got, exact)
 
 
+def test_near_dup_numpy_verifier_matches_jvm(spark, planted):
+    jvm = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(planted, threshold=0.95).collect()
+    }
+    np_ = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(planted, threshold=0.95, dot_method="numpy").collect()
+    }
+    assert jvm == np_
+
+
 def test_projections_single_pass_and_dimension_guard(spark):
     df = spark.createDataFrame(
         [(1, [1.0] * DIM), (2, [1.0] * (DIM + 3))], "id long, v array<double>"

@@ -77,12 +77,14 @@ class VariantCompileError(ValueError):
 
 
 def _uneval_claims_static(s: Any) -> bool:
-    """True when unevaluatedProperties' claim set is fully static: the
-    in-place applicator tree (this schema + allOf descendants) has no
-    conditional branch or $ref whose annotations would flow at runtime."""
+    """True when unevaluatedProperties' claims are expressible on the variant
+    path. Conditional branches (anyOf/oneOf/if/dependentSchemas) compile to
+    runtime-gated claim predicates; only a SIBLING $ref is refused — the
+    $ref/rest split in _compile hides the target's claims from the
+    unevaluatedProperties analysis (route to the scalar/UDF path)."""
     if not isinstance(s, dict):
         return True
-    if any(k in s for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas", "$ref")):
+    if "$ref" in s:
         return False
     return all(_uneval_claims_static(b) for b in s.get("allOf") or [])
 
@@ -513,12 +515,41 @@ class VariantPlanCompiler:
             if "unevaluatedProperties" in s and isinstance(s["unevaluatedProperties"], (dict, bool)):
                 claimed = self._static_claims(s)
                 if not claimed["all"]:
-                    unclaimed = F.filter(
-                        keys,
-                        lambda k: ~k.isin(*claimed["names"]) if claimed["names"] else F.lit(True),
-                    )
-                    for pat in claimed["patterns"]:
-                        unclaimed = F.filter(unclaimed, lambda k: ~_safe(k.rlike(pat)))
+                    # runtime-conditional claims (anyOf/oneOf/if/dependentSchemas
+                    # branches — annotations flow only from applying branches;
+                    # mirrors the typed planner's cond_claims): each branch's
+                    # validity is STAGED once, then referenced per key
+                    cond_claims = []
+                    for branch_schema, mode, bnames, bpats, ball in self._conditional_claims(s):
+                        bvalid = self._compile(branch_schema, v, path, depth + 1).valid
+                        if mode == "neg":
+                            cond = _safe(~_safe(bvalid))
+                        elif isinstance(mode, tuple) and mode[0] == "dep":
+                            have = F.try_variant_get(v, f"$['{mode[1]}']", "variant").isNotNull()
+                            cond = _safe(have & bvalid)
+                        else:
+                            cond = _safe(bvalid)
+                        if self._stages is not None and not self._in_lambda:
+                            cond = self._maybe_stage(cond)
+                        cond_claims.append((cond, bnames, bpats, ball))
+
+                    def unclaimed_pred(k: Column) -> Column:
+                        p = F.lit(False)
+                        if claimed["names"]:
+                            p = p | k.isin(*claimed["names"])
+                        for pat in claimed["patterns"]:
+                            p = p | _safe(k.rlike(pat))
+                        for cond, bnames, bpats, ball in cond_claims:
+                            cp = F.lit(True) if ball else F.lit(False)
+                            if not ball:
+                                if bnames:
+                                    cp = cp | k.isin(*bnames)
+                                for pat in bpats:
+                                    cp = cp | _safe(k.rlike(pat))
+                            p = p | (cond & cp)
+                        return ~_safe(p)
+
+                    unclaimed = F.filter(keys, unclaimed_pred)
                     self._extra_keys_kw(
                         s["unevaluatedProperties"], m, unclaimed, obj, path, parts, valids, depth,
                         "unevaluatedProperties",
@@ -552,6 +583,74 @@ class VariantPlanCompiler:
                         {"properties": joined}))
                     .otherwise(_empty_violations())
                 )
+
+    def _conditional_claims(self, s: dict) -> list:
+        """Runtime-gated claim sources for unevaluatedProperties:
+        (branch_schema, mode, names, patterns, all) where mode selects the
+        gating — None: branch validity; "pos"/"neg": the `if` condition's
+        validity (then/else claims, mirroring the typed planner's
+        cond_claims); ("dep", key): dependentSchemas key presence + branch
+        validity (scalar: annotations flow from applying, succeeding
+        branches — evaluator.py:320-321)."""
+
+        def info(b: Any) -> tuple[list, list, bool]:
+            names: list[str] = []
+            pats: list[str] = []
+            ball = False
+            seen: set[int] = set()
+
+            def walk(sub: Any) -> None:
+                nonlocal ball
+                if not isinstance(sub, dict) or id(sub) in seen:
+                    return
+                seen.add(id(sub))
+                for kw in ("anyOf", "oneOf", "if", "dependentSchemas"):
+                    if kw in sub:
+                        # claims nested under a FURTHER conditional level need
+                        # full annotation threading — scalar/UDF path handles
+                        # those (SURVEY §4.2.5 nested dynamic evaluation)
+                        raise VariantCompileError(
+                            "nested conditional claims need the UDF path"
+                        )
+                if "$ref" in sub and isinstance(sub["$ref"], str):
+                    try:
+                        tgt, _ = self.registry.resolve_ref(sub["$ref"], sub, "")
+                    except Exception:
+                        tgt = None
+                    walk(tgt)
+                if isinstance(sub.get("properties"), dict):
+                    names.extend(sub["properties"])
+                if isinstance(sub.get("patternProperties"), dict):
+                    pats.extend(sub["patternProperties"])
+                if "additionalProperties" in sub or "unevaluatedProperties" in sub:
+                    ball = True
+                for bb in sub.get("allOf") or []:
+                    walk(bb)
+
+            walk(b)
+            return names, pats, ball
+
+        out: list = []
+        for kw in ("anyOf", "oneOf"):
+            for b in s.get(kw) or []:
+                names, pats, ball = info(b)
+                if names or pats or ball:
+                    out.append((b, None, names, pats, ball))
+        if "if" in s:
+            n1, p1, a1 = info(s["if"])
+            n2, p2, a2 = info(s.get("then", {}))
+            if n1 + n2 or p1 + p2 or a1 or a2:
+                out.append((s["if"], "pos", n1 + n2, p1 + p2, a1 or a2))
+            n3, p3, a3 = info(s.get("else", {}))
+            if n3 or p3 or a3:
+                out.append((s["if"], "neg", n3, p3, a3))
+        ds = s.get("dependentSchemas")
+        if isinstance(ds, dict):
+            for key, b in ds.items():
+                names, pats, ball = info(b)
+                if names or pats or ball:
+                    out.append((b, ("dep", key), names, pats, ball))
+        return out
 
     def _static_claims(self, s: dict) -> dict:
         """Statically-claimed key names + patterns for unevaluatedProperties

@@ -58,6 +58,25 @@ def test_variant_dynamic_object_keywords_stay_jvm(spark):
     assert p.count("parseJson") == 1, f"JSON parsed {p.count('parseJson')}x per row"
 
 
+def test_content_lowering_stays_jvm_no_shuffle(spark):
+    """Content-vocabulary decode-and-validate (base64 + JSON + contentSchema)
+    must lower to try_to_binary/try_parse_json — no Python, no Exchange."""
+    from jsonschema_spark.queries import content_validate_props
+
+    p = _plan(content_validate_props(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_recursive_unroll_stays_narrow(spark):
+    """$dynamicRef static unrolling compiles to one narrow projection."""
+    from jsonschema_spark.queries import kw_recursive_tree_events
+
+    p = _plan(kw_recursive_tree_events(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
 def test_predicate_pushdown_reaches_scan(spark):
     df = (
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

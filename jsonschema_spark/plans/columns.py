@@ -789,6 +789,11 @@ class SparkPlanCompiler:
                     valids.append(~bad)
                     prop_conds.append((bad, prop))
                 else:
+                    # in a HOF lambda (or without staging) the predicates
+                    # re-evaluate for the summary condition; a let-binding
+                    # via nested transform was tried and is SLOWER (HOFs are
+                    # CodegenFallback — the extra interpreted transform per
+                    # element costs more than duplicated codegen'd predicates)
                     parts.append(sub.violations)
                     valids.append(sub.valid)
                     prop_conds.append((_safe(present & ~sub.valid), prop))
@@ -1177,23 +1182,28 @@ class SparkPlanCompiler:
 
     def _compile_logical(self, s: dict, val: _Val, parts, valids, present: Column, depth: int) -> None:
         if "allOf" in s and isinstance(s["allOf"], list):
-            ao_conds: list[tuple[Column, Any]] = []
-            for i, branch in enumerate(s["allOf"]):
-                sub = self._compile(branch, val, depth)
-                parts.append(sub.violations)
+            subs = [self._compile(branch, val, depth) for branch in s["allOf"]]
+            for sub in subs:
                 valids.append(sub.valid)
-                ao_conds.append((_safe(present & ~sub.valid), i))
-            if ao_conds:
+
+            def _allof_summary(conds: list[tuple[Column, int]]) -> Column:
                 # scalar core emits ONE all_of_item_mismatch with the failing
                 # indices joined, regardless of count (evaluator.py:259-260)
-                any_bad = ao_conds[0][0]
-                for c, _ in ao_conds[1:]:
+                any_bad = conds[0][0]
+                for c, _ in conds[1:]:
                     any_bad = any_bad | c
-                joined = F.concat_ws(", ", *[F.when(c, F.lit(str(i))) for c, i in ao_conds])
+                joined = F.concat_ws(", ", *[F.when(c, F.lit(str(i))) for c, i in conds])
+                return _cond_violation(
+                    _safe(any_bad), val.path, "allOf", "all_of_item_mismatch",
+                    {"indexs": joined},
+                )
+
+            if subs:
+                for sub in subs:
+                    parts.append(sub.violations)
                 parts.append(
-                    _cond_violation(
-                        _safe(any_bad), val.path, "allOf", "all_of_item_mismatch",
-                        {"indexs": joined},
+                    _allof_summary(
+                        [(_safe(present & ~sub.valid), i) for i, sub in enumerate(subs)]
                     )
                 )
 

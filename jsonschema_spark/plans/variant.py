@@ -62,6 +62,7 @@ _SUPPORTED = {
     # map<string,variant>) keeps these JVM-side (no UDF fallback)
     "patternProperties", "additionalProperties", "propertyNames",
     "minProperties", "maxProperties", "unevaluatedProperties",
+    "unevaluatedItems",
 }
 
 # propertyNames subschemas evaluate against the key STRING; only these
@@ -182,6 +183,17 @@ class VariantPlanCompiler:
                 raise VariantCompileError(
                     "unevaluatedProperties with conditional applicators needs the UDF path"
                 )
+            if kw == "unevaluatedItems" and any(
+                k in schema
+                for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
+            ):
+                # item-claim annotations from in-place applicators need
+                # runtime threading — scalar/UDF path handles those
+                raise VariantCompileError(
+                    "unevaluatedItems with in-place applicators needs the UDF path"
+                )
+            if kw == "unevaluatedItems":
+                self._check_supported(sub, depth + 1)
 
     # ------------------------------------------------------------------ public
 
@@ -889,6 +901,73 @@ class VariantPlanCompiler:
             if max_c is not None:
                 add(n_match > int(max_c), "maxContains", "contains_too_many_items",
                     {"max_contains": F.lit(int(max_c)), "matches": n_match})
+
+        if (
+            "unevaluatedItems" in s
+            and isinstance(s["unevaluatedItems"], (dict, bool))
+            and not isinstance(s.get("items"), (dict, bool))
+            and s["unevaluatedItems"] is not True
+            and s["unevaluatedItems"] != {}
+        ):
+            # static resolution (items present would evaluate everything);
+            # evaluated = prefixItems indices + contains matches — mirrors the
+            # typed planner (conditional in-place applicators refuse at
+            # _check_supported)
+            branch = s["unevaluatedItems"]
+            contains_schema = s.get("contains") if isinstance(s.get("contains"), (dict, bool)) else None
+
+            def uneval_viol(x: Column, i: Column) -> Column:
+                prev = self._in_lambda
+                self._in_lambda = True
+                try:
+                    evaluated = i < len(prefix)
+                    if contains_schema is not None:
+                        evaluated = evaluated | _safe(
+                            self._compile(contains_schema, x, F.lit(""), depth + 1).valid
+                        )
+                    child_path = F.concat(path, F.lit("/"), i.cast("string"))
+                    if branch is False:
+                        vcol = _cond_violation(
+                            F.lit(True), child_path, "schema", "false_schema_mismatch"
+                        )
+                    else:
+                        vcol = self._compile(branch, x, child_path, depth + 1).violations
+                finally:
+                    self._in_lambda = prev
+                return F.when(x.isNotNull() & ~_safe(evaluated), vcol).otherwise(
+                    _empty_violations()
+                )
+
+            pev = self._maybe_stage(
+                F.when(
+                    _safe(present & is_arr & (n > 0)),
+                    F.zip_with(arr, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), uneval_viol),
+                ).otherwise(F.expr(f"CAST(array() AS array<{_VIOL_ARR_DDL}>)"))
+            )
+            leafs = F.flatten(pev)
+            parts.append(F.when(_safe(present & is_arr), leafs).otherwise(_empty_violations()))
+            bad_idx = F.filter(
+                F.transform(pev, lambda a, i: F.when(F.size(a) > 0, i)),
+                lambda x: x.isNotNull(),
+            )
+            nbad = F.size(bad_idx)
+            parts.append(
+                F.when(
+                    _safe(present & is_arr & (nbad == 1)),
+                    _cond_violation(F.lit(True), path, "unevaluatedItems",
+                                    "unevaluated_item_mismatch",
+                                    {"index": F.element_at(bad_idx, 1)}),
+                )
+                .when(
+                    _safe(present & is_arr & (nbad > 1)),
+                    _cond_violation(F.lit(True), path, "unevaluatedItems",
+                                    "unevaluated_items_mismatch",
+                                    {"indexs": F.array_join(
+                                        F.transform(bad_idx, lambda x: x.cast("string")), ", ")}),
+                )
+                .otherwise(_empty_violations())
+            )
+            valids.append(~_safe(present & is_arr & (F.size(leafs) > 0)))
 
     # ---------------------------------------------------------------- logical
 

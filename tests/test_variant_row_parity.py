@@ -30,6 +30,8 @@ SCHEMAS = [
     {"items": {"type": "integer", "maximum": 5}},
     {"prefixItems": [{"type": "integer"}, {"minLength": 2}], "items": {"maximum": 3}},
     {"not": {"type": "object"}},
+    {"prefixItems": [{"type": "integer"}], "unevaluatedItems": False},
+    {"prefixItems": [{}], "contains": {"type": "string"}, "unevaluatedItems": {"maximum": 5}},
     {"$defs": {"pos": {"minimum": 0}}, "properties": {"a": {"$ref": "#/$defs/pos"}}},
 ]
 

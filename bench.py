@@ -102,10 +102,13 @@ def flagship_throughput(spark, n_docs: int) -> tuple[float, float]:
 
     path = ensure_synth_docs(spark, n_docs)
     df = spark.read.parquet(path)
-    t0 = time.perf_counter()
-    _force(validate_dataframe(df, DOCS_SCHEMA))
-    dt = time.perf_counter() - t0
-    return dt, n_docs / dt
+    best = None
+    for _rep in range(2):  # best-of-2, same protocol as the headline queries
+        t0 = time.perf_counter()
+        _force(validate_dataframe(df, DOCS_SCHEMA))
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best, n_docs / best
 
 
 def main() -> None:

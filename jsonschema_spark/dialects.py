@@ -154,7 +154,9 @@ def normalize_schema(schema: Any, default_dialect: str = DRAFT_2020_12) -> Any:
     2020-12 documents are returned unchanged (identity — no copy)."""
     dialect = detect_dialect(schema, default_dialect)
     if dialect == DRAFT_2020_12 and default_dialect == DRAFT_2020_12:
-        return schema
+        # still walk for EMBEDDED legacy resources (nested legacy $schema
+        # under a 2020-12 root) — identity is preserved when none exist
+        return _walk_modern(schema)
     return _norm(schema, dialect, _rec_anchor(schema, dialect))
 
 
@@ -173,6 +175,37 @@ def _is_resource_root(node: dict, dialect: str) -> bool:
     return isinstance(sid, str) and sid.split("#", 1)[0] != ""
 
 
+def _walk_modern(node: Any) -> Any:
+    """Walk a 2020-12 subtree looking for embedded legacy-dialect resource
+    roots (a nested legacy ``$schema``) and normalize exactly those subtrees
+    into 2020-12, mirroring the reference's per-resource dialect switching
+    (dialect.go). Returns the ORIGINAL object identity when nothing changes,
+    so the all-modern fast path stays copy-free."""
+    if isinstance(node, bool) or not isinstance(node, dict):
+        return node
+    here = detect_dialect(node, DRAFT_2020_12)
+    if here != DRAFT_2020_12:
+        return _norm(node, here, _rec_anchor(node, here))
+    out: dict | None = None
+    for key, v in node.items():
+        new_v = v
+        if key in _SINGLE:
+            new_v = _walk_modern(v)
+        elif key in _MAP and isinstance(v, dict):
+            walked = {k: _walk_modern(sub) for k, sub in v.items()}
+            if any(walked[k] is not v[k] for k in v):
+                new_v = walked
+        elif key in _LIST and isinstance(v, list):
+            walked_l = [_walk_modern(sub) for sub in v]
+            if any(a is not b for a, b in zip(walked_l, v)):
+                new_v = walked_l
+        if new_v is not v:
+            if out is None:
+                out = dict(node)
+            out[key] = new_v
+    return out if out is not None else node
+
+
 def _norm(node: Any, dialect: str, rec: bool) -> Any:
     if isinstance(node, bool) or not isinstance(node, dict):
         return node
@@ -183,7 +216,9 @@ def _norm(node: Any, dialect: str, rec: bool) -> Any:
         dialect = here
         rec = _rec_anchor(node, dialect)
     if dialect == DRAFT_2020_12:
-        return node
+        # the subtree ITSELF is modern, but it may embed a legacy resource
+        # deeper down (nested legacy $schema) — keep walking, identity-safe
+        return _walk_modern(node)
     if _is_resource_root(node, dialect):
         rec = _rec_anchor(node, dialect)
 

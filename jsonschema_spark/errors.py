@@ -31,7 +31,7 @@ EN_MESSAGES: dict[str, str] = {
     "unsupported_encoding": "contentEncoding '{encoding}' is not supported",
     "invalid_encoding": "payload failed to decode as '{encoding}'",
     "unsupported_media_type": "contentMediaType '{media_type}' is not supported",
-    "invalid_media_type": "payload failed to parse as media type '{mediaType}'",
+    "invalid_media_type": "payload failed to parse as media type '{media_type}'",
     "content_schema_mismatch": "decoded content fails contentSchema",
     "dependent_property_required": "dependent required properties missing: {missing_properties}",
     "dependent_schema_mismatch": "presence of {property} triggers a dependent schema the value fails",

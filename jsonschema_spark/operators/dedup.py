@@ -102,11 +102,18 @@ def lsh_candidate_pairs(
     Scale path: the self-join is on (band, bucket) — only docs in the same
     bucket ever meet; bucket sizes are bounded by near-duplicate cluster
     sizes, not corpus size.
+
+    Caching contract: the (large) signature relation is persisted only for
+    the duration of this call — the (small, deduped) pair result is
+    materialized eagerly into its own cache and the signatures are released
+    before returning, so a long-lived session running many dedup batches
+    does not accumulate cached signature relations. Callers may `unpersist()`
+    the returned relation when done; if its cache is evicted it recomputes
+    from the signature lineage. At warehouse scale you'd write signatures to
+    a table and run matching as a second job — same two-phase shape.
     """
     # Signatures feed three plan branches (bucket explode + both join sides);
-    # persist so the expensive text→shingle→minhash pipeline runs once. At
-    # warehouse scale you'd write signatures to a table and run matching as a
-    # second job — same two-phase shape.
+    # persist so the expensive text→shingle→minhash pipeline runs once.
     sig_df = sig_df.persist()
 
     buckets = sig_df.select(
@@ -143,7 +150,10 @@ def lsh_candidate_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.size("sig_a")
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    out = pairs.select("id_a", "id_b", est.alias("est_jaccard")).persist()
+    out.count()  # materialize the small pair cache while signatures are hot
+    sig_df.unpersist()  # release the big signature cache before returning
+    return out
 
 
 def ngram_jaccard_pairs(

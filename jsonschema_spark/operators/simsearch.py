@@ -253,9 +253,15 @@ def cosine_near_dup_pairs(
         .distinct()  # dedup on bare ids BEFORE re-attaching vectors
     )
     # normalize ONCE per vector so each verified pair folds a single dot
-    # product instead of dot + 2 norms (3x fewer array traversals)
-    unit = base.select(
-        "id", F.transform("vec", lambda x: x / _norm(F.col("vec"))).alias("u")
+    # product instead of dot + 2 norms (3x fewer array traversals). The norm
+    # is staged in its own projection — HOF lambdas are interpreted with no
+    # CSE, so an inlined _norm inside the per-element lambda would cost
+    # O(d^2) per vector. Zero-norm vectors pass through unscaled.
+    unit = base.withColumn("__n", _norm(F.col("vec"))).select(
+        "id",
+        F.when(
+            F.col("__n") > 0.0, F.transform("vec", lambda x: x / F.col("__n"))
+        ).otherwise(F.col("vec")).alias("u"),
     )
     verified = (
         cand.join(unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a")), "id_a")

@@ -26,6 +26,9 @@ from dataclasses import dataclass
 from decimal import Decimal
 from fractions import Fraction
 from typing import Any
+from itertools import count as _it_count
+
+_STAGE_IDS = _it_count()
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -276,7 +279,6 @@ class SparkPlanCompiler:
         self.registry = Registry()
         self.registry.register(schema, "")
         self._stages: list[tuple[str, Column]] | None = None
-        self._stage_n = 0
         self._scope: list[str] = []  # static dynamic-scope base-URI stack
         self._audit(schema)
 
@@ -317,7 +319,6 @@ class SparkPlanCompiler:
         if root is None:
             root = F.struct(*[F.col(f.name).alias(f.name) for f in df_schema.fields])
         self._stages = stages
-        self._stage_n = 0
         self._scope = []
         try:
             val = _Val(col=root, dtype=df_schema, path=_lit_path(""))
@@ -329,8 +330,9 @@ class SparkPlanCompiler:
     def _maybe_stage(self, col: Column, val: "_Val") -> Column:
         if self._stages is None or val.in_lambda:
             return col
-        name = f"__jss_stage_{self._stage_n}"
-        self._stage_n += 1
+        # process-global counter — see plans/variant.py: names must be unique
+        # across compiler instances sharing one stages list
+        name = f"__jss_stage_{next(_STAGE_IDS)}"
         self._stages.append((name, col))
         return F.col(name)
 

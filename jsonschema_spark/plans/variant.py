@@ -27,6 +27,9 @@ from __future__ import annotations
 from decimal import Decimal
 from fractions import Fraction
 from typing import Any
+from itertools import count as _it_count
+
+_STAGE_IDS = _it_count()
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -142,7 +145,6 @@ class VariantPlanCompiler:
         self.registry = Registry()
         self.registry.register(schema, "")
         self._stages: list[tuple[str, Column]] | None = None
-        self._stage_n = 0
         self._in_lambda = False
         self._check_supported(schema)
 
@@ -209,7 +211,6 @@ class VariantPlanCompiler:
         FIRST (same mechanism as SparkPlanCompiler — Catalyst does not CSE
         non-cheap exprs inside one projection)."""
         self._stages = stages
-        self._stage_n = 0
         try:
             node = self._compile(
                 self.schema, variant_col, root_path if root_path is not None else F.lit(""), 0
@@ -221,8 +222,11 @@ class VariantPlanCompiler:
     def _maybe_stage(self, col: Column) -> Column:
         if self._stages is None or self._in_lambda:
             return col
-        name = f"__jsv_stage_{self._stage_n}"
-        self._stage_n += 1
+        # process-global counter: two compiler instances appending to one
+        # shared stages list (e.g. two contentSchema sites in one typed plan)
+        # must never collide on names — a caller attaching stages via a
+        # single select / dedupe-by-name would silently miscompute otherwise
+        name = f"__jsv_stage_{next(_STAGE_IDS)}"
         self._stages.append((name, col))
         return F.col(name)
 

@@ -134,9 +134,12 @@ def hierarchical_output(
                 n = node_for(path)
                 n["valid"] = False
                 for v in by_path[path]:
-                    n["errors"][v["keyword"]] = render_message(
-                        v["code"], dict(v["params"] or {}), locale
-                    )
+                    msg = render_message(v["code"], dict(v["params"] or {}), locale)
+                    prev = n["errors"].get(v["keyword"])
+                    # two violations can share (instance path, keyword) — e.g.
+                    # two failing allOf branches each contributing a 'minimum'
+                    # failure at the root; join rather than overwrite
+                    n["errors"][v["keyword"]] = msg if prev is None else f"{prev}; {msg}"
             return _json.dumps(root, ensure_ascii=False)
 
         return viols.map(build)

@@ -115,3 +115,44 @@ def test_typed_planner_accepts_draft7(spark):
     }
     got = {r["id"]: r["valid"] for r in validate_dataframe(df, schema).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_embedded_legacy_resource_under_modern_root():
+    """A draft-7 resource embedded inline under a 2020-12 root (nested
+    $schema) is normalized per-resource — the reference switches dialect at
+    resource roots (dialect.go); array-form items must become prefixItems."""
+    from jsonschema_spark.dialects import normalize_schema
+
+    legacy = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "$id": "https://example.com/legacy",
+        "items": [{"type": "string"}, {"type": "integer"}],
+        "dependencies": {"a": ["b"]},
+    }
+    root = {"$defs": {"leg": legacy}, "properties": {"x": {"type": "string"}}}
+    out = normalize_schema(root)
+    norm = out["$defs"]["leg"]
+    assert norm["prefixItems"] == [{"type": "string"}, {"type": "integer"}]
+    assert norm["dependentRequired"] == {"a": ["b"]}
+    # untouched modern parts keep identity (copy-free fast path)
+    assert out["properties"] is root["properties"]
+    # an all-modern document passes through with identity
+    modern = {"properties": {"x": {"type": "string"}}}
+    assert normalize_schema(modern) is modern
+
+
+def test_embedded_legacy_resource_evaluates(spark):
+    """End-to-end: a legacy subtree's semantics (array-form items) apply."""
+    from jsonschema_spark.compiler import Compiler
+
+    s = {
+        "properties": {
+            "t": {
+                "$schema": "http://json-schema.org/draft-07/schema#",
+                "items": [{"type": "string"}, {"type": "integer"}],
+            }
+        }
+    }
+    c = Compiler().compile(s)
+    assert c.validate({"t": ["a", 1]}).valid
+    assert not c.validate({"t": [1, "a"]}).valid

@@ -30,6 +30,26 @@ def test_render_localized(loc):
     assert "{" not in msg  # every placeholder filled
 
 
+@pytest.mark.parametrize("loc", sorted(BUILTIN_LOCALES))
+def test_catalog_placeholders_match_en(loc):
+    """Every locale's placeholders per code must equal the EN template's —
+    a renamed placeholder (e.g. {mediaType} vs the emitter's media_type
+    param) would render literally into user-facing messages."""
+    import re
+
+    ph = lambda s: set(re.findall(r"\{(\w+)\}", s))
+    for code, en_tmpl in EN_MESSAGES.items():
+        assert ph(BUILTIN_LOCALES[loc][code]) == ph(en_tmpl), (loc, code)
+
+
+@pytest.mark.parametrize("loc", sorted(BUILTIN_LOCALES))
+def test_invalid_media_type_renders_param(loc):
+    # emitters pass media_type= (evaluator.py _eval_content) — the catalogs
+    # must use the same placeholder name
+    msg = render_message("invalid_media_type", {"media_type": "application/json"}, loc)
+    assert "application/json" in msg and "{" not in msg
+
+
 @pytest.mark.parametrize("loc", ["de-DE", "ja-JP", "zh-Hans"])
 def test_localized_output_jvm_side(spark, loc):
     from pyspark.sql import functions as F

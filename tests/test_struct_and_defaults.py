@@ -159,3 +159,26 @@ def test_reporting_outputs(spark):
     loc = localized_output(v, ["id"]).collect()
     msgs = {r["code"]: r["message"] for r in loc}
     assert msgs["string_too_short"] == "string length is under minLength 2"
+
+
+def test_hierarchical_output_same_keyword_collision(spark):
+    """Two violations sharing (instance path, keyword) — e.g. two failing
+    allOf branches each contributing a 'minimum' at the same location — must
+    BOTH survive in the report (joined), not overwrite each other."""
+    import json
+
+    from jsonschema_spark.plans.columns import validate_dataframe
+    from jsonschema_spark.reporting import hierarchical_output
+
+    df = spark.createDataFrame([(1, 0)], "id int, n int")
+    schema = {
+        "properties": {
+            "n": {"allOf": [{"minimum": 5}, {"minimum": 7}]},
+        }
+    }
+    v = validate_dataframe(df, schema)
+    rep = json.loads(hierarchical_output(v, ["id"]).collect()[0]["report"])
+    locs = {d["instanceLocation"]: d for d in rep["details"]}
+    msg = locs["/n"]["errors"]["minimum"]
+    # both thresholds render — one message per failing branch
+    assert "5" in msg and "7" in msg

@@ -80,3 +80,21 @@ def test_variant_plan_official_suite(spark):
                     )
     assert failures == 0, f"{failures}/{total} variant-plan disagreements"
     assert total > 500
+
+
+def test_stage_names_globally_unique_across_compilers(spark):
+    """Two compiler instances appending to ONE shared stages list (e.g. two
+    contentSchema sites in a typed plan) must never collide on stage names —
+    a caller attaching stages via a single select or deduping by name would
+    silently miscompute otherwise."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.plans.variant import VariantPlanCompiler
+
+    stages: list = []
+    for _ in range(2):
+        c = VariantPlanCompiler({"patternProperties": {"^a": {"type": "string"}}})
+        c.violations_column(F.try_parse_json(F.lit('{"a":1}')), stages=stages)
+    assert stages, "expected staged subexpressions"
+    names = [n for n, _ in stages]
+    assert len(names) == len(set(names)), names

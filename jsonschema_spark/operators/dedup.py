@@ -27,6 +27,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "md5_hash60",
     "simhash_near_pairs",
 ]
 
@@ -184,14 +185,30 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
-    """(id, simhash: bigint) 64-bit SimHash over tokens (xxhash64 bit votes)."""
+def md5_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5 as an
+    integer. Expressible in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``) so SimHash built on it
+    can be oracle-verified; xxhash64 stays the default fast path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64, hash_fn=None
+) -> DataFrame:
+    """(id, simhash: bigint) SimHash over tokens (bit votes).
+
+    ``hash_fn`` maps a token Column to a BIGINT hash Column; default
+    xxhash64 (fastest JVM path). Pass ``md5_hash60`` with ``bits=60`` for an
+    engine-portable family a SQL oracle can recompute."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     toks = F.array_distinct(tokens(F.col(text_col)))
 
     # ONE traversal of the token array: fold a 64-slot vote vector
     # (zip_with over per-token bit signs) instead of 64 independent
     # aggregates, each of which would re-tokenize and re-hash the text
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    hashed = F.transform(toks, lambda t: hash_fn(t))
     zero = F.array(*[F.lit(0) for _ in range(bits)])
     votes = F.aggregate(
         hashed,

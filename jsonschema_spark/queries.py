@@ -269,6 +269,9 @@ WHERE nbad >= 1
 
 
 def kw_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String keywords over customer, with deterministic 1-in-7 / 1-in-11
+    corruption so the oracle asserts non-empty violation sets (TPC-H data
+    never violates this schema on its own — a 0-row oracle is vacuous)."""
     schema = {
         "properties": {
             "c_name": {"type": "string", "pattern": "^Customer#[0-9]{9}$", "minLength": 18, "maxLength": 18},
@@ -278,21 +281,37 @@ def kw_string_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_acctbal": {"minimum": -999.99},
         }
     }
-    return _violations(_t(spark, sf_dir, "customer"), schema, ["c_custkey"])
+    c = _t(spark, sf_dir, "customer").withColumns(
+        {
+            "c_name": F.when(
+                F.col("c_custkey") % 7 == 0, F.concat(F.col("c_name"), F.lit("X"))
+            ).otherwise(F.col("c_name")),
+            "c_mktsegment": F.when(
+                F.col("c_custkey") % 11 == 0, F.lit("AEROSPACE")
+            ).otherwise(F.col("c_mktsegment")),
+        }
+    )
+    return _violations(c, schema, ["c_custkey"])
 
 
 ORACLE_STRING_CUSTOMER = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_name || 'X' ELSE c_name END AS c_name,
+         CASE WHEN c_custkey % 11 = 0 THEN 'AEROSPACE' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer)
 SELECT c_custkey, '/c_name' AS instance_path, 'pattern' AS keyword, 'pattern_mismatch' AS code
-FROM customer WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+FROM c WHERE NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
 UNION ALL
-SELECT c_custkey, '/c_name', 'minLength', 'string_too_short' FROM customer WHERE length(c_name) < 18
+SELECT c_custkey, '/c_name', 'minLength', 'string_too_short' FROM c WHERE length(c_name) < 18
 UNION ALL
-SELECT c_custkey, '/c_name', 'maxLength', 'string_too_long' FROM customer WHERE length(c_name) > 18
+SELECT c_custkey, '/c_name', 'maxLength', 'string_too_long' FROM c WHERE length(c_name) > 18
 UNION ALL
 SELECT c_custkey, '/c_mktsegment', 'enum', 'value_not_in_enum'
-FROM customer WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+FROM c WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
 UNION ALL
-SELECT c_custkey, '/c_acctbal', 'minimum', 'value_below_minimum' FROM customer WHERE c_acctbal < -999.99
+SELECT c_custkey, '/c_acctbal', 'minimum', 'value_below_minimum' FROM c WHERE c_acctbal < -999.99
 UNION ALL
 SELECT c_custkey, '', 'properties',
        CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
@@ -302,7 +321,7 @@ FROM (
                  OR length(c_name) <> 18 THEN 1 ELSE 0 END)
        + (CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END)
        + (CASE WHEN c_acctbal < -999.99 THEN 1 ELSE 0 END) AS nbad
-  FROM customer)
+  FROM c)
 WHERE nbad >= 1
 """
 
@@ -500,15 +519,31 @@ FROM events GROUP BY 1 HAVING count(*) > 1
 
 
 def dedup_exact_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic duplicate injection (1 in 25 docs get
+    one of three boilerplate texts) so the oracle asserts non-empty duplicate
+    groups — the synthetic corpus has no natural exact duplicates and a
+    0-row oracle is vacuous."""
     from jsonschema_spark.operators.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit("boilerplate text "), (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    return exact_duplicate_groups(d, "doc_id", "text")
 
 
 ORACLE_DEDUP_TEXT = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0 THEN 'boilerplate text ' || (doc_id % 3)
+              ELSE text END AS text
+  FROM documents)
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
        count(*) AS cnt, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM d GROUP BY 1 HAVING count(*) > 1
 """
 
 
@@ -706,10 +741,76 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
-def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jsonschema_spark.operators.dedup import simhash
+def _oracle_lsh_pairs(k: int = 8, bands: int = 4, rows_per_band: int = 2) -> str:
+    """DuckDB oracle for the full MinHash→band→bucket→pair pipeline. The md5
+    hash family was chosen precisely so this is expressible in any engine
+    (operators/dedup.py module docstring); the banding arithmetic is
+    generated from the same parameters the Spark query uses."""
+    sig_items = ",\n         ".join(
+        f"list_min([md5('{s}:' || x) FOR x IN s])" for s in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks),
+sig AS (
+  SELECT id, [{sig_items}] AS sig
+  FROM sh),
+buckets AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_filter(range(1, {k + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {k} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.id = c.id_a
+JOIN sig sb ON sb.id = c.id_b
+"""
 
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures on the engine-portable md5-derived 60-bit hash
+    family (md5_hash60) so a DuckDB oracle can recompute them exactly; the
+    xxhash64 default stays the production fast path."""
+    from jsonschema_spark.operators.dedup import md5_hash60, simhash
+
+    return simhash(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=60, hash_fn=md5_hash60
+    )
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents),
+h AS (
+  SELECT id, [CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) FOR x IN t] AS hs
+  FROM toks)
+SELECT id,
+       CAST(list_sum([
+         CASE WHEN list_sum([CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END FOR hh IN hs]) > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+         FOR i IN range(0, 60)]) AS BIGINT) AS simhash
+FROM h
+"""
 
 
 def ann_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,7 +822,67 @@ def ann_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ann_topk(emb, queries, k=5, bands=4, rows_per_band=6)
+    out = ann_topk(emb, queries, k=5, bands=4, rows_per_band=6)
+    return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+def _hyperplane_sql_parts(bands: int, rows_per_band: int, dim: int):
+    """(proj_cols, key_selects) SQL fragments that replicate the Spark
+    operator's banded hyperplane LSH construction EXACTLY: the ±1 sign
+    matrix is a deterministic compile-time constant (sha256-derived,
+    operators/simsearch._plane_signs) inlined as literals in BOTH engines,
+    so the oracle reproduces bucket keys bit-for-bit."""
+    from jsonschema_spark.operators.simsearch import _plane_signs
+
+    n_planes = bands * rows_per_band
+    proj_cols = ",\n         ".join(
+        "list_dot_product(v, [{lit}]) AS p{p}".format(
+            lit=", ".join(str(x) for x in _plane_signs(p, dim)), p=p
+        )
+        for p in range(n_planes)
+    )
+    key_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, {key} AS key FROM proj".format(
+            b=b,
+            key=" + ".join(
+                f"CAST(p{b * rows_per_band + j} > 0 AS BIGINT) * {1 << j}"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return proj_cols, key_selects
+
+
+def _oracle_ann_topk(k: int = 5, bands: int = 4, rows_per_band: int = 6, dim: int = 64) -> str:
+    proj_cols, key_selects = _hyperplane_sql_parts(bands, rows_per_band, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings WHERE len(embedding) = {dim}),
+proj AS (
+  SELECT id, {proj_cols}
+  FROM e),
+keys AS (
+  {key_selects}),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+  WHERE q.id < 3),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(cv.v, qv.v) /
+         (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+  FROM cand
+  JOIN e cv ON cv.id = cand.neighbor_id
+  JOIN e qv ON qv.id = cand.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+         cos
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= {k}
+"""
 
 
 def media_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,7 +1186,6 @@ def all_queries():
         "variant_nested_events": variant_nested_events,
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
-        # rows-only (no SQL oracle): engine-specific hashing / LSH internals
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
         "localized_violations_docs": localized_violations_docs,
@@ -1072,6 +1232,11 @@ def all_oracles():
         "variant_nested_events": ORACLE_VARIANT_NESTED,
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
+        "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
+        "cosine_near_dup_lsh": _oracle_cosine_lsh(),
+        "localized_violations_docs": ORACLE_LOCALIZED_DOCS,
+        "simhash_docs": ORACLE_SIMHASH,
+        "ann_topk_docs": _oracle_ann_topk(),
     }
 
 
@@ -1151,6 +1316,39 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_cosine_lsh(
+    threshold: float = 0.5, bands: int = 8, rows_per_band: int = 4, dim: int = 64
+) -> str:
+    """Full-pipeline oracle: same sha256-derived sign planes (inlined
+    literals), same banded OR-construction, same unit-normalize-then-dot
+    verification rounded at 6."""
+    proj_cols, key_selects = _hyperplane_sql_parts(bands, rows_per_band, dim)
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings WHERE len(embedding) = {dim}),
+proj AS (
+  SELECT id, {proj_cols}
+  FROM e),
+keys AS (
+  {key_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+unit AS (
+  SELECT id,
+         CASE WHEN sqrt(list_dot_product(v, v)) > 0
+              THEN [x / sqrt(list_dot_product(v, v)) FOR x IN v]
+              ELSE v END AS u
+  FROM e)
+SELECT c.id_a, c.id_b, round(list_dot_product(ua.u, ub.u), 6) AS cosine
+FROM cand c
+JOIN unit ua ON ua.id = c.id_a
+JOIN unit ub ON ub.id = c.id_b
+WHERE round(list_dot_product(ua.u, ub.u), 6) >= {threshold}
+"""
+
+
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8 coarse cells (vectors with smallest ids as centroids),
     probe the 3 closest cells, top-5 per query."""
@@ -1227,13 +1425,56 @@ FROM v GROUP BY 1 ORDER BY 1
 
 
 def localized_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LocalizedDetailedErrors analogue (rows-only: message rendering is
-    presentation; codes are checked by validate_documents_violations)."""
+    """LocalizedDetailedErrors analogue: (doc_id, instance_path, code,
+    message) with EN messages rendered JVM-side. Oracled: messages are
+    deterministic functions of (code, params), so the SQL reproduces the
+    rendered strings exactly."""
     from jsonschema_spark.plans.columns import validate_dataframe
     from jsonschema_spark.reporting import localized_output
 
     v = validate_dataframe(_t(spark, sf_dir, "documents"), DOCS_TABLE_SCHEMA)
     return localized_output(v, ["doc_id"])
+
+
+ORACLE_LOCALIZED_DOCS = """
+SELECT doc_id, '/lang' AS instance_path, 'value_not_in_enum' AS code,
+       'got ' || lang || '; allowed values: en, de, fr, es' AS message
+FROM documents WHERE lang NOT IN ('en','de','fr','es')
+UNION ALL
+SELECT doc_id, '/doc_id', 'value_below_minimum', doc_id || ' is under minimum 0'
+FROM documents WHERE doc_id < 0
+UNION ALL
+SELECT doc_id, '/n_chars', 'value_below_minimum', n_chars || ' is under minimum 60'
+FROM documents WHERE n_chars < 60
+UNION ALL
+SELECT doc_id, '/n_chars', 'value_above_maximum', n_chars || ' exceeds maximum 500'
+FROM documents WHERE n_chars > 500
+UNION ALL
+SELECT doc_id, '/text', 'string_too_short', 'string length is under minLength 60'
+FROM documents WHERE length(text) < 60
+UNION ALL
+SELECT doc_id, '/text', 'pattern_mismatch', 'string does not match pattern ^[a-z ]+$'
+FROM documents WHERE NOT regexp_matches(text, '^[a-z ]+$')
+UNION ALL
+SELECT doc_id, '/source', 'pattern_mismatch', 'string does not match pattern ^src[0-9]+$'
+FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+UNION ALL
+SELECT doc_id, '',
+       CASE WHEN len(bad) = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END,
+       CASE WHEN len(bad) = 1 THEN 'property ' || bad[1] || ' fails its schema'
+            ELSE 'properties ' || array_to_string(list_sort(bad), ', ') || ' fail their schemas' END
+FROM (
+  SELECT doc_id,
+         [x FOR x IN [
+            CASE WHEN doc_id < 0 THEN 'doc_id' END,
+            CASE WHEN lang NOT IN ('en','de','fr','es') THEN 'lang' END,
+            CASE WHEN n_chars < 60 OR n_chars > 500 THEN 'n_chars' END,
+            CASE WHEN length(text) < 60 OR NOT regexp_matches(text, '^[a-z ]+$') THEN 'text' END,
+            CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 'source' END
+         ] IF x IS NOT NULL] AS bad
+  FROM documents)
+WHERE len(bad) >= 1
+"""
 
 
 def variant_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:

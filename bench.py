@@ -65,12 +65,12 @@ N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
+    from jsonschema_spark.session import apply_engine_confs
+
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        apply_engine_confs(SparkSession.builder.master(f"local[{cpus}]"))
         .appName("jsonschema-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

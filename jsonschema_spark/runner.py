@@ -536,7 +536,11 @@ def _main() -> None:
 
     with open(args.schema) as f:
         schema = json.load(f)
-    spark = SparkSession.builder.appName("jsonschema-spark-validate").getOrCreate()
+    from jsonschema_spark.session import apply_engine_confs
+
+    spark = apply_engine_confs(
+        SparkSession.builder.appName("jsonschema-spark-validate")
+    ).getOrCreate()
     cfg = JobConfig(
         input_path=args.input,
         output_path=args.output,

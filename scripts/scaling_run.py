@@ -87,6 +87,9 @@ def _submit(cores: int, extra: list[str], script_args: list[str]) -> subprocess.
         "--master", f"local[{cores}]",
         "--driver-memory", "12g",
         "--conf", "spark.sql.adaptive.enabled=true",
+        # see jsonschema_spark/session.py ENGINE_CONFS
+        "--conf", "spark.sql.optimizer.excludedRules="
+                  "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",

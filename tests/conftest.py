@@ -10,11 +10,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from pyspark.sql import SparkSession
 
+    from jsonschema_spark.session import apply_engine_confs
+
     spark = (
-        SparkSession.builder.master("local[4]")
+        apply_engine_confs(SparkSession.builder.master("local[4]"))
         .appName("jsonschema_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.session.timeZone", "UTC")

@@ -139,10 +139,14 @@ def _summary_violation(
     if sort_plural:
         bad = F.array_sort(bad)
     joined = F.array_join(bad, ", ")
+    # cnt == 0 FIRST: CaseWhen evaluates conditions in order and interpreted
+    # HOF bodies have no CSE, so on the common (all-valid) path the flag sum
+    # evaluates ONCE instead of twice (cnt==1 then cnt>1) — measurable on
+    # per-element object schemas where every flag re-runs its predicate
     return (
-        F.when(cnt == 1, F.array(_mk_violation(path, keyword, code_single, {param_single: first})))
-        .when(cnt > 1, F.array(_mk_violation(path, keyword, code_plural, {param_plural: joined})))
-        .otherwise(_empty_violations())
+        F.when(cnt == 0, _empty_violations())
+        .when(cnt == 1, F.array(_mk_violation(path, keyword, code_single, {param_single: first})))
+        .otherwise(F.array(_mk_violation(path, keyword, code_plural, {param_plural: joined})))
     )
 
 

@@ -77,8 +77,12 @@ class Compiler:
 
     def __init__(self, loader: Callable[[str], Any] | None = None) -> None:
         from jsonschema_spark.evaluator import default_decoders, default_media_types
+        from jsonschema_spark.loaders import default_loader
 
-        self._loader = loader
+        # per-scheme dispatch with a built-in 10s-timeout HTTP(S) client
+        # (reference: compiler.go:336-339,397-427); an injected ``loader``
+        # keeps full precedence for every scheme (legacy contract)
+        self._loader = default_loader(fallback=loader)
         self._assert_format = False
         self._assert_content = False
         self._decoders = default_decoders()
@@ -106,6 +110,13 @@ class Compiler:
         """Custom contentMediaType unmarshaller (reference: compiler.go
         RegisterMediaType)."""
         self._media_types[media_type] = fn
+        return self
+
+    def register_loader(self, scheme: str, fn: Callable[[str], Any]) -> "Compiler":
+        """Register a loader for one URI scheme (reference: compiler.go
+        SchemeURLLoader registration). Explicit schemes win over the
+        constructor's catch-all loader and over the built-in HTTP client."""
+        self._loader.register(scheme, fn)
         return self
 
     def set_default_dialect(self, dialect: str) -> "Compiler":

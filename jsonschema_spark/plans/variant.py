@@ -185,14 +185,13 @@ class VariantPlanCompiler:
                 raise VariantCompileError(
                     "unevaluatedProperties with conditional applicators needs the UDF path"
                 )
-            if kw == "unevaluatedItems" and any(
-                k in schema
-                for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
-            ):
-                # item-claim annotations from in-place applicators need
-                # runtime threading — scalar/UDF path handles those
+            if kw == "unevaluatedItems" and "$ref" in schema:
+                # a SIBLING $ref hides the target's item claims from this
+                # analysis (the $ref/rest split in _compile) — UDF path;
+                # allOf/anyOf/oneOf/if/dependentSchemas claims thread through
+                # _conditional_item_claims
                 raise VariantCompileError(
-                    "unevaluatedItems with in-place applicators needs the UDF path"
+                    "unevaluatedItems with sibling $ref needs the UDF path"
                 )
             if kw == "unevaluatedItems":
                 self._check_supported(sub, depth + 1)
@@ -532,19 +531,13 @@ class VariantPlanCompiler:
                 claimed = self._static_claims(s)
                 if not claimed["all"]:
                     # runtime-conditional claims (anyOf/oneOf/if/dependentSchemas
-                    # branches — annotations flow only from applying branches;
-                    # mirrors the typed planner's cond_claims): each branch's
-                    # validity is STAGED once, then referenced per key
+                    # branches, to ANY nesting depth — annotations flow only
+                    # from applying, succeeding branches): each source's
+                    # compound gate is STAGED once, then referenced per key
                     cond_claims = []
-                    for branch_schema, mode, bnames, bpats, ball in self._conditional_claims(s):
-                        bvalid = self._compile(branch_schema, v, path, depth + 1).valid
-                        if mode == "neg":
-                            cond = _safe(~_safe(bvalid))
-                        elif isinstance(mode, tuple) and mode[0] == "dep":
-                            have = F.try_variant_get(v, f"$['{mode[1]}']", "variant").isNotNull()
-                            cond = _safe(have & bvalid)
-                        else:
-                            cond = _safe(bvalid)
+                    for cond, bnames, bpats, ball in self._conditional_claims(
+                        s, v, path, depth
+                    ):
                         if self._stages is not None and not self._in_lambda:
                             cond = self._maybe_stage(cond)
                         cond_claims.append((cond, bnames, bpats, ball))
@@ -600,19 +593,28 @@ class VariantPlanCompiler:
                     .otherwise(_empty_violations())
                 )
 
-    def _conditional_claims(self, s: dict) -> list:
-        """Runtime-gated claim sources for unevaluatedProperties:
-        (branch_schema, mode, names, patterns, all) where mode selects the
-        gating — None: branch validity; "pos"/"neg": the `if` condition's
-        validity (then/else claims, mirroring the typed planner's
-        cond_claims); ("dep", key): dependentSchemas key presence + branch
-        validity (scalar: annotations flow from applying, succeeding
-        branches — evaluator.py:320-321)."""
+    def _conditional_claims(
+        self, s: dict, v: Column, path: Column, depth: int
+    ) -> list:
+        """Runtime-gated claim sources for unevaluatedProperties, to ANY
+        conditional nesting depth: (gate Column, names, patterns, all).
 
-        def info(b: Any) -> tuple[list, list, bool]:
+        Annotation threading (reference: unevaluated_properties.go:17-69;
+        scalar: evaluator.py merge_annotations sites): claims from a
+        conditional branch count only while the branch APPLIES AND SUCCEEDS,
+        so a claim nested N conditionals deep carries the conjunction of all
+        N branch-validity gates. Gates compile once per source and the caller
+        stages them; claims within one branch's in-place tree (allOf/$ref)
+        stay unconditional inside that branch, matching the static-claims
+        treatment at the top level."""
+
+        def info(b: Any) -> tuple[list, list, bool, list]:
+            """Unconditional claims of b's in-place tree + the conditional
+            subtrees found there (handled recursively by the caller)."""
             names: list[str] = []
             pats: list[str] = []
             ball = False
+            conds: list[tuple[str, Any]] = []
             seen: set[int] = set()
 
             def walk(sub: Any) -> None:
@@ -620,14 +622,6 @@ class VariantPlanCompiler:
                 if not isinstance(sub, dict) or id(sub) in seen:
                     return
                 seen.add(id(sub))
-                for kw in ("anyOf", "oneOf", "if", "dependentSchemas"):
-                    if kw in sub:
-                        # claims nested under a FURTHER conditional level need
-                        # full annotation threading — scalar/UDF path handles
-                        # those (SURVEY §4.2.5 nested dynamic evaluation)
-                        raise VariantCompileError(
-                            "nested conditional claims need the UDF path"
-                        )
                 if "$ref" in sub and isinstance(sub["$ref"], str):
                     try:
                         tgt, _ = self.registry.resolve_ref(sub["$ref"], sub, "")
@@ -642,30 +636,167 @@ class VariantPlanCompiler:
                     ball = True
                 for bb in sub.get("allOf") or []:
                     walk(bb)
+                for kw in ("anyOf", "oneOf"):
+                    if isinstance(sub.get(kw), list):
+                        conds.append((kw, sub[kw]))
+                if "if" in sub:
+                    conds.append(("if", sub))
+                if isinstance(sub.get("dependentSchemas"), dict):
+                    conds.append(("dep", sub["dependentSchemas"]))
 
             walk(b)
-            return names, pats, ball
+            return names, pats, ball, conds
 
         out: list = []
-        for kw in ("anyOf", "oneOf"):
-            for b in s.get(kw) or []:
-                names, pats, ball = info(b)
-                if names or pats or ball:
-                    out.append((b, None, names, pats, ball))
-        if "if" in s:
-            n1, p1, a1 = info(s["if"])
-            n2, p2, a2 = info(s.get("then", {}))
-            if n1 + n2 or p1 + p2 or a1 or a2:
-                out.append((s["if"], "pos", n1 + n2, p1 + p2, a1 or a2))
-            n3, p3, a3 = info(s.get("else", {}))
-            if n3 or p3 or a3:
-                out.append((s["if"], "neg", n3, p3, a3))
-        ds = s.get("dependentSchemas")
-        if isinstance(ds, dict):
-            for key, b in ds.items():
-                names, pats, ball = info(b)
-                if names or pats or ball:
-                    out.append((b, ("dep", key), names, pats, ball))
+
+        def gated(gate: Column | None, cond: Column) -> Column:
+            return _safe(cond) if gate is None else _safe(gate & cond)
+
+        def emit(b: Any, gate: Column | None) -> None:
+            names, pats, ball, conds = info(b)
+            g = gated(gate, self._compile(b, v, path, depth + 1).valid)
+            if names or pats or ball:
+                out.append((g, names, pats, ball))
+            handle(conds, g)
+
+        def handle(conds: list, gate: Column | None) -> None:
+            for kind, payload in conds:
+                if kind == "anyOf":
+                    # every PASSING branch's annotations merge (evaluator.py
+                    # anyOf) — emit() adds each branch's own validity gate
+                    for bb in payload:
+                        emit(bb, gate)
+                elif kind == "oneOf":
+                    # scalar merges the winner only when EXACTLY one matches
+                    valids = [
+                        _safe(self._compile(bb, v, path, depth + 1).valid)
+                        for bb in payload
+                    ]
+                    cnt = valids[0].cast("int")
+                    for vv in valids[1:]:
+                        cnt = cnt + vv.cast("int")
+                    one = cnt == 1
+                    for bb in payload:
+                        emit(bb, gated(gate, one))
+                elif kind == "if":
+                    sub = payload
+                    ifvalid = self._compile(sub["if"], v, path, depth + 1).valid
+                    # if's own claims flow iff it succeeds (emit gates on its
+                    # validity); then iff if AND then succeed; else iff if
+                    # fails AND else succeeds
+                    emit(sub["if"], gate)
+                    if isinstance(sub.get("then"), dict):
+                        emit(sub["then"], gated(gate, ifvalid))
+                    if isinstance(sub.get("else"), dict):
+                        emit(sub["else"], gated(gate, ~_safe(ifvalid)))
+                elif kind == "dep":
+                    for key, bb in payload.items():
+                        have = F.try_variant_get(v, f"$['{key}']", "variant").isNotNull()
+                        emit(bb, gated(gate, have))
+
+        _, _, _, top_conds = info(s)  # top-level statics live in _static_claims
+        handle(top_conds, None)
+        return out
+
+    def _conditional_item_claims(
+        self, s: dict, v: Column, path: Column, depth: int
+    ) -> list:
+        """Item-claim sources for unevaluatedItems, mirroring the scalar's
+        evaluated_items annotation flow (evaluator.py:606-641 claim sites,
+        merge_annotations gating): returns (gate Column | None,
+        prefix_len, all_items, contains_schemas) — gate None means the
+        source is unconditional (allOf children of the same in-place tree,
+        matching the props path's static-claims treatment); conditional
+        branches carry their compound validity gates."""
+
+        def info(b: Any, is_root: bool = False):
+            L = 0
+            allb = False
+            cons: list[Any] = []
+            conds: list[tuple[str, Any]] = []
+            seen: set[int] = set()
+
+            def walk(sub: Any, root: bool = False) -> None:
+                nonlocal L, allb
+                if not isinstance(sub, dict) or id(sub) in seen:
+                    return
+                seen.add(id(sub))
+                if "$ref" in sub and isinstance(sub["$ref"], str):
+                    try:
+                        tgt, _ = self.registry.resolve_ref(sub["$ref"], sub, "")
+                    except Exception:
+                        tgt = None
+                    walk(tgt)
+                if not root:
+                    # the root's own prefixItems/contains claims are applied
+                    # directly by the unevaluatedItems block; its own
+                    # unevaluatedItems must not claim for itself
+                    if isinstance(sub.get("prefixItems"), list):
+                        L = max(L, len(sub["prefixItems"]))
+                    if isinstance(sub.get("items"), (dict, bool)):
+                        allb = True
+                    if "unevaluatedItems" in sub:
+                        allb = True  # a nested one evaluates every index
+                    if isinstance(sub.get("contains"), (dict, bool)):
+                        cons.append(sub["contains"])
+                for bb in sub.get("allOf") or []:
+                    walk(bb)
+                for kw in ("anyOf", "oneOf"):
+                    if isinstance(sub.get(kw), list):
+                        conds.append((kw, sub[kw]))
+                if "if" in sub:
+                    conds.append(("if", sub))
+                if isinstance(sub.get("dependentSchemas"), dict):
+                    conds.append(("dep", sub["dependentSchemas"]))
+
+            walk(b, root=is_root)
+            return L, allb, cons, conds
+
+        out: list = []
+
+        def gated(gate: Column | None, cond: Column) -> Column:
+            return _safe(cond) if gate is None else _safe(gate & cond)
+
+        def emit(b: Any, gate: Column | None) -> None:
+            L, allb, cons, conds = info(b)
+            g = gated(gate, self._compile(b, v, path, depth + 1).valid)
+            if L or allb or cons:
+                out.append((g, L, allb, cons))
+            handle(conds, g)
+
+        def handle(conds: list, gate: Column | None) -> None:
+            for kind, payload in conds:
+                if kind == "anyOf":
+                    for bb in payload:
+                        emit(bb, gate)
+                elif kind == "oneOf":
+                    valids = [
+                        _safe(self._compile(bb, v, path, depth + 1).valid)
+                        for bb in payload
+                    ]
+                    cnt = valids[0].cast("int")
+                    for vv in valids[1:]:
+                        cnt = cnt + vv.cast("int")
+                    one = cnt == 1
+                    for bb in payload:
+                        emit(bb, gated(gate, one))
+                elif kind == "if":
+                    sub = payload
+                    ifvalid = self._compile(sub["if"], v, path, depth + 1).valid
+                    emit(sub["if"], gate)
+                    if isinstance(sub.get("then"), dict):
+                        emit(sub["then"], gated(gate, ifvalid))
+                    if isinstance(sub.get("else"), dict):
+                        emit(sub["else"], gated(gate, ~_safe(ifvalid)))
+                elif kind == "dep":
+                    for key, bb in payload.items():
+                        have = F.try_variant_get(v, f"$['{key}']", "variant").isNotNull()
+                        emit(bb, gated(gate, have))
+
+        L0, a0, c0, top_conds = info(s, is_root=True)
+        if L0 or a0 or c0:
+            out.append((None, L0, a0, c0))  # unconditional allOf-child claims
+        handle(top_conds, None)
         return out
 
     def _static_claims(self, s: dict) -> dict:
@@ -913,12 +1044,24 @@ class VariantPlanCompiler:
             and s["unevaluatedItems"] is not True
             and s["unevaluatedItems"] != {}
         ):
-            # static resolution (items present would evaluate everything);
-            # evaluated = prefixItems indices + contains matches — mirrors the
-            # typed planner (conditional in-place applicators refuse at
-            # _check_supported)
+            # static resolution (items present would evaluate everything):
+            # evaluated = prefixItems indices + contains matches + gated claims from
+            # in-place applicators (allOf/anyOf/oneOf/if/dependentSchemas —
+            # _conditional_item_claims threads the annotation flow; gates
+            # compile once, staged, referenced per element)
             branch = s["unevaluatedItems"]
             contains_schema = s.get("contains") if isinstance(s.get("contains"), (dict, bool)) else None
+            claim_sources = []
+            for gate, cl_len, cl_all, cl_cons in self._conditional_item_claims(
+                s, v, path, depth
+            ):
+                if (
+                    gate is not None
+                    and self._stages is not None
+                    and not self._in_lambda
+                ):
+                    gate = self._maybe_stage(gate)
+                claim_sources.append((gate, cl_len, cl_all, cl_cons))
 
             def uneval_viol(x: Column, i: Column) -> Column:
                 prev = self._in_lambda
@@ -928,6 +1071,18 @@ class VariantPlanCompiler:
                     if contains_schema is not None:
                         evaluated = evaluated | _safe(
                             self._compile(contains_schema, x, F.lit(""), depth + 1).valid
+                        )
+                    for gate, cl_len, cl_all, cl_cons in claim_sources:
+                        claim = F.lit(True) if cl_all else F.lit(False)
+                        if not cl_all:
+                            if cl_len:
+                                claim = claim | (i < cl_len)
+                            for cs in cl_cons:
+                                claim = claim | _safe(
+                                    self._compile(cs, x, F.lit(""), depth + 1).valid
+                                )
+                        evaluated = evaluated | (
+                            _safe(claim) if gate is None else _safe(gate & claim)
                         )
                     child_path = F.concat(path, F.lit("/"), i.cast("string"))
                     if branch is False:

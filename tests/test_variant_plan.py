@@ -53,7 +53,7 @@ def _supported_cases():
 
 def test_variant_plan_official_suite(spark):
     groups = _supported_cases()
-    assert len(groups) >= 250, f"variant subset too small: {len(groups)} schemas"
+    assert len(groups) >= 270, f"variant subset too small: {len(groups)} schemas"
 
     total = failures = 0
     for i in range(0, len(groups), _CHUNK):

@@ -33,6 +33,38 @@ SCHEMAS = [
     {"prefixItems": [{"type": "integer"}], "unevaluatedItems": False},
     {"prefixItems": [{}], "contains": {"type": "string"}, "unevaluatedItems": {"maximum": 5}},
     {"$defs": {"pos": {"minimum": 0}}, "properties": {"a": {"$ref": "#/$defs/pos"}}},
+    # --- nested-conditional claims (annotation threading, r3): these must
+    # stay on the variant path (EvalPython assert) and agree row-for-row ---
+    {
+        "anyOf": [{"anyOf": [{"properties": {"a": {"type": "integer"}}, "required": ["a"]}]}],
+        "unevaluatedProperties": False,
+    },
+    {
+        "anyOf": [{"if": {"required": ["a"]}, "then": {"properties": {"b": {"type": "string"}}}}],
+        "unevaluatedProperties": False,
+    },
+    {
+        "dependentSchemas": {"a": {"anyOf": [{"properties": {"b": {}}, "required": ["b"]}]}},
+        "properties": {"a": {}},
+        "unevaluatedProperties": False,
+    },
+    {
+        "oneOf": [
+            {"properties": {"a": {"type": "integer"}}, "required": ["a"]},
+            {"properties": {"b": {}}, "required": ["b"]},
+        ],
+        "unevaluatedProperties": False,
+    },
+    {"allOf": [{"prefixItems": [{"type": "integer"}]}], "unevaluatedItems": False},
+    {
+        "if": {"prefixItems": [{"const": 1}], "minItems": 1},
+        "then": {"prefixItems": [{}, {}]},
+        "unevaluatedItems": {"type": "string"},
+    },
+    {
+        "anyOf": [{"contains": {"type": "string"}, "minContains": 0}],
+        "unevaluatedItems": {"type": "integer", "maximum": 5},
+    },
 ]
 
 INSTANCES = [

@@ -34,6 +34,7 @@ HEADLINE = [
     "variant_dynamic_objects",
     "content_validate_props",
     "kw_recursive_tree_events",
+    "variant_recursive_dynamic",
     "kw_logical_oneof",
     "kw_numeric_lineitem",
     "kw_string_customer",

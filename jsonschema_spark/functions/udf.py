@@ -60,6 +60,7 @@ def validate_json_column(
     assert_format: bool = False,
     violations_col: str = "violations",
     valid_col: str = "valid",
+    max_unroll: int = 5,
 ) -> DataFrame:
     """Validate a raw-JSON string column; adds valid + violations columns.
 
@@ -73,13 +74,18 @@ def validate_json_column(
     if not isinstance(schema, str):
         from jsonschema_spark.plans.variant import (
             VariantCompileError,
-            VariantPlanCompiler,
             validate_variant_column,
         )
 
         try:
-            VariantPlanCompiler(schema, assert_format=assert_format).valid_column(
-                F.try_parse_json(F.lit("null"))
+            # single compile: validate_variant_column builds the whole
+            # expression tree eagerly, so supportability probing happens as a
+            # side effect — a separate probe build would DOUBLE the driver's
+            # py4j expression-construction cost (measured ~10s on a 5-level
+            # recursive unroll)
+            out = validate_variant_column(
+                df, json_col, schema,
+                assert_format=assert_format, max_unroll=max_unroll,
             )
         except VariantCompileError as exc:
             # expected residue (unsupported keyword / unbounded nesting):
@@ -88,7 +94,6 @@ def validate_json_column(
             # not silently downgrade the fast path ~10x.
             _LOG.info("variant fast path unavailable (%s); using Arrow UDF path", exc)
         else:
-            out = validate_variant_column(df, json_col, schema, assert_format=assert_format)
             renames = {"violations": violations_col, "valid": valid_col}
             for src, dst in renames.items():
                 if src != dst:

@@ -342,9 +342,22 @@ class SparkPlanCompiler:
 
     @staticmethod
     def attach_stages(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
+        """Attach staged columns in dependency LAYERS.
+
+        A stage expression may reference earlier stage names, so they cannot
+        all go in one projection — but one ``withColumns`` per layer (flushed
+        only when a stage references a name in the current batch) keeps plan
+        re-analysis linear in layer count. Per-stage ``withColumn`` re-analyzes
+        the whole accumulated plan each time — measured ~10s of driver time
+        on a 24-stage recursive variant unroll. The substring dependency check
+        is conservative (a false positive only splits a layer)."""
+        batch: dict[str, Column] = {}
         for name, col in stages:
-            df = df.withColumn(name, col)
-        return df
+            if batch and any(n in str(col) for n in batch):
+                df = df.withColumns(batch)
+                batch = {}
+            batch[name] = col
+        return df.withColumns(batch) if batch else df
 
     def apply(
         self,

@@ -59,6 +59,7 @@ _SUPPORTED = {
     "maxItems", "uniqueItems", "contains", "minContains", "maxContains",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     "dependentRequired", "dependentSchemas", "$ref", "$defs", "definitions",
+    "$dynamicRef", "$dynamicAnchor",
     "$id", "$schema", "$anchor", "title", "description", "default",
     "examples", "deprecated", "readOnly", "writeOnly", "$comment",
     # dynamic-object residue: key enumeration via cast(variant AS
@@ -88,7 +89,7 @@ def _uneval_claims_static(s: Any) -> bool:
     unevaluatedProperties analysis (route to the scalar/UDF path)."""
     if not isinstance(s, dict):
         return True
-    if "$ref" in s:
+    if "$ref" in s or "$dynamicRef" in s:
         return False
     return all(_uneval_claims_static(b) for b in s.get("allOf") or [])
 
@@ -136,7 +137,9 @@ class _Node:
 
 
 class VariantPlanCompiler:
-    def __init__(self, schema: Any, *, assert_format: bool = True) -> None:
+    def __init__(
+        self, schema: Any, *, assert_format: bool = True, max_unroll: int = 5
+    ) -> None:
         from jsonschema_spark.dialects import normalize_schema
 
         schema = normalize_schema(schema)  # accept legacy dialects via $schema
@@ -146,6 +149,14 @@ class VariantPlanCompiler:
         self.registry.register(schema, "")
         self._stages: list[tuple[str, Column]] | None = None
         self._in_lambda = False
+        # recursive $ref / $dynamicRef bounded unrolling: dynamic JSON has no
+        # static type to ground out on (unlike plans.columns), so cycles
+        # unroll max_unroll times and then FAIL CLOSED — a value still
+        # present at the horizon gets the ref-mismatch violation, never a
+        # silent pass (documented engine bound, like the scalar depth guard)
+        self.max_unroll = max_unroll
+        self._ref_counts: dict[int, int] = {}
+        self._scope: list[str] = []  # static dynamic-scope base-URI stack
         self._check_supported(schema)
 
     def _check_supported(self, schema: Any, depth: int = 0) -> None:
@@ -185,11 +196,13 @@ class VariantPlanCompiler:
                 raise VariantCompileError(
                     "unevaluatedProperties with conditional applicators needs the UDF path"
                 )
-            if kw == "unevaluatedItems" and "$ref" in schema:
-                # a SIBLING $ref hides the target's item claims from this
-                # analysis (the $ref/rest split in _compile) — UDF path;
-                # allOf/anyOf/oneOf/if/dependentSchemas claims thread through
-                # _conditional_item_claims
+            if kw == "unevaluatedItems" and (
+                "$ref" in schema or "$dynamicRef" in schema
+            ):
+                # a SIBLING ($dynamic)$ref hides the target's item claims
+                # from this analysis (the ref/rest split in _compile) — UDF
+                # path; allOf/anyOf/oneOf/if/dependentSchemas claims thread
+                # through _conditional_item_claims
                 raise VariantCompileError(
                     "unevaluatedItems with sibling $ref needs the UDF path"
                 )
@@ -249,28 +262,98 @@ class VariantPlanCompiler:
         if not isinstance(schema, dict):
             raise VariantCompileError("schema must be bool or object")
 
-        if "$ref" in schema:
-            target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
-            rest = {k: val for k, val in schema.items() if k != "$ref"}
-            ref_node = self._compile(target, v, path, depth + 1)
-            # scalar core adds a ref_mismatch summary atop the target's own
-            # violations (evaluator.py:235)
-            ref_viols = _concat_violations([
-                ref_node.violations,
-                _cond_violation(_safe(~ref_node.valid), path, "$ref", "ref_mismatch"),
-            ])
-            if not rest:
-                return _Node(ref_node.valid, ref_viols)
-            rest_node = self._compile(rest, v, path, depth)
-            return _Node(
-                ref_node.valid & rest_node.valid,
-                _concat_violations([ref_viols, rest_node.violations]),
-            )
+        # static dynamic-scope tracking: the whole plan inlines, so the scope
+        # at each compile point is the chain of $id resources entered so far
+        base = self.registry.base_of(schema)
+        pushed = False
+        if base and (not self._scope or self._scope[-1] != base):
+            self._scope.append(base)
+            pushed = True
+        try:
+            return self._compile_dict(schema, v, path, depth)
+        finally:
+            if pushed:
+                self._scope.pop()
+
+    def _compile_dict(self, schema: dict, v: Column, path: Column, depth: int) -> _Node:
+        if "$ref" in schema or "$dynamicRef" in schema:
+            nodes: list[_Node] = []
+            if "$ref" in schema and isinstance(schema["$ref"], str):
+                target, _ = self.registry.resolve_ref(schema["$ref"], schema, "")
+                nodes.append(
+                    self._ref_node(target, v, path, depth, "$ref", "ref_mismatch")
+                )
+            if "$dynamicRef" in schema and isinstance(schema["$dynamicRef"], str):
+                target = self._resolve_dynamic_static(schema["$dynamicRef"], schema)
+                nodes.append(
+                    self._ref_node(
+                        target, v, path, depth, "$dynamicRef", "dynamic_ref_mismatch"
+                    )
+                )
+            rest = {
+                k: val for k, val in schema.items() if k not in ("$ref", "$dynamicRef")
+            }
+            if rest:
+                nodes.append(self._compile(rest, v, path, depth))
+            valid = nodes[0].valid
+            for n in nodes[1:]:
+                valid = valid & n.valid
+            return _Node(valid, _concat_violations([n.violations for n in nodes]))
 
         present = v.isNotNull()  # SQL NULL == absent; VOID variant == JSON null
         # stage the variant value and its type string once per compile level:
         # schema_of_variant / try_variant_get otherwise re-run per keyword
         # reference (no CSE inside one projection — measured)
+        return self._compile_body(schema, v, path, depth, present)
+
+    def _ref_node(
+        self, target: Any, v: Column, path: Column, depth: int, keyword: str, code: str
+    ) -> _Node:
+        """Compile a ($dynamic)$ref target with bounded cycle unrolling.
+
+        Reference analogue: validate.go:155-177 dynamic resolution; the
+        scalar core recurses with a depth guard. Dynamic JSON has no static
+        type to ground the recursion, so each distinct target unrolls
+        max_unroll times; a value still PRESENT at the horizon fails closed
+        with the ref-mismatch violation (never a silent pass). Instances no
+        deeper than max_unroll validate exactly like the scalar."""
+        key = id(target)
+        cnt = self._ref_counts.get(key, 0)
+        if cnt >= self.max_unroll:
+            return _Node(
+                v.isNull(), _cond_violation(v.isNotNull(), path, keyword, code)
+            )
+        self._ref_counts[key] = cnt + 1
+        try:
+            node = self._compile(target, v, path, depth + 1)
+        finally:
+            self._ref_counts[key] = cnt
+        # scalar core adds a mismatch summary atop the target's violations
+        # (evaluator.py:235)
+        viols = _concat_violations(
+            [node.violations, _cond_violation(_safe(~node.valid), path, keyword, code)]
+        )
+        return _Node(node.valid, viols)
+
+    def _resolve_dynamic_static(self, ref: str, schema: dict) -> Any:
+        """$dynamicRef target under the STATIC scope chain (same algorithm as
+        plans.columns._resolve_dynamic_static / evaluator._resolve_dynamic:
+        bookended plain-name fragments search the scope outermost-first)."""
+        try:
+            target, _ = self.registry.resolve_ref(ref, schema, "")
+        except KeyError as exc:
+            raise VariantCompileError(f"unresolvable $dynamicRef: {ref!r}") from exc
+        frag = ref.split("#", 1)[1] if "#" in ref else ""
+        if frag and not frag.startswith("/"):
+            if isinstance(target, dict) and target.get("$dynamicAnchor") == frag:
+                hit = self.registry.find_dynamic(frag, self._scope)
+                if hit is not None:
+                    return hit
+        return target
+
+    def _compile_body(
+        self, schema: dict, v: Column, path: Column, depth: int, present: Column
+    ) -> _Node:
         if self._stages is not None and not self._in_lambda:
             v = self._maybe_stage(v)
             t = self._maybe_stage(_vtype(v))
@@ -487,6 +570,15 @@ class VariantPlanCompiler:
                     parts, valids,
                 )
 
+            # Cost note (r3, measured at sf0.1 / 100k rows / 3 keys): the
+            # per-key transforms below dominate dynamic-object validation
+            # (~1.5s each standalone vs 3.2s full). Precomputing a per-object
+            # key→type map (map_from_entries of schema_of_variant per entry)
+            # is a measured DEAD END: 4 lookups/key cost 0.69s vs 0.57s for
+            # re-running schema_of_variant 4x — repeated typing is only
+            # ~0.15s of the total. The remaining cost is per-key violation
+            # construction inside interpreted HOF lambdas, intrinsic until
+            # Spark codegens higher-order functions.
             pats = (
                 list(s["patternProperties"].items())
                 if isinstance(s.get("patternProperties"), dict)
@@ -1194,13 +1286,15 @@ class VariantPlanCompiler:
             valids.append(~(then_bad | else_bad))
 
 
-def validate_variant_column(df, json_col: str, schema: Any, *, assert_format: bool = True):
+def validate_variant_column(
+    df, json_col: str, schema: Any, *, assert_format: bool = True, max_unroll: int = 5
+):
     """df + [violations, valid] from a raw-JSON string column, all JVM-side.
 
     Unparseable JSON gets a single `json_parse_error` violation (reference:
     ValidateJSON decode failure, validate.go:27-39); a SQL-NULL input column
     is treated as absent (valid, no violations)."""
-    plan = VariantPlanCompiler(schema, assert_format=assert_format)
+    plan = VariantPlanCompiler(schema, assert_format=assert_format, max_unroll=max_unroll)
     # materialize the variant in its own projection: CollapseProject keeps a
     # multiply-referenced non-cheap expression in a separate Project, so the
     # JSON parses ONCE per row instead of once per keyword reference
@@ -1211,8 +1305,9 @@ def validate_variant_column(df, json_col: str, schema: Any, *, assert_format: bo
     parse_failed = F.col(json_col).isNotNull() & v.isNull()
     stages: list = []
     viol = plan.violations_column(v, stages=stages)
-    for name, col in stages:
-        staged = staged.withColumn(name, col)
+    from jsonschema_spark.plans.columns import SparkPlanCompiler
+
+    staged = SparkPlanCompiler.attach_stages(staged, stages)
     out = staged.withColumn(
         "violations",
         F.when(

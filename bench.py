@@ -83,6 +83,23 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_best(run, max_reps: int = 4) -> float:
+    """Best-of-N with adaptive N: stop once the two fastest reps agree
+    within 20% (JIT/codegen warm-up and noisy-neighbor windows otherwise
+    leak into best-of-2 — observed 8.9/8.3 cold vs 3.3 warm on the same
+    plan)."""
+    times: list[float] = []
+    for _ in range(max_reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= 2:
+            fast = sorted(times)[:2]
+            if fast[1] <= fast[0] * 1.2:
+                break
+    return min(times)
+
+
 def ensure_synth_docs(spark, n_docs: int) -> str:
     """Deterministic interleaved docs table (input_hint shape), cached once."""
     path = os.path.join(REPO, ".scratch", f"synth_docs_{n_docs}")
@@ -103,12 +120,7 @@ def flagship_throughput(spark, n_docs: int) -> tuple[float, float]:
 
     path = ensure_synth_docs(spark, n_docs)
     df = spark.read.parquet(path)
-    best = None
-    for _rep in range(2):  # best-of-2, same protocol as the headline queries
-        t0 = time.perf_counter()
-        _force(validate_dataframe(df, DOCS_SCHEMA))
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    best = _time_best(lambda: _force(validate_dataframe(df, DOCS_SCHEMA)))
     return best, n_docs / best
 
 
@@ -130,13 +142,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best = None
-        for _rep in range(2):  # best-of-2: first run pays JIT/codegen warm-up
-            t0 = time.perf_counter()
-            _force(qs[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+        times[name] = round(_time_best(lambda: _force(qs[name](spark, sf_dir))), 3)
 
     flag_dt, docs_per_sec = flagship_throughput(spark, N_SYNTH_DOCS)
     times["validate_interleaved_synth"] = round(flag_dt, 3)

@@ -48,6 +48,7 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "minhash_signatures_docs",
     "lsh_candidate_pairs_docs",
+    "dup_clusters_docs",
     "simhash_docs",
     "text_quality_docs",
     "token_count_by_lang",

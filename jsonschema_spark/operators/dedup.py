@@ -29,6 +29,7 @@ __all__ = [
     "simhash",
     "md5_hash60",
     "simhash_near_pairs",
+    "duplicate_clusters",
 ]
 
 
@@ -253,3 +254,74 @@ def simhash_near_pairs(sim_df: DataFrame, *, band_bits: int = 16, max_hamming: i
     pairs = pairs.distinct()
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 12,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list → (id, cluster_id)
+    where cluster_id is the minimum doc id reachable from `id`.
+
+    This is the step that turns pairwise near-dup evidence (LSH / SimHash /
+    n-gram Jaccard pairs) into dedup GROUPS: keep min-id per cluster, drop
+    the rest. Min-label propagation over the symmetric edge list — each
+    round every node adopts the minimum label in its closed neighborhood:
+
+    - one shuffle per round (edges ⋈ labels on src, then groupBy id with a
+      map-side partial min), no driver-side graph state;
+    - converges in O(component diameter) rounds. Near-dup graphs are unions
+      of near-cliques (every LSH bucket contributes a clique), so the
+      diameter is small in practice (2-4); `max_iters` guards pathological
+      chain graphs and non-convergence FAILS CLOSED with RuntimeError
+      rather than returning partial clusters;
+    - per-round `localCheckpoint` truncates lineage — without it the plan
+      doubles per iteration (the classic iterative-DataFrame trap) and the
+      optimizer re-plans the whole history each round;
+    - the label relation is bounded by #docs-that-appear-in-any-pair (far
+      smaller than the corpus), so the convergence count is cheap.
+
+    At warehouse scale the same loop runs unchanged: edges and labels are
+    both id-keyed, AQE coalesces the shrinking per-round shuffles, and the
+    iteration count depends on cluster shape, not corpus size.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            prop = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "label"
+            )
+            new_labels = (
+                prop.unionByName(labels)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds; "
+            "the pair graph has a component with diameter > max_iters "
+            "(raise max_iters, or contract with large-star/small-star first)"
+        )
+    finally:
+        sym.unpersist()

@@ -785,6 +785,41 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (est_jaccard ≥ 0.5) → connected components →
+    (doc_id, cluster_id): the step that turns pairwise near-dup evidence
+    into dedup groups (keep min-id per cluster)."""
+    from jsonschema_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(_t(spark, sf_dir, "documents"), "doc_id", "text", k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return duplicate_clusters(pairs).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _oracle_dup_clusters(threshold: float = 0.5) -> str:
+    """Recursive-CTE connected components over the SAME md5 MinHash-LSH pair
+    pipeline the Spark query runs: cluster_id = min reachable doc id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_lsh_pairs()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= {threshold}),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures on the engine-portable md5-derived 60-bit hash
     family (md5_hash60) so a DuckDB oracle can recompute them exactly; the
@@ -1224,6 +1259,7 @@ def all_queries():
         "localized_violations_docs": localized_violations_docs,
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
+        "dup_clusters_docs": dup_clusters_docs,
     }
 
 
@@ -1271,6 +1307,7 @@ def all_oracles():
         "localized_violations_docs": ORACLE_LOCALIZED_DOCS,
         "simhash_docs": ORACLE_SIMHASH,
         "ann_topk_docs": _oracle_ann_topk(),
+        "dup_clusters_docs": _oracle_dup_clusters(),
     }
 
 

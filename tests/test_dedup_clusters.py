@@ -1,0 +1,52 @@
+"""duplicate_clusters: connected components over candidate-pair edges.
+
+Reference analogue: none (training-data pipeline extension) — turns the
+pairwise near-dup evidence (LSH / SimHash / Jaccard pairs) into dedup
+groups, the missing last step of the dedup family.
+"""
+
+import pytest
+
+
+def _clusters(spark, edges, **kw):
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+
+    df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
+    out = duplicate_clusters(df, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_two_components_min_label(spark):
+    got = _clusters(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_chain_needs_multiple_rounds(spark):
+    # path graph 1-2-3-...-8: min label must walk the full diameter
+    got = _clusters(spark, [(i, i + 1) for i in range(1, 8)])
+    assert set(got.values()) == {1} and len(got) == 8
+
+
+def test_nodes_only_from_edges(spark):
+    got = _clusters(spark, [(5, 9)])
+    assert got == {5: 5, 9: 5}
+
+
+def test_nonconvergence_fails_closed(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _clusters(spark, [(i, i + 1) for i in range(1, 9)], max_iters=1)
+
+
+def test_lsh_to_clusters_end_to_end(spark):
+    """Full pipeline on real docs: every pair-connected doc lands in one
+    cluster whose id is the min doc_id of its component."""
+    from jsonschema_spark.queries import dup_clusters_docs
+
+    rows = dup_clusters_docs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected non-empty clusters at sf0.001"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert len(members) >= 2  # every edge endpoint has a partner

@@ -53,6 +53,8 @@ HEADLINE = [
     "text_quality_docs",
     "token_count_by_lang",
     "fingerprint_docs",
+    "sample_split_docs",
+    "stratified_sample_docs",
     "simsearch_topk",
     "span_mismatch_events",
     "media_features_fake",

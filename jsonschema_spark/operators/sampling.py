@@ -1,0 +1,118 @@
+"""Deterministic hash-based sampling and splitting for training pipelines.
+
+Every operator keys on a uniform [0,1) fraction derived from md5 of the row
+key — no RNG state, so assignments are reproducible across runs, engines
+(oracle-expressible in any SQL engine with md5), cluster sizes, and input
+partitionings, and a document keeps its split when the corpus around it
+changes (the property `df.sample()` / `rand()` cannot give). All hot paths
+are pure narrow projections/filters: zero shuffle, trivially scale-safe.
+
+Reference analogue: none (training-data pipeline extension, task spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_fraction",
+    "hash_split",
+    "split_thresholds",
+    "stratified_sample",
+    "deterministic_sample_n",
+]
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0,1) from the first 60 bits of md5(salt || key).
+
+    60 bits (15 hex digits) keeps the integer exactly representable in a
+    double in every engine; distinct salts give independent fractions for
+    layered decisions (split vs. subsample) on the same key."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / float(1 << 60)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    *,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by hash range.
+
+    `fractions` must sum to 1 (±1e-9); assignment is by cumulative
+    thresholds over hash_fraction(key), so splits are disjoint, exhaustive,
+    and stable under corpus growth. Pure projection — no shuffle, no RNG.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    frac = hash_fraction(F.col(key), salt)
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        expr = (F.when if expr is None else expr.when)(frac < F.lit(cum), F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    """(name, cumulative-threshold) pairs in declaration order — exposed so
+    oracles/other engines compare against the EXACT same doubles (0.8 + 0.1
+    is not the literal 0.9 in IEEE arithmetic)."""
+    out: list[tuple[str, float]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, cum))
+    out.append((names[-1], 1.0))
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fraction: float | dict[str, float],
+    *,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    A float applies one rate everywhere; a dict maps stratum value → rate
+    (strata not in the dict are dropped). Rates are inlined as a literal
+    CASE — the strata domain is schema-level metadata (languages, sources),
+    never corpus-scale, so no join is needed and the filter stays a narrow
+    codegen'd predicate the scan can evaluate."""
+    frac = hash_fraction(F.col(key), salt)
+    if isinstance(fraction, dict):
+        rate = None
+        for val, r in fraction.items():
+            branch = F.when(F.col(strata_col) == F.lit(val), F.lit(float(r)))
+            rate = branch if rate is None else rate.when(
+                F.col(strata_col) == F.lit(val), F.lit(float(r))
+            )
+        rate = rate.otherwise(F.lit(0.0))
+    else:
+        rate = F.lit(float(fraction))
+    return df.filter(frac < rate)
+
+
+def deterministic_sample_n(df: DataFrame, key: str, n: int, *, salt: str = "") -> DataFrame:
+    """Exactly-n deterministic sample: the n rows with the smallest hash
+    fractions (ties broken by key). Physically a TakeOrdered (per-partition
+    top-n + driver merge of n·P candidates), not a global sort — fine for
+    n up to millions; for larger n use hash_split/stratified_sample."""
+    return (
+        df.withColumn("__hf", hash_fraction(F.col(key), salt))
+        .orderBy("__hf", key)
+        .limit(n)
+        .drop("__hf")
+    )

@@ -785,6 +785,54 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_RATES = {"en": 0.5, "de": 0.25}
+
+
+def sample_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hash range — stable
+    across runs, engines, and corpus growth (no RNG)."""
+    from jsonschema_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id", "split"
+    )
+
+
+def _oracle_sample_split() -> str:
+    from jsonschema_spark.operators.sampling import split_thresholds
+
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    case = " ".join(f"WHEN hf < {t!r} THEN '{n}'" for n, t in ths[:-1])
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / POWER(2, 60) AS hf
+  FROM documents)
+SELECT doc_id, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic subsample (en 50%, de 25%, others dropped)."""
+    from jsonschema_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", _STRATA_RATES
+    ).select("doc_id", "lang")
+
+
+def _oracle_stratified_sample() -> str:
+    case = " ".join(f"WHEN '{v}' THEN {r!r}" for v, r in _STRATA_RATES.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / POWER(2, 60)
+      < CASE lang {case} ELSE 0.0 END
+"""
+
+
 def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (est_jaccard ≥ 0.5) → connected components →
     (doc_id, cluster_id): the step that turns pairwise near-dup evidence
@@ -1260,6 +1308,8 @@ def all_queries():
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
         "dup_clusters_docs": dup_clusters_docs,
+        "sample_split_docs": sample_split_docs,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
@@ -1308,6 +1358,8 @@ def all_oracles():
         "simhash_docs": ORACLE_SIMHASH,
         "ann_topk_docs": _oracle_ann_topk(),
         "dup_clusters_docs": _oracle_dup_clusters(),
+        "sample_split_docs": _oracle_sample_split(),
+        "stratified_sample_docs": _oracle_stratified_sample(),
     }
 
 

@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling/splitting (training-data pipeline ops).
+
+The load-bearing property is determinism under recomposition: a document's
+split/sample membership depends only on its key, never on the corpus around
+it, the partitioning, or an RNG seed — verified explicitly below.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_hash_split_exhaustive_disjoint(spark):
+    from jsonschema_spark.operators.sampling import hash_split
+
+    out = hash_split(_docs(spark), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 400  # every row assigned exactly once
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split must not change when the corpus around it changes."""
+    from jsonschema_spark.operators.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = {r["doc_id"]: r["split"] for r in hash_split(_docs(spark, 100), "doc_id", fr).collect()}
+    big = {r["doc_id"]: r["split"] for r in hash_split(_docs(spark, 400), "doc_id", fr).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from jsonschema_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(_docs(spark), "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_rates_respected(spark):
+    from jsonschema_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, 2000), "doc_id", "lang", {"0": 0.5, "1": 0.1})
+    counts = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"0", "1"}  # unlisted strata dropped
+    assert 0.35 < counts["0"] / 500 < 0.65
+    assert 0.02 < counts["1"] / 500 < 0.25
+
+
+def test_deterministic_sample_n_exact_and_stable(spark):
+    from jsonschema_spark.operators.sampling import deterministic_sample_n
+
+    a = sorted(r["doc_id"] for r in deterministic_sample_n(_docs(spark), "doc_id", 37).collect())
+    b = sorted(r["doc_id"] for r in deterministic_sample_n(_docs(spark), "doc_id", 37).collect())
+    assert len(a) == 37 and a == b
+    # smaller n is a prefix of larger n (same hash order)
+    c = sorted(r["doc_id"] for r in deterministic_sample_n(_docs(spark), "doc_id", 10).collect())
+    assert set(c) <= set(a)
+
+
+def test_split_and_sample_stay_shuffle_free(spark):
+    from jsonschema_spark.operators.sampling import hash_split, stratified_sample
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p1 = plan(hash_split(_docs(spark), "doc_id", {"train": 0.9, "test": 0.1}))
+    p2 = plan(stratified_sample(_docs(spark), "doc_id", "lang", 0.25))
+    for p in (p1, p2):
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_deterministic_sample_n_is_take_ordered(spark):
+    """limit-n over hash order must compile to TakeOrdered (per-partition
+    top-n + merge), NOT a global sort."""
+    from jsonschema_spark.operators.sampling import deterministic_sample_n
+
+    p = deterministic_sample_n(_docs(spark), "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in p, p[:400]

@@ -49,6 +49,7 @@ HEADLINE = [
     "minhash_signatures_docs",
     "lsh_candidate_pairs_docs",
     "dup_clusters_docs",
+    "dedup_corpus_docs",
     "simhash_docs",
     "text_quality_docs",
     "token_count_by_lang",

@@ -30,6 +30,7 @@ __all__ = [
     "md5_hash60",
     "simhash_near_pairs",
     "duplicate_clusters",
+    "dedup_corpus",
 ]
 
 
@@ -325,3 +326,45 @@ def duplicate_clusters(
         )
     finally:
         sym.unpersist()
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus deduplication: the composition a training pipeline
+    actually runs. Returns the RETAINED rows of ``df`` unchanged.
+
+    1. exact pass — keep the min-id row per normalized-text group (cheap
+       hash groupBy; removes the mass of byte-identical copies BEFORE the
+       LSH machinery, so signature cost is paid only for distinct texts);
+    2. near-dup pass — MinHash signatures → banded LSH candidate pairs
+       (est_jaccard ≥ threshold) → connected components → keep the min-id
+       representative of each cluster.
+
+    Both drop-sets are id-only relations bounded by the duplicate count;
+    the final filters are id-keyed semi/anti joins that never move text
+    payloads through an exchange.
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    )
+    keep_exact = norm.groupBy("text_hash").agg(F.min("id").alias(id_col)).select(id_col)
+    survivors = df.join(keep_exact, id_col, "left_semi")
+
+    sig = minhash_signature(survivors, id_col, text_col, k=k, shingle_n=shingle_n)
+    pairs = lsh_candidate_pairs(sig, bands=bands, rows_per_band=rows_per_band).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    clusters = duplicate_clusters(pairs)
+    drop_near = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return survivors.join(drop_near, id_col, "left_anti")

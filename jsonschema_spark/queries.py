@@ -741,7 +741,9 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
-def _oracle_lsh_pairs(k: int = 8, bands: int = 4, rows_per_band: int = 2) -> str:
+def _oracle_lsh_pairs(
+    k: int = 8, bands: int = 4, rows_per_band: int = 2, source: str = "documents"
+) -> str:
     """DuckDB oracle for the full MinHash→band→bucket→pair pipeline. The md5
     hash family was chosen precisely so this is expressible in any engine
     (operators/dedup.py module docstring); the banding arithmetic is
@@ -762,7 +764,7 @@ def _oracle_lsh_pairs(k: int = 8, bands: int = 4, rows_per_band: int = 2) -> str
 WITH toks AS (
   SELECT doc_id AS id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-  FROM documents),
+  FROM {source}),
 sh AS (
   SELECT id,
          CASE WHEN len(t) >= 3
@@ -865,6 +867,41 @@ reach AS (
   UNION
   SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src)
 SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def dedup_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus dedup (exact pass then LSH near-dup clusters): the
+    retained doc_ids a training pipeline would keep."""
+    from jsonschema_spark.operators.dedup import dedup_corpus
+
+    out = dedup_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", "lang")
+
+
+def _oracle_dedup_corpus(threshold: float = 0.5) -> str:
+    """Exact pass (min id per normalized text) then the SAME LSH pair
+    pipeline over the survivors, connected components, keep cluster reps."""
+    return f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th
+  FROM documents),
+keep_exact AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY th),
+survivors AS (SELECT d.* FROM documents d JOIN keep_exact USING (doc_id)),
+pairs AS ({_oracle_lsh_pairs(source="survivors")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= {threshold}),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
+drop_near AS (
+  SELECT id AS doc_id FROM (SELECT id, min(label) AS cid FROM reach GROUP BY id)
+  WHERE id != cid)
+SELECT s.doc_id, s.lang FROM survivors s ANTI JOIN drop_near USING (doc_id)
 """
 
 
@@ -1310,6 +1347,7 @@ def all_queries():
         "dup_clusters_docs": dup_clusters_docs,
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        "dedup_corpus_docs": dedup_corpus_docs,
     }
 
 
@@ -1360,6 +1398,7 @@ def all_oracles():
         "dup_clusters_docs": _oracle_dup_clusters(),
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
+        "dedup_corpus_docs": _oracle_dedup_corpus(),
     }
 
 

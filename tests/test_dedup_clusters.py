@@ -50,3 +50,32 @@ def test_lsh_to_clusters_end_to_end(spark):
     for cid, members in by_cluster.items():
         assert cid == min(members)
         assert len(members) >= 2  # every edge endpoint has a partner
+
+
+def test_dedup_corpus_exact_and_near(spark):
+    """Exact copies collapse to min id; near-dups (one-token edits of the
+    same text) collapse to the cluster rep; distinct texts survive."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    rows = [
+        (1, base), (2, "THE  quick brown fox jumps over the lazy dog again and again today"),
+        (3, near),
+        (4, "an entirely different document about spark physical plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    kept = sorted(r["doc_id"] for r in dedup_corpus(df, "doc_id", "text").collect())
+    assert 2 not in kept          # exact dup of 1 (case/whitespace)
+    assert 1 in kept and 4 in kept
+    assert kept == [1, 4]         # 3 is a near-dup of 1 → dropped
+
+
+def test_dedup_corpus_keeps_everything_when_distinct(spark):
+    from jsonschema_spark.operators.dedup import dedup_corpus
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    assert dedup_corpus(df, "doc_id", "text").count() == 20

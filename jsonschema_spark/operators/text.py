@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS"]
+__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -80,3 +80,41 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, n: int = 3, keep: 
         F.col(id_col).alias("id"),
         F.concat_ws("", F.slice(hashed, 1, keep)).alias("fingerprint"),
     )
+
+
+# PII patterns deliberately restricted to the regex subset with IDENTICAL
+# semantics in Java regex and RE2-family engines (no lookaround, no
+# backreferences) so redaction is oracle-expressible anywhere.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+[0-9][0-9 -]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    *,
+    kinds: tuple[str, ...] = ("email", "url", "phone"),
+    replacement: str = "[REDACTED]",
+    out_col: str | None = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact PII-shaped spans from a text column; optionally count matches.
+
+    Training-data curation op: chained `regexp_replace` (JVM, codegen'd,
+    narrow — no shuffle, no Python) with per-kind match counts computed on
+    the ORIGINAL text for reporting/filtering. Order matters: url before
+    email would eat mailto-less addresses embedded in URLs, so counts are
+    taken per kind independently, then replacements apply in `kinds` order.
+    """
+    out_col = out_col or text_col
+    cur: Column = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        if count_cols:
+            counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, replacement)
+    return df.select("*", *counts).withColumn(out_col, cur)

@@ -787,6 +787,57 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/url/phone) with per-kind match counts. TPC-H-ish
+    text contains no organic PII, so 1-in-5 docs get deterministic PII
+    appended first (same de-vacuation pattern as content_validate_props) —
+    the oracle performs the identical injection."""
+    from jsonschema_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), doc_s,
+                F.lit("@example.com or https://ex.example/d/"), doc_s,
+                F.lit(" tel +1 555 010 "), doc_s,
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = redact_pii(injected, "text")
+    return out.select(
+        "doc_id", "text",
+        *[F.col(f"n_{k}").cast("bigint").alias(f"n_{k}") for k in ("email", "url", "phone")],
+    )
+
+
+def _oracle_redact_pii() -> str:
+    from jsonschema_spark.operators.text import PII_PATTERNS
+
+    em, url, ph = PII_PATTERNS["email"], PII_PATTERNS["url"], PII_PATTERNS["phone"]
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or https://ex.example/d/' || CAST(doc_id AS VARCHAR)
+                   || ' tel +1 555 010 ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{em}', '[REDACTED]', 'g'), '{url}', '[REDACTED]', 'g'),
+         '{ph}', '[REDACTED]', 'g') AS text,
+       len(regexp_extract_all(text, '{em}')) AS n_email,
+       len(regexp_extract_all(text, '{url}')) AS n_url,
+       len(regexp_extract_all(text, '{ph}')) AS n_phone
+FROM injected
+"""
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _STRATA_RATES = {"en": 0.5, "de": 0.25}
 
@@ -1348,6 +1399,7 @@ def all_queries():
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
+        "redact_pii_docs": redact_pii_docs,
     }
 
 
@@ -1399,6 +1451,7 @@ def all_oracles():
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
+        "redact_pii_docs": _oracle_redact_pii(),
     }
 
 

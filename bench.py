@@ -53,6 +53,7 @@ HEADLINE = [
     "simhash_docs",
     "text_quality_docs",
     "redact_pii_docs",
+    "pack_docs",
     "token_count_by_lang",
     "fingerprint_docs",
     "sample_split_docs",

@@ -1,0 +1,67 @@
+"""Document packing: assign docs to fixed-token-budget packs (pretraining
+batch prep — concat-then-chunk semantics).
+
+A global greedy packer is inherently sequential, so packing is SHARDED:
+each document lands in a deterministic md5-derived shard, is ordered inside
+the shard by a stable key, and the shard's running token count is chunked
+by the budget. Pack boundaries never cross shards, so:
+
+- the only shuffle is the shard exchange (window partitionBy), and each
+  shard packs independently — embarrassingly parallel across shards;
+- the assignment is reproducible regardless of cluster size, input
+  partitioning, or execution order (window is keyed on data, not on Spark
+  task layout) — and expressible in any engine with window functions, so
+  it is oracle-checkable;
+- shard count is the scale knob: size n_shards so a shard's docs fit an
+  executor's sort/spill budget (WindowExec sorts within partitions and
+  spills gracefully).
+
+Reference analogue: none (training-data pipeline extension, task spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_documents"]
+
+
+def _shard(key: Column, n_shards: int, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % n_shards).alias("shard")
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    n_shards: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Adds (shard, pack_id, tok_offset): concat-then-chunk pack assignment.
+
+    Within a shard, documents are concatenated in `id_col` order and the
+    stream is chunked every `budget` tokens; `pack_id` is the chunk index
+    where this document STARTS and `tok_offset` its token offset inside
+    that chunk. Documents longer than the budget span chunks (standard
+    concat-and-chunk pretraining behavior) — they still get the pack of
+    their first token."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out = df.withColumn("shard", _shard(F.col(id_col), n_shards, salt))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("bigint")
+    # integer division (`div`), not float floor: double arithmetic loses
+    # exactness past 2^53 tokens per shard, and double->int CASTs truncate
+    # in Spark but round in other engines — oracles must agree bit-for-bit
+    return (
+        out.withColumn("__start", start)
+        .withColumn("pack_id", F.expr(f"__start div {int(budget)}"))
+        .withColumn("tok_offset", F.col("__start") % budget)
+        .drop("__start")
+    )

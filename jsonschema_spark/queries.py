@@ -787,6 +787,36 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk pack assignment over whitespace token counts
+    (budget 512, 8 shards): the batch-prep step after dedup/sampling."""
+    from jsonschema_spark.operators.packing import pack_documents
+    from jsonschema_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("tokens")
+    )
+    return pack_documents(d, "doc_id", "tokens", budget=512, n_shards=8)
+
+
+ORACLE_PACK_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+         CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, tokens, shard,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start
+  FROM t)
+SELECT doc_id, tokens, shard,
+       start // 512 AS pack_id,
+       start % 512 AS tok_offset
+FROM c
+"""
+
+
 def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (email/url/phone) with per-kind match counts. TPC-H-ish
     text contains no organic PII, so 1-in-5 docs get deterministic PII
@@ -1400,6 +1430,7 @@ def all_queries():
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "redact_pii_docs": redact_pii_docs,
+        "pack_docs": pack_docs,
     }
 
 
@@ -1452,6 +1483,7 @@ def all_oracles():
         "stratified_sample_docs": _oracle_stratified_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "redact_pii_docs": _oracle_redact_pii(),
+        "pack_docs": ORACLE_PACK_DOCS,
     }
 
 

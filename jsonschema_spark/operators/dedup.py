@@ -257,39 +257,120 @@ def simhash_near_pairs(sim_df: DataFrame, *, band_bits: int = 16, max_hamming: i
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
+def _star_contract_components(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") → (id, cluster_id).
+
+    Converges in O(log n) rounds regardless of component DIAMETER — the
+    scale path for chain-shaped pair graphs where min-label propagation
+    needs O(diameter) rounds. Each half-round is a groupBy(min) + an
+    id-keyed join + distinct; no collect_list, so high-degree hub nodes
+    never materialize their neighborhood in one task."""
+
+    def _signature(e: DataFrame) -> tuple:
+        # bit_xor: order-independent set signature that cannot overflow
+        # under ANSI arithmetic (edges are distinct rows)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    # orient (a > b) and drop self-loops; `edges` arrives as (src, dst)
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _signature(cur)
+    for _ in range(max_iters):
+        # large-star: every node u links its strictly-larger neighbors to
+        # min(Γ(u) ∪ {u}) — symmetric neighborhoods
+        sym = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))  # (v, m): v > u ≥ m
+            .distinct()
+        )
+        # small-star: under (a > b) orientation, node a links its smaller
+        # neighbors (and itself) to m = min(Γ≤(a) ∪ {a}) = min(b's)
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("mn"))
+        ss_self = mins2.select(F.col("a"), F.col("mn").alias("b"))
+        ss_nb = (
+            ls.join(mins2, "a")
+            .filter(F.col("b") != F.col("mn"))
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+        )
+        cur = (
+            ss_self.unionByName(ss_nb)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _signature(cur)
+        if new_sig == sig:
+            # fixed point: a star forest rooted at each component minimum
+            roots = cur.select(F.col("b").alias("id"), F.col("b").alias("cluster_id"))
+            leaves = cur.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+            return roots.unionByName(leaves).groupBy("id").agg(
+                F.min("cluster_id").alias("cluster_id")
+            )
+        sig = new_sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iters} rounds "
+        "(expected O(log n)); raise max_iters"
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     *,
     max_iters: int = 12,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list → (id, cluster_id)
     where cluster_id is the minimum doc id reachable from `id`.
 
     This is the step that turns pairwise near-dup evidence (LSH / SimHash /
     n-gram Jaccard pairs) into dedup GROUPS: keep min-id per cluster, drop
-    the rest. Min-label propagation over the symmetric edge list — each
-    round every node adopts the minimum label in its closed neighborhood:
+    the rest. Two algorithms:
 
-    - one shuffle per round (edges ⋈ labels on src, then groupBy id with a
-      map-side partial min), no driver-side graph state;
-    - converges in O(component diameter) rounds. Near-dup graphs are unions
-      of near-cliques (every LSH bucket contributes a clique), so the
-      diameter is small in practice (2-4); `max_iters` guards pathological
-      chain graphs and non-convergence FAILS CLOSED with RuntimeError
-      rather than returning partial clusters;
-    - per-round `localCheckpoint` truncates lineage — without it the plan
-      doubles per iteration (the classic iterative-DataFrame trap) and the
-      optimizer re-plans the whole history each round;
-    - the label relation is bounded by #docs-that-appear-in-any-pair (far
-      smaller than the corpus), so the convergence count is cheap.
+    - ``propagation`` (default): min-label propagation — each round every
+      node adopts the minimum label in its closed neighborhood; one shuffle
+      per round (edges ⋈ labels on src, then groupBy id with a map-side
+      partial min), no driver-side graph state. Converges in O(component
+      diameter) rounds — near-dup graphs are unions of near-cliques (every
+      LSH bucket contributes a clique), so the diameter is small in
+      practice (2-4). Cheapest per round.
+    - ``star``: alternating large-star/small-star contraction — O(log n)
+      rounds regardless of diameter, for adversarially chain-shaped graphs.
+      Heavier per round (two half-rounds, each groupBy + join + distinct).
 
-    At warehouse scale the same loop runs unchanged: edges and labels are
-    both id-keyed, AQE coalesces the shrinking per-round shuffles, and the
-    iteration count depends on cluster shape, not corpus size.
+    Both fail CLOSED with RuntimeError on non-convergence rather than
+    returning partial clusters, and truncate lineage per round with
+    `localCheckpoint` (the classic iterative-DataFrame trap: without it the
+    plan doubles per iteration). At warehouse scale the loops run
+    unchanged: all relations are id-keyed and bounded by
+    #docs-that-appear-in-any-pair, AQE coalesces the shrinking per-round
+    shuffles, and the iteration count depends on cluster shape, not corpus
+    size.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if algorithm == "star":
+        return _star_contract_components(edges, max_iters)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r} (propagation|star)")
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -322,7 +403,7 @@ def duplicate_clusters(
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iters} rounds; "
             "the pair graph has a component with diameter > max_iters "
-            "(raise max_iters, or contract with large-star/small-star first)"
+            "(raise max_iters, or use algorithm='star' — O(log n) rounds)"
         )
     finally:
         sym.unpersist()

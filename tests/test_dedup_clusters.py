@@ -79,3 +79,24 @@ def test_dedup_corpus_keeps_everything_when_distinct(spark):
     rows = [(i, " ".join(f"w{i}x{j}" for j in range(10))) for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
     assert dedup_corpus(df, "doc_id", "text").count() == 20
+
+
+def test_star_matches_propagation_on_components(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21)]
+    got = _clusters(spark, edges, algorithm="star")
+    assert got == _clusters(spark, edges, algorithm="propagation")
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 64-node path defeats 12 rounds of propagation but star contraction
+    needs only O(log n): must converge inside the same default max_iters."""
+    got = _clusters(spark, [(i, i + 1) for i in range(1, 64)], algorithm="star")
+    assert set(got.values()) == {1} and len(got) == 63 + 1
+
+
+def test_unknown_algorithm_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        _clusters(spark, [(1, 2)], algorithm="nope")

@@ -44,3 +44,36 @@ def test_pack_one_exchange_only(spark):
     p = pack_documents(df, "doc_id", "tokens", budget=8)._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pack_invariants_property(spark):
+    """Property check over random corpora: offsets stay inside the budget,
+    pack ids are dense per shard, and the running-sum reconstruction holds."""
+    from hypothesis import given, settings, strategies as st
+
+    from jsonschema_spark.operators.packing import pack_documents
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=50),
+    )
+    def check(toks, budget):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "doc_id: bigint, tokens: bigint"
+        )
+        rows = pack_documents(df, "doc_id", "tokens", budget=budget, n_shards=3).collect()
+        assert len(rows) == len(toks)
+        by_shard: dict = {}
+        for r in rows:
+            assert 0 <= r["tok_offset"] < budget
+            by_shard.setdefault(r["shard"], []).append(r)
+        for members in by_shard.values():
+            members.sort(key=lambda r: r["doc_id"])
+            running = 0
+            for r in members:
+                assert r["pack_id"] == running // budget
+                assert r["tok_offset"] == running % budget
+                running += r["tokens"]
+
+    check()

@@ -83,3 +83,31 @@ def test_deterministic_sample_n_is_take_ordered(spark):
 
     p = deterministic_sample_n(_docs(spark), "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in p, p[:400]
+
+
+def test_split_properties(spark):
+    """Property check: any fraction dict summing to 1 yields an exhaustive,
+    deterministic, corpus-independent assignment."""
+    from hypothesis import given, settings, strategies as st
+
+    from jsonschema_spark.operators.sampling import hash_split
+
+    @settings(max_examples=8, deadline=None)
+    @given(weights=st.lists(st.integers(min_value=1, max_value=10), min_size=1, max_size=5))
+    def check(weights):
+        total = sum(weights)
+        fr = {f"s{i}": w / total for i, w in enumerate(weights)}
+        # renormalize the float sum exactly to 1
+        fr[f"s{len(weights) - 1}"] = 1.0 - sum(
+            v for k, v in fr.items() if k != f"s{len(weights) - 1}"
+        )
+        df = _docs(spark, 150)
+        out = hash_split(df, "doc_id", fr).collect()
+        assert len(out) == 150
+        assert {r["split"] for r in out} <= set(fr)
+        again = hash_split(df, "doc_id", fr).collect()
+        assert sorted((r["doc_id"], r["split"]) for r in out) == sorted(
+            (r["doc_id"], r["split"]) for r in again
+        )
+
+    check()

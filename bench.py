@@ -50,6 +50,7 @@ HEADLINE = [
     "lsh_candidate_pairs_docs",
     "dup_clusters_docs",
     "dedup_corpus_docs",
+    "curate_corpus_docs",
     "simhash_docs",
     "text_quality_docs",
     "redact_pii_docs",

@@ -787,6 +787,56 @@ JOIN sig sb ON sb.id = c.id_b
 """
 
 
+_CURATE_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline a training-data user actually runs,
+    composed from the engine's own operators: corpus dedup (exact + LSH
+    near-dup clusters) → quality filter (token count + punctuation ratio)
+    → language allowlist → deterministic train/val/test split."""
+    from jsonschema_spark.operators.dedup import dedup_corpus
+    from jsonschema_spark.operators.sampling import hash_split
+    from jsonschema_spark.operators.text import quality_features
+
+    kept = dedup_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    q = quality_features(kept, "doc_id", "text")
+    good_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2)).select(
+        F.col("id").alias("doc_id")
+    )
+    good = kept.join(good_ids, "doc_id", "left_semi").filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    return hash_split(good, "doc_id", _CURATE_SPLITS).select("doc_id", "lang", "split")
+
+
+def _oracle_curate_corpus() -> str:
+    from jsonschema_spark.operators.sampling import split_thresholds
+
+    ths = split_thresholds(_CURATE_SPLITS)
+    case = " ".join(f"WHEN hf < {t!r} THEN '{n}'" for n, t in ths[:-1])
+    return f"""
+WITH RECURSIVE {_dedup_corpus_ctes()},
+retained AS (SELECT s.* FROM survivors s ANTI JOIN drop_near USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio
+  FROM retained),
+good AS (
+  SELECT r.doc_id, r.lang FROM retained r JOIN q USING (doc_id)
+  WHERE q.n_tokens >= 5 AND q.punct_ratio < 0.2
+        AND r.lang IN ('en', 'de', 'fr', 'es')),
+f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / POWER(2, 60) AS hf
+  FROM good)
+SELECT doc_id, lang, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
+"""
+
+
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk pack assignment over whitespace token counts
     (budget 512, 8 shards): the batch-prep step after dedup/sampling."""
@@ -960,11 +1010,11 @@ def dedup_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
-def _oracle_dedup_corpus(threshold: float = 0.5) -> str:
-    """Exact pass (min id per normalized text) then the SAME LSH pair
-    pipeline over the survivors, connected components, keep cluster reps."""
-    return f"""
-WITH RECURSIVE norm AS (
+def _dedup_corpus_ctes(threshold: float = 0.5) -> str:
+    """The CTE chain shared by the dedup-corpus and curation oracles: exact
+    pass (min id per normalized text), the SAME LSH pair pipeline over the
+    survivors, recursive-CTE connected components, drop non-representatives."""
+    return f"""norm AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th
   FROM documents),
 keep_exact AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY th),
@@ -981,7 +1031,12 @@ reach AS (
   SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
 drop_near AS (
   SELECT id AS doc_id FROM (SELECT id, min(label) AS cid FROM reach GROUP BY id)
-  WHERE id != cid)
+  WHERE id != cid)"""
+
+
+def _oracle_dedup_corpus(threshold: float = 0.5) -> str:
+    return f"""
+WITH RECURSIVE {_dedup_corpus_ctes(threshold)}
 SELECT s.doc_id, s.lang FROM survivors s ANTI JOIN drop_near USING (doc_id)
 """
 
@@ -1431,6 +1486,7 @@ def all_queries():
         "dedup_corpus_docs": dedup_corpus_docs,
         "redact_pii_docs": redact_pii_docs,
         "pack_docs": pack_docs,
+        "curate_corpus_docs": curate_corpus_docs,
     }
 
 
@@ -1484,6 +1540,7 @@ def all_oracles():
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "redact_pii_docs": _oracle_redact_pii(),
         "pack_docs": ORACLE_PACK_DOCS,
+        "curate_corpus_docs": _oracle_curate_corpus(),
     }
 
 

@@ -39,6 +39,9 @@ HEADLINE = [
     "kw_numeric_lineitem",
     "kw_string_customer",
     "stats_numeric_lineitem",
+    "histogram_price_lineitem",
+    "quantiles_lineitem",
+    "heavy_hitters_parts",
     "dup_keys_lineitem",
     "referential_events_suppliers",
     "cardinality_orders",

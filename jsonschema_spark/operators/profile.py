@@ -1,0 +1,150 @@
+"""Column-distribution profiling: histograms, quantiles, heavy hitters.
+
+The drift checks (operators/drift.py) compare two relations; these operators
+profile ONE relation so its shape can be recorded per partition/snapshot and
+diffed across runs — the metrics rows the north rule checkpoints alongside
+verdicts. All three are single-aggregation plans:
+
+- histogram: one groupBy over a computed bin id (map-side partial combine,
+  one shuffle of <= n_bins rows per partition);
+- quantiles: exact `percentile` for oracle parity at test scale, plus
+  `approx_percentile` (mergeable t-digest-style sketch, bounded error) as
+  the 100 TB path — same shuffle shape as any aggregate;
+- heavy hitters: groupBy count + one small top-k sort; partial aggregation
+  bounds the shuffle by distinct-value count, and the final rank runs over
+  an already-aggregated relation.
+
+Reference analogue: none (metrics extension over the reference's per-column
+checks; kaptinlin/jsonschema validates shapes but does not profile data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["histogram", "quantiles", "approx_quantiles", "heavy_hitters"]
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equal-width histogram: (bin, lo, hi, cnt) rows, empty bins included.
+
+    Bin arithmetic is plain floor((x-lo)/width) clamped to [0, n_bins-1]
+    (top edge closed) — deliberately NOT width_bucket, so any SQL engine
+    reproduces the exact same bin ids for oracles. When lo/hi are not given
+    they come from a first aggregate pass; at scale pass known bounds (e.g.
+    from column_stats of the previous snapshot) to keep it single-pass.
+    Empty bins are restored with a broadcast range join so consumers can
+    diff histograms positionally.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if lo is None or hi is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if not hi > lo:
+        hi = lo + 1.0  # degenerate domain: single bin catches everything
+    width = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    counts = (
+        df.filter(x.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        bins.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+def quantiles(df: DataFrame, columns: list[str], probs: list[float]) -> DataFrame:
+    """Exact interpolated quantiles, long form: (column, prob, value).
+
+    Spark's `percentile` (rank p*(n-1), linear interpolation — the type-7
+    estimator) matches DuckDB/Postgres `quantile_cont`/`percentile_cont`,
+    so results are oracle-comparable bit-for-bit on doubles. Exact
+    percentile sorts values per group — fine at test scale and for
+    bounded-cardinality columns; use approx_quantiles at 100 TB.
+    """
+    aggs = []
+    for c in columns:
+        for p in probs:
+            aggs.append(
+                F.percentile(F.col(c).cast("double"), F.lit(p)).alias(f"q__{c}__{p!r}")
+            )
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', CAST({p!r} AS DOUBLE), `q__{c}__{p!r}`" for c in columns for p in probs
+    )
+    n = len(columns) * len(probs)
+    return wide.selectExpr(f"stack({n}, {stack}) as (column, prob, value)")
+
+
+def approx_quantiles(
+    df: DataFrame, columns: list[str], probs: list[float], accuracy: int = 10000
+) -> DataFrame:
+    """Approximate quantiles — the 100 TB path: (column, prob, value).
+
+    `approx_percentile` keeps a mergeable fixed-size sketch per partition
+    (error <= 1/accuracy in rank), so memory is bounded regardless of row
+    count and partial states merge in one shuffle. Values are drawn from the
+    data (no interpolation); error vs the exact estimator is pinned by
+    tests/test_profile.py, not by an equality oracle.
+    """
+    aggs = []
+    for c in columns:
+        for p in probs:
+            aggs.append(
+                F.approx_percentile(
+                    F.col(c).cast("double"), F.lit(p), F.lit(accuracy)
+                ).alias(f"q__{c}__{p!r}")
+            )
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', CAST({p!r} AS DOUBLE), `q__{c}__{p!r}`" for c in columns for p in probs
+    )
+    n = len(columns) * len(probs)
+    return wide.selectExpr(f"stack({n}, {stack}) as (column, prob, value)")
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of `col` with a DETERMINISTIC tie-break
+    (count desc, value asc) so two engines agree on the boundary: returns
+    (value, cnt, rank). Nulls are excluded (they are null_rate's business).
+
+    Plan: partial-aggregated groupBy (shuffle bounded by distinct values),
+    then row_number over the tiny aggregated relation. The single-partition
+    window is safe ONLY because its input is post-aggregation; for
+    ultra-high-cardinality columns cap the window input first (e.g. filter
+    cnt above a support threshold) — documented contract, not a hidden sort
+    of the raw table.
+    """
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("value", "cnt", "rank")
+    )

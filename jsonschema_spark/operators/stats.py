@@ -14,29 +14,42 @@ from pyspark.sql import functions as F
 __all__ = ["column_stats", "column_cardinality"]
 
 
-def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def column_stats(
+    df: DataFrame, columns: list[str] | None = None, *, stringify: bool = True
+) -> DataFrame:
     """Long-form stats: one row per column with min/max/null_rate/count.
 
-    min/max are rendered as strings so heterogeneous column types can share
-    one result relation (the violation/metrics sink is uniform).
+    With ``stringify`` (default) min/max are rendered as strings so
+    heterogeneous column types can share one result relation (the
+    violation/metrics sink is uniform); pass ``stringify=False`` when all
+    profiled columns share a type and native values are wanted.
     """
     columns = columns or df.columns
-    pieces = []
+    # ONE pass: all columns' aggregates in a single hash aggregation (partial
+    # map-side combine, one tiny shuffle), then unpivot driver-free via stack.
+    # The per-column-agg-then-union alternative scans the table len(columns)
+    # times — fatal at 100 TB.
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in columns:
-        pieces.append(
-            df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count(c).alias("n_present"),
-                F.min(c).cast("string").alias("min_value"),
-                F.max(c).cast("string").alias("max_value"),
-                (1.0 - F.count(c) / F.count(F.lit(1))).alias("null_rate"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+        mn, mx = F.min(c), F.max(c)
+        if stringify:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        aggs.append(F.count(c).alias(f"np__{c}"))
+        aggs.append(mn.alias(f"mn__{c}"))
+        aggs.append(mx.alias(f"mx__{c}"))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `np__{c}`, `mn__{c}`, `mx__{c}`" for c in columns)
+    return wide.selectExpr(
+        "__n_rows",
+        f"stack({len(columns)}, {stack_expr}) as (column, n_present, min_value, max_value)",
+    ).select(
+        "column",
+        F.col("__n_rows").alias("n_rows"),
+        "n_present",
+        "min_value",
+        "max_value",
+        (1.0 - F.col("n_present") / F.col("__n_rows")).alias("null_rate"),
+    )
 
 
 def column_cardinality(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.05) -> DataFrame:

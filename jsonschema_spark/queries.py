@@ -350,23 +350,14 @@ FROM orders
 
 
 def stats_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    """Single-pass long-form profile via column_stats (one scan for all
+    columns — the per-column-agg-then-union shape scans the table N times)."""
+    from jsonschema_spark.operators.stats import column_stats
+
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    pieces = []
-    for c in cols:
-        pieces.append(
-            li.agg(
-                F.lit(c).alias("column"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.count(c).alias("n_present"),
-                F.min(c).alias("min_value"),
-                F.max(c).alias("max_value"),
-            )
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+    return column_stats(
+        _t(spark, sf_dir, "lineitem").select(*cols), cols, stringify=False
+    ).drop("null_rate")
 
 
 ORACLE_STATS_LINEITEM = """
@@ -378,6 +369,77 @@ UNION ALL
 SELECT 'l_discount', count(*), count(l_discount), min(l_discount), max(l_discount) FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*), count(l_tax), min(l_tax), max(l_tax) FROM lineitem
+"""
+
+
+def histogram_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin equal-width histogram of l_extendedprice (empty bins kept)."""
+    from jsonschema_spark.operators.profile import histogram
+
+    out = histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", n_bins=16)
+    return out.select(
+        "bin", F.round("bin_lo", 6).alias("bin_lo"), F.round("bin_hi", 6).alias("bin_hi"), "cnt"
+    )
+
+
+ORACLE_HISTOGRAM_PRICE = """
+WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+binned AS (
+  SELECT CAST(least(greatest(floor((CAST(l_extendedprice AS DOUBLE) - b.lo) / ((b.hi - b.lo) / 16)), 0), 15) AS INT) AS bin
+  FROM lineitem, b WHERE l_extendedprice IS NOT NULL),
+c AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY 1)
+SELECT r.range AS bin,
+       round(b.lo + r.range * ((b.hi - b.lo) / 16), 6) AS bin_lo,
+       round(b.lo + (r.range + 1) * ((b.hi - b.lo) / 16), 6) AS bin_hi,
+       coalesce(c.cnt, 0) AS cnt
+FROM range(16) r CROSS JOIN b LEFT JOIN c ON c.bin = r.range
+"""
+
+
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact type-7 quantiles, long form (oracle: DuckDB quantile_cont).
+
+    Columns are O(1)-magnitude so the 9-dp value compare is far below
+    double noise; approx_percentile (the 100 TB path) is pinned against
+    this exact estimator in tests/test_profile.py instead."""
+    from jsonschema_spark.operators.profile import quantiles
+
+    return quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount", "l_tax"],
+        [0.25, 0.5, 0.75, 0.95, 0.99],
+    )
+
+
+def _oracle_quantiles_lineitem() -> str:
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    selects = [
+        f"SELECT '{c}' AS column, CAST({p!r} AS DOUBLE) AS prob,"
+        f" quantile_cont(CAST({c} AS DOUBLE), {p!r}) AS value FROM lineitem"
+        for c in cols
+        for p in probs
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def heavy_hitters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent p_type values, deterministic tie-break."""
+    from jsonschema_spark.operators.profile import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "part"), "p_type", k=10)
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT CAST(p_type AS VARCHAR) AS value, count(*) AS cnt
+  FROM part WHERE p_type IS NOT NULL GROUP BY 1),
+r AS (
+  SELECT value, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, value ASC) AS INT) AS rank
+  FROM c)
+SELECT value, cnt, rank FROM r WHERE rank <= 10
 """
 
 
@@ -1453,6 +1515,9 @@ def all_queries():
         "kw_recursive_tree_events": kw_recursive_tree_events,
         "variant_recursive_dynamic": variant_recursive_dynamic,
         "stats_numeric_lineitem": stats_numeric_lineitem,
+        "histogram_price_lineitem": histogram_price_lineitem,
+        "quantiles_lineitem": quantiles_lineitem,
+        "heavy_hitters_parts": heavy_hitters_parts,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -1507,6 +1572,9 @@ def all_oracles():
         "kw_recursive_tree_events": ORACLE_RECURSIVE_TREE,
         "variant_recursive_dynamic": ORACLE_VARIANT_RECURSIVE,
         "stats_numeric_lineitem": ORACLE_STATS_LINEITEM,
+        "histogram_price_lineitem": ORACLE_HISTOGRAM_PRICE,
+        "quantiles_lineitem": _oracle_quantiles_lineitem(),
+        "heavy_hitters_parts": ORACLE_HEAVY_HITTERS,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

@@ -1,7 +1,14 @@
+from jsonschema_spark.streaming.drift_stream import stream_ks, stream_psi
 from jsonschema_spark.streaming.validate_stream import (
     stream_keyword_metrics,
     stream_violation_metrics,
     validate_stream,
 )
 
-__all__ = ["validate_stream", "stream_violation_metrics", "stream_keyword_metrics"]
+__all__ = [
+    "validate_stream",
+    "stream_violation_metrics",
+    "stream_keyword_metrics",
+    "stream_psi",
+    "stream_ks",
+]

@@ -56,6 +56,9 @@ HEADLINE = [
     "curate_corpus_docs",
     "simhash_docs",
     "text_quality_docs",
+    "repetition_signals_docs",
+    "top_bigram_docs",
+    "boilerplate_docs",
     "redact_pii_docs",
     "pack_docs",
     "token_count_by_lang",

@@ -372,6 +372,116 @@ SELECT 'l_tax', count(*), count(l_tax), min(l_tax), max(l_tax) FROM lineitem
 """
 
 
+def _perturb_repetition(doc_id: Column, text: Column) -> Column:
+    """Deterministic corruption for non-vacuous repetition oracles (the
+    content_validate_props 1-in-7 pattern): every doc_id%3==0 doc gets its
+    37-char prefix duplicated as two extra lines (intra-doc repetition);
+    every remaining doc_id%4==1 doc gets a shared boilerplate line
+    (cross-doc repetition). Mirrored literally in the oracle SQL."""
+    p = F.substring(text, 1, 37)
+    return (
+        F.when(doc_id % 3 == 0, F.concat_ws("\n", p, p, text))
+        .when(doc_id % 4 == 1, F.concat_ws("\n", F.lit("subscribe to our newsletter"), text))
+        .otherwise(text)
+    )
+
+
+_SQL_PERTURB_REPETITION = """CASE
+  WHEN doc_id % 3 = 0 THEN substr(text, 1, 37) || chr(10) || substr(text, 1, 37) || chr(10) || text
+  WHEN doc_id % 4 = 1 THEN 'subscribe to our newsletter' || chr(10) || text
+  ELSE text END"""
+
+
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition: duplicate-line fraction + the char
+    mass in duplicated lines, over deterministically perturbed docs."""
+    from jsonschema_spark.operators.repetition import line_repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _perturb_repetition(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = line_repetition_signals(d, "doc_id", "text")
+    return out.select(
+        "id", F.col("n_lines").cast("long").alias("n_lines"), "dup_line_frac", "dup_line_char_frac"
+    )
+
+
+ORACLE_REPETITION_SIGNALS = f"""
+WITH t AS (
+  SELECT doc_id AS id, {_SQL_PERTURB_REPETITION} AS text2 FROM documents),
+l AS (
+  SELECT id, list_filter(string_split(text2, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM t)
+SELECT id, len(lines) AS n_lines,
+       CASE WHEN len(lines) > 0
+            THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN coalesce(list_sum([length(x) FOR x IN lines]), 0) > 0
+            THEN CAST(coalesce(list_sum([length(x) FOR x IN lines IF len(list_filter(lines, y -> y = x)) > 1]), 0) AS DOUBLE)
+                 / list_sum([length(x) FOR x IN lines])
+            ELSE 0.0 END AS dup_line_char_frac
+FROM l
+"""
+
+
+def top_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word bigram per doc and its character coverage."""
+    from jsonschema_spark.operators.repetition import top_ngram_coverage
+
+    return top_ngram_coverage(_t(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+ORACLE_TOP_BIGRAM = """
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT id, list_sum([length(x) FOR x IN toks]) AS total_chars,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t),
+e AS (SELECT id, total_chars, unnest(bigrams) AS gram FROM g),
+c AS (SELECT id, total_chars, gram, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+r AS (
+  SELECT id, total_chars, gram, cnt,
+         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c)
+SELECT g.id, r.gram AS top_ngram,
+       coalesce(least(CAST(r.cnt * (length(r.gram) - 1) AS DOUBLE) / g.total_chars, 1.0), 0.0)
+         AS top_ngram_char_frac
+FROM g LEFT JOIN r ON r.id = g.id AND r.rn = 1
+"""
+
+
+def boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate scoring over the perturbed docs: fraction of
+    each doc's paragraphs that appear in >= 2 distinct documents."""
+    from jsonschema_spark.operators.repetition import repeated_paragraph_filter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _perturb_repetition(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return repeated_paragraph_filter(d, "doc_id", "text", min_repeats=2, max_repeated_frac=0.3)
+
+
+ORACLE_BOILERPLATE = f"""
+WITH t AS (
+  SELECT doc_id AS id, {_SQL_PERTURB_REPETITION} AS text2 FROM documents),
+p AS (
+  SELECT id, unnest(list_filter(string_split(text2, chr(10)), x -> length(trim(x)) > 0)) AS para
+  FROM t),
+h AS (SELECT id, md5(lower(trim(para))) AS ph FROM p),
+c AS (SELECT ph, count(DISTINCT id) AS docs_with FROM h GROUP BY 1),
+s AS (
+  SELECT h.id, count(*) AS n_paras,
+         CAST(sum(CAST(c.docs_with >= 2 AS INT)) AS BIGINT) AS n_rep
+  FROM h JOIN c USING (ph) GROUP BY 1)
+SELECT id, n_paras, CAST(n_rep AS DOUBLE) / n_paras AS repeated_para_frac,
+       CAST(n_rep AS DOUBLE) / n_paras < 0.3 AS keep
+FROM s
+"""
+
+
 def histogram_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin equal-width histogram of l_extendedprice (empty bins kept)."""
     from jsonschema_spark.operators.profile import histogram
@@ -1518,6 +1628,9 @@ def all_queries():
         "histogram_price_lineitem": histogram_price_lineitem,
         "quantiles_lineitem": quantiles_lineitem,
         "heavy_hitters_parts": heavy_hitters_parts,
+        "repetition_signals_docs": repetition_signals_docs,
+        "top_bigram_docs": top_bigram_docs,
+        "boilerplate_docs": boilerplate_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -1575,6 +1688,9 @@ def all_oracles():
         "histogram_price_lineitem": ORACLE_HISTOGRAM_PRICE,
         "quantiles_lineitem": _oracle_quantiles_lineitem(),
         "heavy_hitters_parts": ORACLE_HEAVY_HITTERS,
+        "repetition_signals_docs": ORACLE_REPETITION_SIGNALS,
+        "top_bigram_docs": ORACLE_TOP_BIGRAM,
+        "boilerplate_docs": ORACLE_BOILERPLATE,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

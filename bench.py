@@ -59,6 +59,7 @@ HEADLINE = [
     "repetition_signals_docs",
     "top_bigram_docs",
     "boilerplate_docs",
+    "contamination_docs",
     "redact_pii_docs",
     "pack_docs",
     "token_count_by_lang",

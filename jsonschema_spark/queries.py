@@ -482,6 +482,43 @@ FROM s
 """
 
 
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scores: docs with doc_id%10==0 act as the
+    frozen eval suite; every other doc is scored by the fraction of its
+    word 4-grams that appear in that suite (native near/exact duplicates in
+    the synth corpus make the positive set non-trivial)."""
+    from jsonschema_spark.operators.decontamination import contamination_scores, ngram_set
+
+    d = _t(spark, sf_dir, "documents")
+    bench = ngram_set(d.filter(F.col("doc_id") % 10 == 0), "text", n=4)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_scores(train, "doc_id", "text", bench, n=4)
+
+
+ORACLE_CONTAMINATION = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 2), i -> md5(array_to_string(toks[i:i+3], ' '))) AS grams
+  FROM tok),
+bench AS (SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id % 10 = 0),
+t AS (SELECT doc_id AS id, list_distinct(grams) AS dg FROM g WHERE doc_id % 10 <> 0),
+e AS (SELECT id, unnest(dg) AS gh FROM t),
+s AS (
+  SELECT e.id, count(*) AS n_grams,
+         CAST(sum(CAST(b.gh IS NOT NULL AS INT)) AS BIGINT) AS n_cont
+  FROM e LEFT JOIN bench b USING (gh) GROUP BY 1)
+SELECT t.id, coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_cont, 0) AS n_contaminated,
+       CASE WHEN coalesce(s.n_grams, 0) > 0
+            THEN CAST(s.n_cont AS DOUBLE) / s.n_grams ELSE 0.0 END AS contamination_frac
+FROM t LEFT JOIN s USING (id)
+"""
+
+
 def histogram_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin equal-width histogram of l_extendedprice (empty bins kept)."""
     from jsonschema_spark.operators.profile import histogram
@@ -1631,6 +1668,7 @@ def all_queries():
         "repetition_signals_docs": repetition_signals_docs,
         "top_bigram_docs": top_bigram_docs,
         "boilerplate_docs": boilerplate_docs,
+        "contamination_docs": contamination_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -1691,6 +1729,7 @@ def all_oracles():
         "repetition_signals_docs": ORACLE_REPETITION_SIGNALS,
         "top_bigram_docs": ORACLE_TOP_BIGRAM,
         "boilerplate_docs": ORACLE_BOILERPLATE,
+        "contamination_docs": ORACLE_CONTAMINATION,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

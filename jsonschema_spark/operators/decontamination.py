@@ -22,24 +22,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jsonschema_spark.operators.dedup import tokens
+from jsonschema_spark.operators.dedup import tokens, word_ngrams
 
 __all__ = ["ngram_set", "contamination_scores", "decontaminate"]
+
+
+def _gram_hashes(df: DataFrame, text_col: str, n: int):
+    """Stage tokens as an attribute, then md5 each positional n-gram — the
+    token array is materialized once per row (slice/element_at inside a HOF
+    lambda over an inline tokens(...) would re-tokenize per gram)."""
+    staged = df.withColumn("__toks", tokens(F.col(text_col)))
+    grams = F.transform(word_ngrams(F.col("__toks"), n), lambda g: F.md5(g))
+    return staged, grams
 
 
 def ngram_set(df: DataFrame, text_col: str, n: int = 8) -> DataFrame:
     """Distinct md5 digests of the word n-grams of `text_col` (one column,
     `gh`). md5 keeps the relation 16 bytes/gram and engine-portable for
     oracles. Docs shorter than n words contribute nothing."""
-    toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-    )
-    return (
-        df.select(F.explode(F.when(F.size(toks) >= n, grams)).alias("gh"))
-        .distinct()
-    )
+    staged, grams = _gram_hashes(df, text_col, n)
+    return staged.select(F.explode(grams).alias("gh")).distinct()
 
 
 def contamination_scores(
@@ -56,16 +58,10 @@ def contamination_scores(
     `benchmark_grams` is ngram_set(...) of the eval suite. Distinct n-grams
     of each training doc are probed against it; docs with fewer than n words
     have no grams and score 0.0 (nothing to leak)."""
-    toks = tokens(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-        )
-    )
-    exploded = train.select(
+    staged, grams = _gram_hashes(train, text_col, n)
+    exploded = staged.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(F.when(F.size(toks) >= n, grams)).alias("gh"),
+        F.explode_outer(F.array_distinct(grams)).alias("gh"),
     )
     bench = benchmark_grams.select(F.col("gh").alias("bgh"), F.lit(True).alias("hit"))
     if broadcast:

@@ -75,6 +75,24 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams of a TOKEN-ARRAY column, via
+    the same zip_with-over-shifted-views single pass as shingles(). Pass a
+    STAGED attribute (not tokens(...) inline) — every reference to `toks`
+    here evaluates the column expression once per row, so handing in a raw
+    split(regexp(...)) would tokenize the text O(n) times. Docs shorter
+    than n words yield an empty array."""
+    if n <= 1:
+        return toks
+    acc = toks
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, i + 1, F.size(toks)), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    full = F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, full).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, shingle_n: int = 3) -> DataFrame:
     """(id, sig: array<string> length k) MinHash signatures.
 

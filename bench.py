@@ -60,6 +60,7 @@ HEADLINE = [
     "top_bigram_docs",
     "boilerplate_docs",
     "contamination_docs",
+    "perplexity_docs",
     "redact_pii_docs",
     "pack_docs",
     "token_count_by_lang",

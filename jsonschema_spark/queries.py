@@ -519,6 +519,41 @@ FROM t LEFT JOIN s USING (id)
 """
 
 
+def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: docs with doc_id%5==0 act as the
+    trusted reference corpus a smoothed unigram LM is fit on (top-4096
+    vocabulary); every other doc is scored by perplexity under that model.
+    High-perplexity docs are the drop candidates."""
+    from jsonschema_spark.operators.lm_quality import fit_unigram_lm, perplexity_scores
+
+    d = _t(spark, sf_dir, "documents")
+    model = fit_unigram_lm(d.filter(F.col("doc_id") % 5 == 0), "text", vocab_size=4096)
+    return perplexity_scores(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", model)
+
+
+ORACLE_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+c AS (SELECT token, count(*) AS cnt FROM e WHERE doc_id % 5 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 4096),
+k AS (SELECT count(*) AS kept FROM v),
+m AS (SELECT v.token, ln((v.cnt + 1.0) / (tot.total + k.kept + 1)) AS logp
+      FROM v, tot, k),
+o AS (SELECT ln(1.0 / (tot.total + k.kept + 1)) AS oov_logp FROM tot, k),
+s AS (
+  SELECT e.doc_id AS id, count(*) AS n_tokens,
+         CAST(sum(CAST(m.token IS NULL AS INT)) AS BIGINT) AS n_oov,
+         sum(coalesce(m.logp, o.oov_logp)) AS ll
+  FROM e LEFT JOIN m USING (token), o
+  WHERE e.doc_id % 5 <> 0 GROUP BY 1)
+SELECT id, n_tokens, n_oov, round(exp(-ll / n_tokens), 6) AS perplexity FROM s
+"""
+
+
 def histogram_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin equal-width histogram of l_extendedprice (empty bins kept)."""
     from jsonschema_spark.operators.profile import histogram
@@ -1669,6 +1704,7 @@ def all_queries():
         "top_bigram_docs": top_bigram_docs,
         "boilerplate_docs": boilerplate_docs,
         "contamination_docs": contamination_docs,
+        "perplexity_docs": perplexity_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -1730,6 +1766,7 @@ def all_oracles():
         "top_bigram_docs": ORACLE_TOP_BIGRAM,
         "boilerplate_docs": ORACLE_BOILERPLATE,
         "contamination_docs": ORACLE_CONTAMINATION,
+        "perplexity_docs": ORACLE_PERPLEXITY,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

@@ -73,6 +73,7 @@ HEADLINE = [
     "defaults_fill_events",
     "cosine_near_dup_lsh",
     "ivf_topk_embeddings",
+    "semantic_dedup_embeddings",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

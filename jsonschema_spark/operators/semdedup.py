@@ -1,0 +1,101 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Global embedding near-dup (operators/simsearch.cosine_near_dup_pairs) prunes
+with hyperplane LSH; SemDeDup (Abbas et al., 2023) is the other standard
+scale path: coarse-cluster the corpus, then compare pairs ONLY within a
+cluster. The quadratic term is bounded per cell — with n_cells grown
+proportionally to the corpus, cell size (and so per-cell pair work) stays
+constant while the cell join itself is a plain shuffle-on-cell.
+
+Quantizer: the same deterministic coarse centroids as simsearch.ivf_topk
+(the n_cells lowest-id vectors; argmax-cosine assignment, ties to the lower
+cent_id) so the whole operator — including cell assignment — is expressible
+in ANSI SQL for the DuckDB oracle. Swap in k-means centroids at production
+scale; the plan shape (broadcast centroids -> shuffle on cell -> bounded
+self-join) is the contract, the quantizer is pluggable.
+
+Drop rule (deterministic): an item is dropped iff some LOWER-id item in its
+cell has cosine >= threshold — the canonical keep-first-representative rule,
+expressed as one within-cell pair join + a max aggregation. Cosines are
+rounded to 6 decimals BEFORE thresholding so row membership is identical
+across engines (float jitter is ~1e-16).
+
+Reference scope note: kaptinlin/jsonschema has no embedding ops — this is
+part of the beyond-reference training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.simsearch import _dot, _norm
+
+__all__ = ["semantic_dedup"]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, nn_lower_cosine, keep) — one row per input vector.
+
+    nn_lower_cosine = max cosine to any lower-id vector in the same cell
+    (NULL if the item is the lowest id in its cell or nothing is near);
+    keep = nn_lower_cosine IS NULL OR nn_lower_cosine < threshold.
+
+    Shuffles: one on `cell` for the bounded self-join, one tiny groupBy on
+    bare ids (16 B/row), one id-join to re-attach verdicts. Centroids are
+    broadcast; vectors are unit-normalized ONCE (norm staged in its own
+    projection — HOF lambdas have no CSE).
+    """
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    unit = base.withColumn("__n", _norm(F.col("vec"))).select(
+        "id",
+        F.when(
+            F.col("__n") > 0.0, F.transform("vec", lambda x: x / F.col("__n"))
+        ).otherwise(F.col("vec")).alias("u"),
+    )
+    centroids = (
+        unit.orderBy("id")
+        .limit(n_cells)
+        .select(F.col("id").alias("cent_id"), F.col("u").alias("cu"))
+    )
+    cells = (
+        unit.crossJoin(F.broadcast(centroids))
+        .select("id", "u", "cent_id", _dot(F.col("u"), F.col("cu")).alias("_aff"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("_aff"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("id", "u", F.col("cent_id").alias("cell"))
+    )
+    a = cells.select(F.col("id").alias("id_a"), "cell", F.col("u").alias("u_a"))
+    b = cells.select(F.col("id").alias("id_b"), "cell", F.col("u").alias("u_b"))
+    nn = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", F.round(_dot(F.col("u_a"), F.col("u_b")), 6).alias("cos"))
+        .groupBy("id_b")
+        .agg(F.max("cos").alias("nn_lower_cosine"))
+    )
+    return (
+        cells.select("id", "cell")
+        .join(nn.withColumnRenamed("id_b", "id"), "id", "left")
+        .select(
+            "id",
+            "cell",
+            "nn_lower_cosine",
+            (
+                F.col("nn_lower_cosine").isNull()
+                | (F.col("nn_lower_cosine") < F.lit(threshold))
+            ).alias("keep"),
+        )
+    )

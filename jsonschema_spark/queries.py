@@ -1727,6 +1727,7 @@ def all_queries():
         "variant_nested_events": variant_nested_events,
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
         "localized_violations_docs": localized_violations_docs,
@@ -1789,6 +1790,7 @@ def all_oracles():
         "variant_nested_events": ORACLE_VARIANT_NESTED,
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
+        "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "cosine_near_dup_lsh": _oracle_cosine_lsh(),
         "localized_violations_docs": ORACLE_LOCALIZED_DOCS,
@@ -1956,6 +1958,40 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank, cos
   FROM scored)
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: coarse-quantize into 16 cells
+    (deterministic lowest-id centroids, argmax-cosine assignment), then keep
+    an item iff no lower-id item in its cell has cosine >= 0.95."""
+    from jsonschema_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.95, n_cells=16
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+u AS (SELECT vec_id AS id,
+             CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                  THEN [x / sqrt(list_dot_product(v, v)) FOR x IN v] ELSE v END AS uv
+      FROM e),
+cent AS (SELECT id AS cent_id, uv AS cu FROM u ORDER BY id LIMIT 16),
+cells AS (
+  SELECT id, uv, cent_id AS cell FROM (
+    SELECT u.id, u.uv, cent.cent_id,
+           row_number() OVER (PARTITION BY u.id ORDER BY
+             list_dot_product(u.uv, cent.cu) DESC, cent.cent_id ASC) AS rk
+    FROM u, cent) WHERE rk = 1),
+nn AS (
+  SELECT b.id AS id, max(round(list_dot_product(a.uv, b.uv), 6)) AS nn_lower_cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+  GROUP BY 1)
+SELECT c.id, c.cell, nn.nn_lower_cosine,
+       (nn.nn_lower_cosine IS NULL OR nn.nn_lower_cosine < 0.95) AS keep
+FROM cells c LEFT JOIN nn USING (id)
 """
 
 

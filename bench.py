@@ -59,6 +59,7 @@ HEADLINE = [
     "repetition_signals_docs",
     "top_bigram_docs",
     "boilerplate_docs",
+    "clean_boilerplate_docs",
     "contamination_docs",
     "perplexity_docs",
     "redact_pii_docs",

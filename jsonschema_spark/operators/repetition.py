@@ -34,6 +34,7 @@ __all__ = [
     "line_repetition_signals",
     "top_ngram_coverage",
     "repeated_paragraph_filter",
+    "remove_repeated_paragraphs",
 ]
 
 
@@ -151,4 +152,53 @@ def repeated_paragraph_filter(
         "n_paras",
         frac.alias("repeated_para_frac"),
         (frac < max_repeated_frac).alias("keep"),
+    )
+
+
+def remove_repeated_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, *, min_repeats: int = 2
+) -> DataFrame:
+    """Line-wise corpus dedup (RefinedWeb-style): REMOVE boilerplate lines
+    and keep the document. A line is boilerplate when its normalized
+    (lower+trim) hash occurs in at least `min_repeats` DISTINCT docs; the
+    doc's text is rebuilt from the surviving lines in original order.
+    Returns (id, text, n_lines, n_removed); a doc whose every line is
+    boilerplate keeps an empty text.
+
+    Scale: the exchange carries (id, pos, 16-byte line hash) — the flagged
+    relation is bare hashes and the rebuild groups lines of a doc back
+    together with a map-side-combining collect_list bounded by doc size.
+    Line PAYLOADS travel exactly once (to the rebuild), never through the
+    counting aggregation."""
+    exploded = (
+        df.select(F.col(id_col).alias("id"), _lines(F.col(text_col)).alias("__lines"))
+        .select("id", F.posexplode("__lines").alias("pos", "line"))
+        .withColumn("ph", F.md5(F.lower(F.trim(F.col("line")))))
+    )
+    flagged = (
+        exploded.groupBy("ph")
+        .agg(F.countDistinct("id").alias("docs_with"))
+        .filter(F.col("docs_with") >= min_repeats)
+        .select("ph")
+    )
+    kept = exploded.join(flagged, "ph", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        )
     )

@@ -482,6 +482,42 @@ FROM s
 """
 
 
+def clean_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise dedup: REMOVE corpus-boilerplate lines
+    (normalized hash in >= 2 distinct docs — the injected newsletter line
+    plus natural dups) and rebuild each doc's text in original line order."""
+    from jsonschema_spark.operators.repetition import remove_repeated_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _perturb_repetition(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    out = remove_repeated_paragraphs(d, "doc_id", "text", min_repeats=2)
+    return out.select("id", "text", "n_lines", "n_removed")
+
+
+ORACLE_CLEAN_BOILERPLATE = f"""
+WITH src AS (SELECT doc_id, {_SQL_PERTURB_REPETITION} AS text2 FROM documents),
+l AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text2, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM src),
+e AS (
+  SELECT id, unnest(lines) AS line, generate_subscripts(lines, 1) AS pos FROM l),
+h AS (SELECT id, pos, line, md5(lower(trim(line))) AS ph FROM e),
+flagged AS (SELECT ph FROM h GROUP BY ph HAVING count(DISTINCT id) >= 2),
+kept AS (SELECT h.* FROM h LEFT JOIN flagged f USING (ph) WHERE f.ph IS NULL),
+rebuilt AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1),
+totals AS (SELECT id, count(*) AS n_lines FROM h GROUP BY 1)
+SELECT t.id, coalesce(r.text, '') AS text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (id)
+"""
+
+
 def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: docs with doc_id%10==0 act as the
     frozen eval suite; every other doc is scored by the fraction of its
@@ -1704,6 +1740,7 @@ def all_queries():
         "top_bigram_docs": top_bigram_docs,
         "boilerplate_docs": boilerplate_docs,
         "contamination_docs": contamination_docs,
+        "clean_boilerplate_docs": clean_boilerplate_docs,
         "perplexity_docs": perplexity_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
@@ -1767,6 +1804,7 @@ def all_oracles():
         "top_bigram_docs": ORACLE_TOP_BIGRAM,
         "boilerplate_docs": ORACLE_BOILERPLATE,
         "contamination_docs": ORACLE_CONTAMINATION,
+        "clean_boilerplate_docs": ORACLE_CLEAN_BOILERPLATE,
         "perplexity_docs": ORACLE_PERPLEXITY,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,

@@ -67,3 +67,38 @@ def test_repeated_paragraph_counts_distinct_docs(spark):
     df = spark.createDataFrame([(1, "dup\ndup\nother")], "id int, text string")
     (r,) = repeated_paragraph_filter(df, "id", "text", min_repeats=2).collect()
     assert r["repeated_para_frac"] == 0.0 and r["keep"]
+
+
+def test_remove_repeated_paragraphs_rebuilds_in_order(spark):
+    from jsonschema_spark.operators.repetition import remove_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "Subscribe now\nreal content one\nmore content"),
+            (2, "intro text\nsubscribe NOW \nclosing words"),
+            (3, "subscribe now\nonly boilerplate here"),
+            (4, "only boilerplate here\n"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in remove_repeated_paragraphs(df, "id", "text").collect()}
+    # the shared line is removed case/whitespace-insensitively, the rest
+    # keeps its original form and order
+    assert out[1]["text"] == "real content one\nmore content"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "intro text\nclosing words"
+    # doc 3: both lines are corpus-repeated -> empty text, row preserved
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text"] == "" and out[4]["n_lines"] == 1
+
+
+def test_remove_repeated_paragraphs_min_repeats(spark):
+    from jsonschema_spark.operators.repetition import remove_repeated_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a shared line\nunique one"), (2, "a shared line\nunique two")],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in remove_repeated_paragraphs(df, "id", "text", min_repeats=3).collect()}
+    # threshold 3 not met by 2 docs -> nothing removed
+    assert out[1]["n_removed"] == 0 and out[1]["text"] == "a shared line\nunique one"

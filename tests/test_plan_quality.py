@@ -95,3 +95,32 @@ def test_dedup_agg_has_partial_aggregation(spark):
 
     p = _plan(dedup_exact_text_docs(spark, "/root/testdata/sf0.001"))
     assert "partial_" in p, "no map-side partial aggregation"
+
+
+def test_semdedup_broadcasts_centroids_no_python(spark):
+    """SemDeDup: centroid assignment must be a broadcast (never a shuffled
+    join against the n_cells-row centroid relation) and fully JVM-side."""
+    from jsonschema_spark.queries import semantic_dedup_embeddings
+
+    p = _plan(semantic_dedup_embeddings(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_perplexity_model_join_broadcasts(spark):
+    """LM scoring: the vocabulary join must broadcast and the per-doc agg
+    must combine map-side."""
+    from jsonschema_spark.queries import perplexity_docs
+
+    p = _plan(perplexity_docs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_" in p, "no map-side partial aggregation"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_clean_boilerplate_stays_jvm(spark):
+    from jsonschema_spark.queries import clean_boilerplate_docs
+
+    p = _plan(clean_boilerplate_docs(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -63,6 +63,7 @@ HEADLINE = [
     "contamination_docs",
     "perplexity_docs",
     "redact_pii_docs",
+    "domain_stats_docs",
     "pack_docs",
     "token_count_by_lang",
     "fingerprint_docs",

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii"]
+__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -118,3 +118,30 @@ def redact_pii(
             counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, replacement)
     return df.select("*", *counts).withColumn(out_col, cur)
+
+
+def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus domain-frequency analysis: (domain, n_urls, n_docs) for every
+    host appearing in an http(s) URL in `text_col` — the aggregation that
+    feeds domain allow/blocklists in web-crawl curation (URL counts and
+    document reach per domain).
+
+    JVM-side: regexp_extract_all pulls URLs, the host is a second
+    regexp_extract (lowered to lowercase), and the only exchange is the
+    partial-aggregated groupBy on the (small-domain-cardinality) host key.
+    The regexes stay in the lookaround-free subset shared by Java regex and
+    RE2-family engines, so the whole operator is oracle-expressible.
+    """
+    urls = F.expr(
+        f"regexp_extract_all({text_col}, 'https?://[^\\\\s]+', 0)"
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(urls).alias("url"))
+    domain = F.lower(F.regexp_extract(F.col("url"), r"https?://([^/\s:]+)", 1))
+    return (
+        exploded.select("id", domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )

@@ -1174,6 +1174,54 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency analysis over injected URLs (TPC-H-ish text has no
+    organic URLs): 1-in-5 docs link one of 7 sites, 1-in-10 also hit a
+    shared CDN host — the skewed reach distribution a blocklist audit sees."""
+    from jsonschema_spark.operators.text import domain_stats
+
+    d = _t(spark, sf_dir, "documents")
+    site = F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" see "), site)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(" via https://cdn.example.org/x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = domain_stats(injected, "doc_id", "text")
+    return out.select(
+        "domain",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLE_DOMAIN_STATS = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 10 = 0 THEN ' via https://cdn.example.org/x' ELSE '' END
+         AS text
+  FROM documents),
+e AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+  FROM injected)
+SELECT lower(regexp_extract(url, 'https?://([^/\s:]+)', 1)) AS domain,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM e GROUP BY 1
+"""
+
+
 def _oracle_redact_pii() -> str:
     from jsonschema_spark.operators.text import PII_PATTERNS
 
@@ -1775,6 +1823,7 @@ def all_queries():
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "redact_pii_docs": redact_pii_docs,
+        "domain_stats_docs": domain_stats_docs,
         "pack_docs": pack_docs,
         "curate_corpus_docs": curate_corpus_docs,
     }
@@ -1839,6 +1888,7 @@ def all_oracles():
         "stratified_sample_docs": _oracle_stratified_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "redact_pii_docs": _oracle_redact_pii(),
+        "domain_stats_docs": ORACLE_DOMAIN_STATS,
         "pack_docs": ORACLE_PACK_DOCS,
         "curate_corpus_docs": _oracle_curate_corpus(),
     }

@@ -30,3 +30,22 @@ def test_redact_pii_plan_is_narrow(spark):
     p = redact_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_stats(spark):
+    from jsonschema_spark.operators.text import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "see http://A.Example.com/x and https://a.example.com/y"),
+            (2, "link https://a.example.com:8080/z plus http://other.net/"),
+            (3, "no urls here"),
+        ],
+        "id int, text string",
+    )
+    rows = {r["domain"]: r for r in domain_stats(df, "id", "text").collect()}
+    # host extraction lowercases and stops at /, :, or whitespace
+    assert rows["a.example.com"]["n_urls"] == 3
+    assert rows["a.example.com"]["n_docs"] == 2
+    assert rows["other.net"]["n_urls"] == 1 and rows["other.net"]["n_docs"] == 1
+    assert set(rows) == {"a.example.com", "other.net"}

@@ -11,8 +11,16 @@ Quantizer: the same deterministic coarse centroids as simsearch.ivf_topk
 (the n_cells lowest-id vectors; argmax-cosine assignment, ties to the lower
 cent_id) so the whole operator — including cell assignment — is expressible
 in ANSI SQL for the DuckDB oracle. Swap in k-means centroids at production
-scale; the plan shape (broadcast centroids -> shuffle on cell -> bounded
-self-join) is the contract, the quantizer is pluggable.
+scale; the plan shape is the contract, the quantizer is pluggable.
+
+Assignment plan: the centroid matrix is collected to the driver (n_cells
+rows — the quantizer model, not data) and folded as a compile-time literal
+(simsearch.centroid_dots), so every vector computes all n_cells dots in one
+projection and argmaxes with array_position — one row in, one row out, no
+crossJoin row amplification and no per-vector window shuffle. The n_cells
+scaling contract: grow n_cells ∝ corpus size so cell size (and the
+within-cell quadratic term) stays constant; assignment stays a narrow
+projection at any n_cells.
 
 Drop rule (deterministic): an item is dropped iff some LOWER-id item in its
 cell has cosine >= threshold — the canonical keep-first-representative rule,
@@ -26,12 +34,38 @@ part of the beyond-reference training-data-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jsonschema_spark.operators.simsearch import _dot, _norm
+from jsonschema_spark.operators.simsearch import _dot, _norm, centroid_dots
 
-__all__ = ["semantic_dedup"]
+__all__ = ["semantic_dedup", "fit_unit_centroids"]
+
+
+def _unit(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # norm staged in its own projection — HOF lambdas have no CSE
+    return base.withColumn("__n", _norm(F.col("vec"))).select(
+        "id",
+        F.when(
+            F.col("__n") > 0.0, F.transform("vec", lambda x: x / F.col("__n"))
+        ).otherwise(F.col("vec")).alias("u"),
+    )
+
+
+def fit_unit_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Quantizer model for semantic_dedup: the n_cells lowest-id UNIT vectors
+    as (cent_id, unit_vec) tuples — normalization runs through the same Spark
+    expressions as the corpus side, so cosines stay bitwise identical. Cache
+    and reuse across queries over the same corpus."""
+    unit = _unit(emb, id_col, vec_col)
+    return [(r["id"], list(r["u"])) for r in unit.orderBy("id").limit(n_cells).collect()]
 
 
 def semantic_dedup(
@@ -41,6 +75,7 @@ def semantic_dedup(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """(id, cell, nn_lower_cosine, keep) — one row per input vector.
 
@@ -53,29 +88,26 @@ def semantic_dedup(
     broadcast; vectors are unit-normalized ONCE (norm staged in its own
     projection — HOF lambdas have no CSE).
     """
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    unit = base.withColumn("__n", _norm(F.col("vec"))).select(
-        "id",
-        F.when(
-            F.col("__n") > 0.0, F.transform("vec", lambda x: x / F.col("__n"))
-        ).otherwise(F.col("vec")).alias("u"),
-    )
-    centroids = (
-        unit.orderBy("id")
-        .limit(n_cells)
-        .select(F.col("id").alias("cent_id"), F.col("u").alias("cu"))
-    )
+    unit = _unit(emb, id_col, vec_col)
+    if centroids is None:
+        # quantizer model fit: n_cells lowest-id UNIT vectors; pass
+        # `centroids` (fit_unit_centroids) to amortize the fit across queries.
+        centroids = fit_unit_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cent_vecs = [c[1] for c in centroids]
+    id_lit = F.array(*[F.lit(c[0]) for c in centroids])
+    # argmax-dot cell per vector in ONE projection: unit vectors make the
+    # dot the cosine directly; array_position ties to the lowest index ==
+    # lowest cent_id (cent_rows are id-ascending), matching the old window's
+    # DESC-aff/ASC-cent_id order bit-for-bit.
     cells = (
-        unit.crossJoin(F.broadcast(centroids))
-        .select("id", "u", "cent_id", _dot(F.col("u"), F.col("cu")).alias("_aff"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("_aff"), F.asc("cent_id"))
-            ),
+        unit.withColumn("__affs", centroid_dots("u", cent_vecs))
+        .select(
+            "id",
+            "u",
+            F.element_at(
+                id_lit, F.array_position(F.col("__affs"), F.array_max("__affs")).cast("int")
+            ).alias("cell"),
         )
-        .filter(F.col("_rk") == 1)
-        .select("id", "u", F.col("cent_id").alias("cell"))
     )
     a = cells.select(F.col("id").alias("id_a"), "cell", F.col("u").alias("u_a"))
     b = cells.select(F.col("id").alias("id_b"), "cell", F.col("u").alias("u_b"))

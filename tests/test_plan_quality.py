@@ -97,14 +97,51 @@ def test_dedup_agg_has_partial_aggregation(spark):
     assert "partial_" in p, "no map-side partial aggregation"
 
 
-def test_semdedup_broadcasts_centroids_no_python(spark):
-    """SemDeDup: centroid assignment must be a broadcast (never a shuffled
-    join against the n_cells-row centroid relation) and fully JVM-side."""
+def test_semdedup_assignment_is_projection_no_python(spark):
+    """SemDeDup: centroid assignment must be a narrow projection over the
+    compile-time centroid literal — no crossJoin row amplification against
+    the centroid relation, no per-vector window sort, fully JVM-side."""
     from jsonschema_spark.queries import semantic_dedup_embeddings
 
     p = _plan(semantic_dedup_embeddings(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p, "assignment must not rank per-vector"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ivf_assignment_no_row_amplification(spark):
+    """IVF: corpus cell assignment must not crossJoin the centroid relation
+    (n_cells× row amplification) — the only joins allowed are the cell-pruned
+    candidate join and result assembly."""
+    from jsonschema_spark.queries import ivf_topk_embeddings
+
+    p = _plan(ivf_topk_embeddings(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_span_mismatch_join_exchanges_digests_not_arrays(spark):
+    """Span-sequence equality: the doc_id comparison join must exchange
+    64-bit digests, never the span payload arrays (the arrays dominate the
+    exchange at media-heavy scale)."""
+    from jsonschema_spark.operators.spans import span_sequence_mismatches
+    from jsonschema_spark.synth import SynthConfig, make_docs
+
+    import re
+
+    docs, ref, _ = make_docs(spark, SynthConfig(n_docs=200, seed=7))
+    qe = span_sequence_mismatches(docs, ref)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = qe.explainString(mode)
+    # every Exchange boundary's Input schema must be free of the spans array
+    # (`(?<!_)spans#` so the n_spans count column doesn't false-positive)
+    for section in re.split(r"\n\(\d+\) ", p):
+        if section.startswith(("Exchange", "BroadcastExchange")):
+            inputs = "".join(re.findall(r"Input \[\d+\]: \[[^\]]*\]", section))
+            assert not re.search(r"(?<![_a-zA-Z])spans#", inputs), (
+                f"span payload crosses an exchange: {section.splitlines()[0]}: {inputs}"
+            )
+    assert "xxhash64" in p, "digest comparison missing from the plan"
 
 
 def test_perplexity_model_join_broadcasts(spark):

@@ -158,12 +158,16 @@ def main() -> None:
     qs = all_queries()
     _force(spark.range(10_000).selectExpr("sum(id) as s"))  # JVM warm-up
 
+    # Flagship throughput is measured FIRST: each round adds headline
+    # queries, so measuring it last put it in a progressively dirtier JVM
+    # (GC/code-cache state drift made the round-over-round headline metric
+    # unfalsifiable — the r1->r3 "slide" tracked bench ordering, not plans).
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(_time_best(lambda: _force(qs[name](spark, sf_dir))), 3)
-
     flag_dt, docs_per_sec = flagship_throughput(spark, N_SYNTH_DOCS)
     times["validate_interleaved_synth"] = round(flag_dt, 3)
+
+    for name in HEADLINE:
+        times[name] = round(_time_best(lambda: _force(qs[name](spark, sf_dir))), 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -155,12 +155,38 @@ def default_decoders() -> dict:
     return {"base64": lambda s: base64.b64decode(s, validate=True)}
 
 
+def _xml_to_value(elem) -> dict:
+    """Deterministic dict model of an XML element tree (tag/attributes/text/
+    children) so contentSchema can address parsed XML. The reference's
+    handler (compiler.go:379-385) unmarshals into `any` via encoding/xml —
+    here the shape is explicit rather than Go-reflection-defined; the
+    ASSERTION semantics (well-formed parses, malformed fails with
+    invalid_media_type) match."""
+    return {
+        "tag": elem.tag,
+        "attributes": dict(elem.attrib),
+        "text": (elem.text or "").strip() or None,
+        "children": [_xml_to_value(c) for c in elem],
+    }
+
+
 def default_media_types() -> dict:
-    """contentMediaType unmarshallers (reference: compiler.go MediaTypes,
-    application/json by default; exact-number decoding)."""
+    """contentMediaType unmarshallers (reference: compiler.go
+    setupMediaTypes — application/json, application/xml, application/yaml;
+    exact-number decoding for json/yaml)."""
+    import xml.etree.ElementTree as _ET
+
+    from jsonschema_spark import yaml_lite
     from jsonschema_spark.json_values import loads_exact
 
-    return {"application/json": lambda b: loads_exact(b)}
+    def _xml(b):
+        return _xml_to_value(_ET.fromstring(b.decode("utf-8") if isinstance(b, bytes) else b))
+
+    return {
+        "application/json": lambda b: loads_exact(b),
+        "application/xml": _xml,
+        "application/yaml": yaml_lite.loads,
+    }
 
 
 def _is_number(v: Any) -> bool:

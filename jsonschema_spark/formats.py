@@ -153,11 +153,29 @@ def _valid_uri_reference(s: str) -> bool:
     return True
 
 
+def _valid_duration(s: str) -> bool:
+    return bool(_DURATION_RE.match(s)) and not s.endswith("T")
+
+
+def _valid_period(s: str) -> bool:
+    """ISO-8601 period per RFC 3339 appendix A (reference formats.go:242
+    IsPeriod): "start/end" where start/end are datetime/datetime,
+    datetime/duration, or duration/datetime. Split on the FIRST '/'
+    (strings.Cut semantics)."""
+    start, sep, end = s.partition("/")
+    if not sep:
+        return False
+    if _valid_datetime(start):
+        return _valid_datetime(end) or _valid_duration(end)
+    return _valid_duration(start) and _valid_datetime(end)
+
+
 _VALIDATORS: dict[str, Callable[[str], bool]] = {
     "date": _valid_date,
     "time": _valid_time,
     "date-time": _valid_datetime,
-    "duration": lambda s: bool(_DURATION_RE.match(s)) and not s.endswith("T"),
+    "duration": _valid_duration,
+    "period": _valid_period,
     "email": _valid_email,
     "idn-email": _valid_email,
     "hostname": lambda s: bool(_HOSTNAME_RE.match(s)),

@@ -2012,9 +2012,7 @@ _CENTROID_MODELS: dict[tuple, list] = {}
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8 coarse cells (vectors with smallest ids as centroids),
     probe the 3 closest cells, top-5 per query."""
-    from jsonschema_spark.operators.simsearch import ivf_topk
-
-    from jsonschema_spark.operators.simsearch import fit_centroids
+    from jsonschema_spark.operators.simsearch import fit_centroids, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")

@@ -132,13 +132,26 @@ def ensure_synth_docs(spark, n_docs: int) -> str:
 
 def flagship_throughput(spark, n_docs: int) -> tuple[float, float]:
     """Validate the interleaved spans table with the pure-Column plan;
-    returns (elapsed_sec, docs_per_sec)."""
+    returns (elapsed_sec, docs_per_sec).
+
+    Measured FIRST in the session for comparability, with a JMH-style
+    warm-up on the SAME plan over a small synth table: the generated
+    whole-stage code needs ~10^5 row-batch invocations before C2 compiles
+    the hot methods (measured: 14s cold -> 3.4s by rep 8 on 200k docs;
+    without explicit warm-up the adaptive best-of-N stops early on two
+    agreeing COLD reps and records a JIT artifact, which is what produced
+    the r1->r3 'throughput slide')."""
     from jsonschema_spark.plans.columns import validate_dataframe
     from jsonschema_spark.synth import DOCS_SCHEMA
 
+    warm_path = ensure_synth_docs(spark, max(n_docs // 10, 1000))
+    warm_df = spark.read.parquet(warm_path)
+    for _ in range(6):
+        _force(validate_dataframe(warm_df, DOCS_SCHEMA))
+
     path = ensure_synth_docs(spark, n_docs)
     df = spark.read.parquet(path)
-    best = _time_best(lambda: _force(validate_dataframe(df, DOCS_SCHEMA)))
+    best = _time_best(lambda: _force(validate_dataframe(df, DOCS_SCHEMA)), max_reps=6)
     return best, n_docs / best
 
 

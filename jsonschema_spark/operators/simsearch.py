@@ -113,16 +113,25 @@ def infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row["d"])
 
 
-def hyperplane_projections(vec: Column, n_planes: int, dim: int) -> Column:
-    """All n_planes hyperplane projections of `vec` in ONE array traversal.
+def hyperplane_projections(vec: Column | str, n_planes: int, dim: int) -> Column:
+    """All n_planes hyperplane projections of `vec`.
 
-    The ±1 sign matrix is a compile-time literal laid out dim × n_planes so a
-    single zip_with+aggregate folds every plane at once (the MinHash
-    array-accumulator trick — one fold per plane was n_planes full
-    re-traversals, the dominant LSH cost). Vectors whose size differs from
+    When `vec` is a column NAME, the projections are emitted as one SQL
+    expression of flat per-plane folds (sharing `_dot_sql` — a hyperplane's
+    ±1 normal is just a compile-time "centroid"): a single py4j round-trip
+    to build, and per element only scalar multiply-adds at runtime. The
+    Column form keeps the dim × n_planes matrix fold (one array traversal,
+    but it allocates an n_planes-array per element — measured slower than
+    the flat form on 64-dim inputs, and ~1.8s of py4j literal construction).
+    Per-plane accumulation is `acc[p] += x_i·s_i` for i ascending in BOTH
+    forms — bitwise-identical projections. Vectors whose size differs from
     `dim` yield NULL (callers must filter size(vec) == dim; no silent
     truncation — the sign matrix is generated at the actual dimension)."""
     rows = [_plane_signs(p, dim) for p in range(n_planes)]
+    if isinstance(vec, str):
+        proj = centroid_dots(vec, rows)
+        col = F.col(vec)
+        return F.when(F.size(col) == dim, proj)
     by_dim = F.array(
         *[F.lit([rows[p][i] for p in range(n_planes)]) for i in range(dim)]
     )
@@ -135,13 +144,24 @@ def hyperplane_projections(vec: Column, n_planes: int, dim: int) -> Column:
     return F.when(F.size(vec) == dim, proj)
 
 
-def band_keys(proj: Column, bands: int, rows_per_band: int) -> Column:
+def band_keys(proj: Column | str, bands: int, rows_per_band: int) -> Column:
     """array<long> of per-band bucket keys from a projections array.
 
     Banded OR-construction: two vectors are candidates when ANY band's
     rows_per_band sign bits all agree — recall 1-(1-p^r)^b for per-plane
     agreement p = 1 - θ/π. More rows_per_band → more buckets (2^r per band,
-    so the bucket count scales with the corpus); more bands → higher recall."""
+    so the bucket count scales with the corpus); more bands → higher recall.
+    A string `proj` emits the whole key array as one SQL expression (one
+    py4j round-trip instead of bands × rows_per_band)."""
+    if isinstance(proj, str):
+        parts = []
+        for b in range(bands):
+            bits = " + ".join(
+                f"CAST(element_at({proj}, {b * rows_per_band + j + 1}) > 0 AS BIGINT) * {1 << j}"
+                for j in range(rows_per_band)
+            )
+            parts.append(f"({bits})")
+        return F.expr("array(" + ",".join(parts) + ")")
     keys = []
     for b in range(bands):
         bits: Column | None = None
@@ -152,14 +172,31 @@ def band_keys(proj: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
-def _banded(df: DataFrame, id_out: str, vec: Column, bands: int, rows_per_band: int, dim: int) -> DataFrame:
-    """(id_out, band, key) — one row per (vector, band)."""
-    proj = df.withColumn("__proj", hyperplane_projections(vec, bands * rows_per_band, dim))
+def _banded(
+    df: DataFrame,
+    id_out: str,
+    vec_name: str,
+    bands: int,
+    rows_per_band: int,
+    dim: int,
+    *,
+    spread: int | None = None,
+) -> DataFrame:
+    """(id_out, band, key) — one row per (vector, band).
+
+    `spread` repartitions BEFORE the projection: the per-vector fold is
+    CPU-heavy interpreted work, and a small input (one parquet split) would
+    otherwise run it on one core. At production scale file splits provide the
+    parallelism and `spread` should stay None — the repartition would shuffle
+    the whole corpus."""
+    if spread:
+        df = df.repartition(spread)
+    proj = df.withColumn("__proj", hyperplane_projections(vec_name, bands * rows_per_band, dim))
     return (
         proj.filter(F.col("__proj").isNotNull())
         .select(
             id_out,
-            F.posexplode(band_keys(F.col("__proj"), bands, rows_per_band)).alias("band", "key"),
+            F.posexplode(band_keys("__proj", bands, rows_per_band)).alias("band", "key"),
         )
     )
 
@@ -176,6 +213,7 @@ def ann_topk(
     bands: int = 4,
     rows_per_band: int = 6,
     dim: int | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: banded hyperplane LSH candidates, exact cosine rank.
 
@@ -189,11 +227,11 @@ def ann_topk(
         dim = infer_dim(corpus, vec_col)
     c_keys = _banded(
         corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__v")),
-        "__cid", F.col("__v"), bands, rows_per_band, dim,
+        "__cid", "__v", bands, rows_per_band, dim, spread=spread,
     )
     q_keys = _banded(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__v")),
-        "__qid", F.col("__v"), bands, rows_per_band, dim,
+        "__qid", "__v", bands, rows_per_band, dim,
     )
     cand = (
         c_keys.join(F.broadcast(q_keys), ["band", "key"])
@@ -232,6 +270,7 @@ def cosine_near_dup_pairs(
     rows_per_band: int = 8,
     dim: int | None = None,
     dot_method: str = "jvm",
+    spread: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
 
@@ -245,7 +284,12 @@ def cosine_near_dup_pairs(
     if dim is None:
         dim = infer_dim(emb, vec_col)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    keyed = _banded(base, "id", F.col("vec"), bands, rows_per_band, dim)
+    if spread:
+        # small-input parallelism: the projection/norm folds are CPU-heavy
+        # interpreted work; one parquet split would pin them to one core. At
+        # production scale file splits already parallelize — leave None.
+        base = base.repartition(spread)
+    keyed = _banded(base, "id", "vec", bands, rows_per_band, dim)
     a = keyed.select(F.col("id").alias("id_a"), "band", "key")
     b = keyed.select(F.col("id").alias("id_b"), "band", "key")
     cand = (

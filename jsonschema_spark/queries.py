@@ -1406,7 +1406,10 @@ def ann_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ann_topk(emb, queries, k=5, bands=4, rows_per_band=6)
+    out = ann_topk(
+        emb, queries, k=5, bands=4, rows_per_band=6,
+        spread=spark.sparkContext.defaultParallelism,
+    )
     return out.select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1929,11 +1932,17 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
-    unit = emb.select(
+    # norm staged in its own projection — an inlined _norm inside the
+    # per-element lambda re-folds the array per element (O(d^2)/vector)
+    unit = emb.withColumn("__n", _norm(F.col("vec"))).select(
         "id",
-        F.transform("vec", lambda x: x / _norm(F.col("vec"))).alias("u"),
+        F.transform("vec", lambda x: x / F.col("__n")).alias("u"),
     )
-    a = unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+    # spread one side so the cartesian product gets parallelism x 1 tasks —
+    # a single parquet split would run every interpreted pair-dot on 1 core
+    a = unit.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("id").alias("id_a"), F.col("u").alias("u_a")
+    )
     b = unit.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("u_a"), F.col("u_b"))
@@ -1966,7 +1975,8 @@ def cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the operator's defaults prune aggressively). 8 bands × 4 bits ⇒
     # recall ≈ 1-(1-(2/3)^4)^8 ≈ 0.83 with ~6% of pairs admitted.
     return cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.5, bands=8, rows_per_band=4
+        emb, "vec_id", "embedding", threshold=0.5, bands=8, rows_per_band=4,
+        spread=spark.sparkContext.defaultParallelism,
     )
 
 

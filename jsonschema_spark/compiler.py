@@ -51,10 +51,48 @@ def _walk_patterns(schema: Any, path: str, problems: list[str]) -> None:
             _walk_patterns(v, f"{path}/{i}", problems)
 
 
+# keywords the engine recognizes but never evaluates (typed annotation
+# fields in the reference's Schema struct — NOT Extra; schema.go)
+_ANNOTATION_KEYWORDS = frozenset(
+    """title description default examples deprecated readOnly writeOnly
+    $comment $schema""".split()
+)
+
+
+def collect_extra(schema: Any, pointer: str = "") -> dict[str, dict[str, Any]]:
+    """JSON-pointer → {keyword: value} of UNKNOWN keywords per subschema
+    (reference: schema.go Extra + compiler.go SetPreserveExtra — the
+    reference binds schemas to a typed struct and parks unbound members in
+    Extra; here schemas stay dicts, so "preserving" means surfacing them
+    for tooling: extension vocabularies, x- keywords, OpenAPI extras)."""
+    if not isinstance(schema, dict):
+        return {}
+    known = dialects._EVALUATED_2020 | _ANNOTATION_KEYWORDS | {"definitions"}
+    out: dict[str, dict[str, Any]] = {}
+    extra = {k: v for k, v in schema.items() if k not in known}
+    if extra:
+        out[pointer or ""] = extra
+    for kw, sub in schema.items():
+        esc = kw.replace("~", "~0").replace("/", "~1")
+        if kw in dialects._SINGLE:
+            out.update(collect_extra(sub, f"{pointer}/{esc}"))
+        elif kw in dialects._MAP and isinstance(sub, dict):
+            for name, s in sub.items():
+                n = name.replace("~", "~0").replace("/", "~1")
+                out.update(collect_extra(s, f"{pointer}/{esc}/{n}"))
+        elif kw in dialects._LIST and isinstance(sub, list):
+            for i, s in enumerate(sub):
+                out.update(collect_extra(s, f"{pointer}/{esc}/{i}"))
+    return out
+
+
 class CompiledSchema:
-    def __init__(self, evaluator: Evaluator, uri: str):
+    def __init__(self, evaluator: Evaluator, uri: str, extra: dict | None = None):
         self._evaluator = evaluator
         self.uri = uri
+        #: unknown-keyword map (pointer -> {keyword: value}); populated only
+        #: under Compiler.set_preserve_extra(True), else {}
+        self.extra: dict[str, dict[str, Any]] = extra or {}
 
     @property
     def schema(self) -> Any:
@@ -85,6 +123,7 @@ class Compiler:
         self._loader = default_loader(fallback=loader)
         self._assert_format = False
         self._assert_content = False
+        self._preserve_extra = False
         self._decoders = default_decoders()
         self._media_types = default_media_types()
         self._default_dialect = dialects.DRAFT_2020_12
@@ -98,6 +137,15 @@ class Compiler:
         """Evaluate contentEncoding/contentMediaType/contentSchema as
         assertions (reference: content.go; 2020-12 default is annotation)."""
         self._assert_content = enabled
+        return self
+
+    def set_preserve_extra(self, enabled: bool) -> "Compiler":
+        """Surface unknown keywords on CompiledSchema.extra (reference:
+        compiler.go SetPreserveExtra). Off by default, matching strict spec
+        behavior — unknown keywords are ignored for validation either way
+        (schemas here stay plain dicts, so nothing is ever stripped from
+        `.schema`; this only controls whether `.extra` is populated)."""
+        self._preserve_extra = enabled
         return self
 
     def register_decoder(self, encoding: str, fn: Callable[[str], bytes]) -> "Compiler":
@@ -177,7 +225,8 @@ class Compiler:
             decoders=self._decoders,
             media_types=self._media_types,
         )
-        return CompiledSchema(evaluator, root_uri)
+        extra = collect_extra(schema) if self._preserve_extra else None
+        return CompiledSchema(evaluator, root_uri, extra)
 
     def validate_schema(self, schema: Any) -> EvaluationResult:
         """Validate a schema DOCUMENT against its metaschema (reference:

@@ -92,6 +92,14 @@ def build_session(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # SF-scale file-split tuning: the sf0.1 tables are single sub-MB
+        # parquet files, so the default 128MB/4MB split sizing scans each
+        # table in ONE task and every CPU-heavy narrow projection (minhash,
+        # shingles, hyperplane folds) runs on one core. At production scale
+        # the inputs arrive in thousands of >=128MB files and these two
+        # knobs should stay at their defaults.
+        .config("spark.sql.files.maxPartitionBytes", "262144")
+        .config("spark.sql.files.openCostInBytes", "65536")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -229,7 +229,7 @@ def simhash(
     # (zip_with over per-token bit signs) instead of 64 independent
     # aggregates, each of which would re-tokenize and re-hash the text
     hashed = F.transform(toks, lambda t: hash_fn(t))
-    zero = F.array(*[F.lit(0) for _ in range(bits)])
+    zero = F.expr(f"array_repeat(0, {bits})")
     votes = F.aggregate(
         hashed,
         zero,
@@ -242,18 +242,18 @@ def simhash(
             lambda a, b: a + b,
         ),
     )
-    bit_cols = []
-    for i in range(bits):
-        if i < 63:
-            bit_cols.append(
-                F.when(votes[i] > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-            )
-        else:
-            bit_cols.append(F.when(votes[i] > 0, F.lit(-(2**63))).otherwise(F.lit(0).cast("bigint")))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return df.select(F.col(id_col).alias("id"), total.alias("simhash"))
+    # stage the vote vector ONCE, then reconstruct the bits in one SQL
+    # expression: referencing the fold per bit would lean on runtime
+    # subexpression reuse, and building 64 Columns costs ~300 py4j
+    # round-trips of driver time per construction
+    votes_df = df.select(F.col(id_col).alias("id"), votes.alias("__votes"))
+    terms = " + ".join(
+        f"(CASE WHEN element_at(__votes, {i + 1}) > 0 "
+        f"THEN CAST({2**i if i < 63 else -(2**63)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return votes_df.select("id", F.expr(terms).alias("simhash"))
 
 
 def simhash_near_pairs(sim_df: DataFrame, *, band_bits: int = 16, max_hamming: int = 3) -> DataFrame:

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""spark-submit target: timed corpus-ops job for the scaling evidence
+(VERDICT r3 #8 — the two-level run must include the round-3 heavy
+operators, not just the validation pipeline).
+
+Composition timed as ONE job (the operators a training-data pipeline chains):
+  1. dedup_corpus  — exact pass + MinHash/LSH near-dup clusters over a
+     dup-heavy corpus (documents table replicated REP_DOCS x with re-keyed
+     ids; replicas are byte-identical, which is the realistic shape — the
+     exact pass must absorb the mass before LSH);
+  2. quality filter + language allowlist + deterministic hash split over the
+     retained rows (the curate_corpus composition);
+  3. semantic_dedup — cell-bounded within-cell cosine pairs over the
+     embeddings table replicated REP_EMB x (n_cells grown with the corpus,
+     the operator's documented scaling contract).
+
+Prints ONE JSON line: {"label", "docs", "vectors", "elapsed_sec",
+"docs_per_sec"}. Execution forced with the noop sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# spark-submit ships jsonschema_spark via --py-files; for a bare `python`
+# invocation fall back to the repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def replicate(df, id_col: str, k: int, vary_text: bool = False):
+    """k deterministic re-keyed copies: id' = id * k + rep.
+
+    vary_text=True rotates each replica's word order by the replica index
+    (deterministic, no RNG): replicas stay ~near-duplicates of each other
+    (same shingle multiset shifted at the seam) but are no longer
+    byte-identical, so the exact pass can't absorb them and the MinHash/LSH
+    machinery does real per-doc work — the compute-dominated shape the
+    scaling evidence needs."""
+    rep = df.select("*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__rep"))
+    rep = rep.withColumn(id_col, F.col(id_col) * k + F.col("__rep"))
+    if vary_text:
+        words = F.split(F.col("text"), " ")
+        n = F.size(words)
+        shift = F.pmod(F.col("__rep"), F.greatest(n, F.lit(1)))
+        rotated = F.concat(F.slice(words, shift + 1, n - shift), F.slice(words, 1, shift))
+        rep = rep.withColumn("text", F.array_join(rotated, " "))
+    return rep.drop("__rep")
+
+
+def run_once(spark, sf_dir: str, rep_docs: int, rep_emb: int, n_cells: int) -> tuple[int, int]:
+    from jsonschema_spark.operators.dedup import dedup_corpus
+    from jsonschema_spark.operators.sampling import hash_split
+    from jsonschema_spark.operators.semdedup import semantic_dedup
+    from jsonschema_spark.operators.text import quality_features
+
+    # replicas of a single parquet split land in ONE partition — spread them
+    # (at production scale the input arrives in thousands of file splits; the
+    # repartition stands in for that, it is not part of the timed operators'
+    # own plans)
+    par = spark.sparkContext.defaultParallelism
+    docs = replicate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", rep_docs, vary_text=True
+    ).repartition(par)
+    emb = replicate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id", rep_emb
+    ).repartition(par)
+
+    kept = dedup_corpus(docs, "doc_id", "text")
+    q = quality_features(kept, "doc_id", "text")
+    good_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2)).select(
+        F.col("id").alias("doc_id")
+    )
+    good = kept.join(good_ids, "doc_id", "left_semi").filter(
+        F.col("lang").isin("en", "de", "fr", "es")
+    )
+    _force(hash_split(good, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}))
+    _force(semantic_dedup(emb, threshold=0.95, n_cells=n_cells))
+    return rep_docs, rep_emb
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--rep-docs", type=int, default=100)
+    ap.add_argument("--rep-emb", type=int, default=10)
+    ap.add_argument("--n-cells", type=int, default=128)
+    ap.add_argument("--label", default="")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count() * args.rep_docs
+    n_vec = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").count() * args.rep_emb
+
+    # JIT/codegen warm-up at 1/10 scale, then best-of-2 at full scale
+    run_once(spark, args.sf_dir, max(args.rep_docs // 10, 1), max(args.rep_emb // 5, 1),
+             max(args.n_cells // 4, 16))
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_once(spark, args.sf_dir, args.rep_docs, args.rep_emb, args.n_cells)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+
+    print(json.dumps({
+        "label": args.label,
+        "docs": n_docs,
+        "vectors": n_vec,
+        "elapsed_sec": round(best, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,10 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # sf* tables are single-row-group parquet — spread scans so narrow
+    # CPU-heavy projections use every core (see queries._t; unset at scale)
+    os.environ.setdefault("SPARK_GRAFT_SPREAD_SCANS", str(cpus))
+
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 

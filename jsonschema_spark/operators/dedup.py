@@ -401,21 +401,27 @@ def duplicate_clusters(
     try:
         for _ in range(max_iters):
             prop = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-                F.col("dst").alias("id"), "label"
+                F.col("dst").alias("id"), "label", F.lit(False).alias("__is_old")
             )
+            # convergence detection rides the SAME groupBy as the label
+            # update: the old label travels through the union tagged
+            # __is_old, so `changed` needs no second join+shuffle per round
+            # (labels are monotonically non-increasing, so changed ⇔
+            # new < old). The follow-up count reads the checkpointed rows
+            # with a limit-1 short-circuit — two jobs/round become one
+            # shuffle job plus a cheap scan.
             new_labels = (
-                prop.unionByName(labels)
+                prop.unionByName(labels.withColumn("__is_old", F.lit(True)))
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("__is_old"), F.col("label"))).alias("__old"),
+                )
+                .withColumn("__changed", F.col("label") < F.col("__old"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter("__changed").limit(1).count()
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 return labels.select("id", F.col("label").alias("cluster_id"))
         raise RuntimeError(

@@ -259,7 +259,9 @@ def kw_numeric_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_tax": {"minimum": 0.01},
         }
     }
-    return _violations(_t(spark, sf_dir, "lineitem"), schema, ["l_orderkey", "l_linenumber"])
+    return _violations(
+        _t(spark, sf_dir, "lineitem", hot=True), schema, ["l_orderkey", "l_linenumber"]
+    )
 
 
 ORACLE_NUMERIC_LINEITEM = """

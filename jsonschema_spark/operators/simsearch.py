@@ -157,7 +157,7 @@ def band_keys(proj: Column | str, bands: int, rows_per_band: int) -> Column:
         parts = []
         for b in range(bands):
             bits = " + ".join(
-                f"CAST(element_at({proj}, {b * rows_per_band + j + 1}) > 0 AS BIGINT) * {1 << j}"
+                f"CAST(element_at(`{proj}`, {b * rows_per_band + j + 1}) > 0 AS BIGINT) * {1 << j}"
                 for j in range(rows_per_band)
             )
             parts.append(f"({bits})")
@@ -365,7 +365,7 @@ def centroid_dots(vec: Column | str, centroids: list[list[float]]) -> Column:
         # SQL-text form is a single round-trip. repr(float) is the shortest
         # round-tripping decimal and Double.parseDouble rounds it back to the
         # identical IEEE-754 value, so results stay bitwise unchanged.
-        dots = ",".join(_dot_sql(vec, c) for c in centroids)
+        dots = ",".join(_dot_sql(f"`{vec}`", c) for c in centroids)
         return F.expr(f"array({dots})")
     if n <= 64:
         return F.array(*[_dot(vec, F.lit(c)) for c in centroids])

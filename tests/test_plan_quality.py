@@ -144,6 +144,18 @@ def test_span_mismatch_join_exchanges_digests_not_arrays(spark):
     assert "xxhash64" in p, "digest comparison missing from the plan"
 
 
+def test_lsh_verify_broadcasts_vectors(spark):
+    """Embedding near-dup: candidate pairs carry bare ids through the only
+    pair exchange; the unit-vector re-attach joins must broadcast the vector
+    relation (pairs ⋈ payload via hash lookup) — a sort-merge there would
+    shuffle vector payloads per pair."""
+    from jsonschema_spark.queries import cosine_near_dup_lsh
+
+    p = _plan(cosine_near_dup_lsh(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in p, "vector re-attach must not shuffle payloads"
+    assert p.count("BroadcastHashJoin") >= 3  # band-bucket join + 2 re-attach joins
+
+
 def test_perplexity_model_join_broadcasts(spark):
     """LM scoring: the vocabulary join must broadcast and the per-doc agg
     must combine map-side."""

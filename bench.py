@@ -152,14 +152,38 @@ def flagship_throughput(spark, n_docs: int) -> tuple[float, float]:
     from jsonschema_spark.plans.columns import validate_dataframe
     from jsonschema_spark.synth import DOCS_SCHEMA
 
-    warm_path = ensure_synth_docs(spark, max(n_docs // 10, 1000))
+    warm_n = max(n_docs // 10, 1000)
+    warm_path = ensure_synth_docs(spark, warm_n)
     warm_df = spark.read.parquet(warm_path)
+    warm_times = []
     for _ in range(6):
+        t0 = time.perf_counter()
         _force(validate_dataframe(warm_df, DOCS_SCHEMA))
+        warm_times.append(time.perf_counter() - t0)
 
     path = ensure_synth_docs(spark, n_docs)
     df = spark.read.parquet(path)
-    best = _time_best(lambda: _force(validate_dataframe(df, DOCS_SCHEMA)), max_reps=6)
+    run = lambda: _force(validate_dataframe(df, DOCS_SCHEMA))
+
+    # Noise guard: this box has multi-second noisy-neighbor windows during
+    # which EVERY rep of a 3s job runs 7-12s — long enough that best-of-6
+    # with the usual two-fastest-agree stop freezes a 2-3x-inflated number
+    # into the round's BENCH file. The warm-up reps give an independent
+    # estimate of the quiet-box rate on the SAME plan (1/10 the rows), so
+    # keep sampling until the best full-size rep is consistent with it
+    # (<= 1.6x the extrapolated time, slack for per-job fixed overhead)
+    # or a hard rep cap is hit; then take the min as usual.
+    expected = min(warm_times) * (n_docs / warm_n)
+    times = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= 3 and min(times) <= expected * 1.6:
+            fast = sorted(times)[:2]
+            if fast[1] <= fast[0] * 1.2:
+                break
+    best = min(times)
     return best, n_docs / best
 
 

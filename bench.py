@@ -47,6 +47,9 @@ HEADLINE = [
     "cardinality_orders",
     "ks_click_vs_view",
     "psi_lang_src",
+    "chi2_event_type_drift",
+    "js_lang_docs",
+    "wasserstein_value_events",
     "dedup_exact_text_docs",
     "ngram_jaccard_docs",
     "minhash_signatures_docs",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi"]
+__all__ = ["ks_statistic", "psi", "chi2_statistic", "js_divergence", "wasserstein_1"]
 
 _EPS = 1e-6
 
@@ -97,4 +97,157 @@ def psi(
         )
         .select(((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("term"))
         .agg(F.sum("term").alias("psi"))
+    )
+
+
+def _freqs(
+    df: DataFrame, category_col: str, group_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Per-category counts for the two groups — ONE map-side-combining
+    groupBy; everything downstream operates on the tiny aggregated relation."""
+    return (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(category_col).alias("cat"), F.col(group_col).alias("g"))
+        .groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+
+
+def chi2_statistic(
+    df: DataFrame,
+    category_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One row: (chi2:double, dof:long). Two-sample chi-square test of
+    homogeneity over a categorical column (reference check family:
+    kind-frequency drift, SURVEY §2.7) — complements PSI with a statistic
+    whose null distribution is known, so a pipeline can alert on a p-value
+    threshold instead of a rule-of-thumb PSI cut.
+
+    chi2 = Σ_cells (observed − expected)² / expected over the 2×C table,
+    expected_cell = row_total · col_total / N; dof = C − 1. Same shape as
+    :func:`psi`: one partial-agg groupBy to a C-row relation, broadcast
+    totals, scalar out — no scale hazard at any corpus size."""
+    freqs = _freqs(df, category_col, group_col, group_a, group_b)
+    totals = freqs.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    cells = freqs.crossJoin(F.broadcast(totals)).select(
+        (F.col("ca") + F.col("cb")).alias("rt"),
+        (F.col("na") + F.col("nb")).alias("n"),
+        "ca",
+        "cb",
+        "na",
+        "nb",
+    )
+    term = (
+        F.pow(F.col("ca") - F.col("rt") * F.col("na") / F.col("n"), 2)
+        / (F.col("rt") * F.col("na") / F.col("n"))
+        + F.pow(F.col("cb") - F.col("rt") * F.col("nb") / F.col("n"), 2)
+        / (F.col("rt") * F.col("nb") / F.col("n"))
+    )
+    return cells.agg(
+        F.sum(term).alias("chi2"), (F.count(F.lit(1)) - F.lit(1)).alias("dof")
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    category_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """One row: (js:double). Jensen–Shannon divergence (natural log, so the
+    bound is ln 2) between the two groups' categorical distributions.
+
+    Symmetric and bounded where KL/PSI are unbounded under disjoint support,
+    so it is the robust choice for alerting on kind-frequency drift between
+    snapshots that may introduce brand-new categories. Epsilon-clipped like
+    :func:`psi`; same single-groupBy plan."""
+    freqs = _freqs(df, category_col, group_col, group_a, group_b)
+    totals = freqs.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    pq = freqs.crossJoin(F.broadcast(totals)).select(
+        F.greatest(F.col("ca") / F.col("na"), F.lit(_EPS)).alias("p"),
+        F.greatest(F.col("cb") / F.col("nb"), F.lit(_EPS)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(
+        F.col("q") / m
+    )
+    return pq.agg(F.sum(term).alias("js"))
+
+
+def wasserstein_1(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One row: (w1:double). Bucketed 1-Wasserstein (earth-mover's) distance
+    between two numeric distributions: W1 = ∫|CDF_a − CDF_b| ≈
+    Σ_buckets |ΔECDF| · bucket_width.
+
+    Where KS reports only the WORST CDF gap, W1 integrates the gap in the
+    value's own units ("the span-length distribution moved by ~3 tokens on
+    average") — the number a data-quality gate can threshold meaningfully.
+    Same scale posture as the bucketed :func:`ks_statistic`: the windowed
+    cumulative runs over an n_buckets-row aggregate, never the data."""
+    d = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .select(F.col(value_col).cast("double").alias("v"), F.col(group_col).alias("g"))
+        .filter(F.col("v").isNotNull())
+    )
+    bounds = d.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / n_buckets
+    bucketed = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("lo")) / (width + 1e-300)),
+            )
+            .cast("double")
+            .alias("v"),
+            "g",
+            width.alias("w"),
+        )
+    )
+    per_value = bucketed.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == group_b, 1).otherwise(0)).alias("cb"),
+        F.first("w").alias("w"),
+    )
+    # The ECDF relation holds OCCUPIED buckets only; the CDF gap is constant
+    # across the empty stretch that follows each one, so each step must be
+    # weighted by its run length (lead(v) − v buckets), not by one bucket —
+    # otherwise sparse distributions (integer-valued columns, heavy tails)
+    # lose most of the integral. KS is immune (max over a constant stretch);
+    # W1 is exactly the kind of statistic this silently corrupts. After the
+    # last occupied bucket both CDFs are 1, so it contributes nothing.
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nxt = Window.orderBy("v")
+    ecdf = per_value.select(
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+        (F.coalesce(F.lead("v").over(nxt), F.col("v")) - F.col("v")).alias("run"),
+        "w",
+    )
+    totals = per_value.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    return (
+        ecdf.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.abs(F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb"))
+                * F.col("run")
+                * F.col("w")
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("w1"))
     )

@@ -799,6 +799,103 @@ SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM (
 """
 
 
+def chi2_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test on the event_type (kind) frequency table
+    between two user cohorts — the kind-frequency drift check with a known
+    null distribution (alert on p-value instead of a PSI rule of thumb)."""
+    from jsonschema_spark.operators.drift import chi2_statistic
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "grp", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = chi2_statistic(e, "event_type", "grp", "a", "b")
+    return out.select(F.round("chi2", 6).alias("chi2"), "dof")
+
+
+ORACLE_CHI2 = """
+WITH base AS (
+  SELECT event_type AS cat,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+  FROM events),
+freqs AS (
+  SELECT cat, sum(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM freqs)
+SELECT round(sum(
+         pow(ca - (ca + cb) * na / (na + nb), 2) / ((ca + cb) * na / (na + nb))
+       + pow(cb - (ca + cb) * nb / (na + nb), 2) / ((ca + cb) * nb / (na + nb))
+       ), 6) AS chi2,
+       count(*) - 1 AS dof
+FROM freqs, tot
+"""
+
+
+def js_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of the language distribution between the
+    same source cohorts as `psi_lang_src` — symmetric and bounded (ln 2)
+    where PSI blows up under disjoint support (brand-new categories)."""
+    from jsonschema_spark.operators.drift import js_divergence
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.when(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a").otherwise("b"),
+    )
+    return js_divergence(d, "lang", "grp", "a", "b").select(F.round("js", 9).alias("js"))
+
+
+ORACLE_JS = """
+WITH base AS (
+  SELECT lang AS cat,
+         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 10 THEN 'a' ELSE 'b' END AS g
+  FROM documents),
+freqs AS (
+  SELECT cat, sum(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM freqs)
+SELECT round(sum(0.5 * p * ln(p / ((p + q) / 2)) + 0.5 * q * ln(q / ((p + q) / 2))), 9) AS js
+FROM (SELECT greatest(ca / na, 1e-6) AS p, greatest(cb / nb, 1e-6) AS q FROM freqs, tot)
+"""
+
+
+def wasserstein_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed 1-Wasserstein distance between click and view value
+    distributions — integrates the CDF gap in the value's own units where
+    KS reports only the worst single gap."""
+    from jsonschema_spark.operators.drift import wasserstein_1
+
+    e = _t(spark, sf_dir, "events")
+    out = wasserstein_1(e, "value", "event_type", "click", "view")
+    return out.select(F.round("w1", 6).alias("w1"))
+
+
+ORACLE_W1 = """
+WITH d AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+  FROM events WHERE event_type IN ('click','view') AND value IS NOT NULL),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+bucketed AS (
+  SELECT least(1023, floor((v - lo) / ((hi - lo) / 1024 + 1e-300))) AS v, g,
+         (hi - lo) / 1024 AS w
+  FROM d, bounds),
+per_value AS (
+  SELECT v,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb,
+         first(w) AS w
+  FROM bucketed GROUP BY 1),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         coalesce(lead(v) OVER (ORDER BY v), v) - v AS run,
+         w
+  FROM per_value),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_value)
+SELECT round(sum(abs(cum_a / na - cum_b / nb) * run * w), 6) AS w1 FROM ecdf, tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: dedup / simsearch / text analysis
 # --------------------------------------------------------------------------
@@ -1821,6 +1918,9 @@ def all_queries():
         "cardinality_orders": cardinality_orders,
         "ks_click_vs_view": ks_click_vs_view,
         "psi_lang_src": psi_lang_src,
+        "chi2_event_type_drift": chi2_event_type_drift,
+        "js_lang_docs": js_lang_docs,
+        "wasserstein_value_events": wasserstein_value_events,
         "dedup_exact_events": dedup_exact_events,
         "dedup_exact_text_docs": dedup_exact_text_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1886,6 +1986,9 @@ def all_oracles():
         "cardinality_orders": ORACLE_CARDINALITY,
         "ks_click_vs_view": ORACLE_KS,
         "psi_lang_src": ORACLE_PSI,
+        "chi2_event_type_drift": ORACLE_CHI2,
+        "js_lang_docs": ORACLE_JS,
+        "wasserstein_value_events": ORACLE_W1,
         "dedup_exact_events": ORACLE_DEDUP_EXACT,
         "dedup_exact_text_docs": ORACLE_DEDUP_TEXT,
         "ngram_jaccard_docs": ORACLE_NGRAM_JACCARD,

@@ -1,0 +1,67 @@
+"""Known-answer tests for the chi-square / Jensen–Shannon / Wasserstein-1
+drift checks (operators/drift.py): identical distributions score ~0, the
+statistics match hand-computed values on tiny tables, and JS respects its
+ln(2) bound under disjoint support (the case where PSI explodes)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonschema_spark.operators.drift import chi2_statistic, js_divergence, wasserstein_1
+
+
+def _cat_df(spark, rows):
+    return spark.createDataFrame(rows, "cat string, g string")
+
+
+def test_chi2_identical_distributions_is_zero(spark):
+    rows = [("x", "a")] * 10 + [("y", "a")] * 5 + [("x", "b")] * 10 + [("y", "b")] * 5
+    out = chi2_statistic(_cat_df(spark, rows), "cat", "g", "a", "b").collect()[0]
+    assert out["chi2"] == pytest.approx(0.0, abs=1e-12)
+    assert out["dof"] == 1
+
+
+def test_chi2_hand_computed_on_spark(spark):
+    # 2x2 table: a=(30 x, 10 y), b=(20 x, 20 y); N=80
+    # expected counts: ex_a=25, ey_a=15, ex_b=25, ey_b=15
+    # chi2 = 25/25 + 25/15 + 25/25 + 25/15 = 2 + 50/15
+    rows = (
+        [("x", "a")] * 30 + [("y", "a")] * 10 + [("x", "b")] * 20 + [("y", "b")] * 20
+    )
+    out = chi2_statistic(_cat_df(spark, rows), "cat", "g", "a", "b").collect()[0]
+    assert out["chi2"] == pytest.approx(2 + 50 / 15, rel=1e-12)
+    assert out["dof"] == 1
+
+
+def test_js_identical_is_zero_and_disjoint_hits_ln2_bound(spark):
+    same = [("x", "a")] * 7 + [("x", "b")] * 3
+    out = js_divergence(_cat_df(spark, same), "cat", "g", "a", "b").collect()[0]
+    assert out["js"] == pytest.approx(0.0, abs=1e-12)
+
+    disjoint = [("x", "a")] * 5 + [("y", "b")] * 5
+    out = js_divergence(_cat_df(spark, disjoint), "cat", "g", "a", "b").collect()[0]
+    # eps-clipping keeps it a hair under ln 2, never above
+    assert out["js"] == pytest.approx(math.log(2), rel=1e-3)
+    assert out["js"] <= math.log(2) + 1e-12
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    # b is a exactly +10: W1 of a pure shift is the shift (up to bucketing
+    # granularity: bucket width (110-1)/1024 ≈ 0.106, so tolerance ~2 widths)
+    rows = [(float(v), "a") for v in range(1, 101)] + [
+        (float(v + 10), "b") for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "value double, g string")
+    out = wasserstein_1(df, "value", "g", "a", "b").collect()[0]
+    assert out["w1"] == pytest.approx(10.0, abs=0.3)
+
+
+def test_wasserstein_identical_is_zero(spark):
+    rows = [(float(v % 17), "a") for v in range(100)] + [
+        (float(v % 17), "b") for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "value double, g string")
+    out = wasserstein_1(df, "value", "g", "a", "b").collect()[0]
+    assert out["w1"] == pytest.approx(0.0, abs=1e-12)

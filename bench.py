@@ -78,6 +78,7 @@ HEADLINE = [
     "defaults_fill_events",
     "cosine_near_dup_lsh",
     "ivf_topk_embeddings",
+    "kmeans_cells_embeddings",
     "semantic_dedup_embeddings",
 ]
 

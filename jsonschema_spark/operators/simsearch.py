@@ -23,6 +23,8 @@ __all__ = [
     "cosine_near_dup_pairs",
     "centroid_dots",
     "fit_centroids",
+    "fit_kmeans_centroids",
+    "kmeans_assign",
     "ivf_topk",
 ]
 
@@ -406,6 +408,118 @@ def fit_centroids(
         .collect()
     )
     return [(r["cent_id"], list(r["cent_vec"]), float(r["cent_norm"])) for r in rows]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append `out_col`: the id of the nearest centroid in squared Euclidean
+    distance, via argmin ||v−c||² == argmax (v·c − ½||c||²) — ties to the
+    lowest cell index. `centroids` is a fitted model ([(cell_id, vec, norm)]
+    from `fit_kmeans_centroids` / `fit_centroids`).
+
+    One narrow projection per row against compile-time literals: the same
+    no-crossJoin / no-window shape as the IVF cosine assignment, so it holds
+    at any corpus size."""
+    cents = [list(c[1]) for c in centroids]
+    ids = [c[0] for c in centroids]
+    half_sq = [0.5 * _py_dot(c, c) for c in cents]
+    affs = F.zip_with(
+        centroid_dots(vec_col, cents),
+        F.array(*[F.lit(h) for h in half_sq]),
+        lambda d, h: d - h,
+    )
+    cell = F.element_at(
+        F.array(*[F.lit(i) for i in ids]),
+        F.array_position(affs, F.array_max(affs)).cast("int"),
+    )
+    return df.withColumn(out_col, cell)
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side left fold in element order — the SAME IEEE-754 addition
+    sequence as `_dot` / `_dot_sql` / DuckDB's list_dot_product, so norms and
+    half-square-norms computed on the driver stay bitwise consistent with
+    the distributed expressions (oracle hash-parity depends on this)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def fit_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Distributed Lloyd's k-means: the PRODUCTION quantizer model for
+    IVF/SemDeDup cell assignment (`fit_centroids` is the deterministic
+    lowest-id placeholder; this is the "swap in k-means at production scale"
+    path its docstring promises). Returns the same model shape —
+    [(cell_idx, centroid_vec, norm)] — so `ivf_topk(..., centroids=...)` and
+    every other consumer take it unchanged.
+
+    Deterministic end to end: seeds are the n_cells lowest-id vectors, each
+    iteration assigns every vector to the nearest centroid in squared
+    Euclidean distance via the affinity identity
+    argmin ||v−c||² == argmax (v·c − ½||c||²), ties to the lowest cell index,
+    and empty cells keep their previous centroid (no RNG re-seeding — reruns
+    and resumes produce the identical model).
+
+    Scale shape (the part that must survive 10^12 rows): per iteration, ONE
+    narrow projection computes all n_cells affinities from a compile-time
+    centroid literal (`centroid_dots` — no crossJoin, no per-vector window)
+    and ONE map-side-combining groupBy reduces to n_cells rows of
+    (count, per-dimension sums); only those k·(dim+1) numbers reach the
+    driver. dim sum-aggregates ride a single shuffle of pre-combined
+    partials — the same plan MLlib's KMeans executes per step, without the
+    RDD detour. Iterations are driver-sequenced like any Lloyd's
+    implementation; n_iters is a small constant (loss is monotonically
+    non-increasing, plateaus fast on real corpora)."""
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    seed_rows = emb.orderBy(id_col).limit(n_cells).select(F.col(vec_col).alias("v")).collect()
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows; cannot seed {n_cells} cells"
+        )
+    cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seed_rows]
+    dim = len(cents[0])
+
+    base = emb.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iters):
+        assigned = kmeans_assign(
+            base, [(c, cents[c], 0.0) for c in range(n_cells)], vec_col="__v", out_col="__cell"
+        ).select("__cell", "__v")
+        stats = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cell = {r["__cell"]: r for r in stats}
+        new_cents = []
+        for c in range(n_cells):
+            r = by_cell.get(c)
+            if r is None:  # empty cell: keep the previous centroid
+                new_cents.append(cents[c])
+            else:
+                n = r["__n"]
+                new_cents.append([r[f"__s{i}"] / n for i in range(dim)])
+        cents = new_cents
+
+    import math
+
+    return [(c, cents[c], math.sqrt(_py_dot(cents[c], cents[c]))) for c in range(n_cells)]
 
 
 def ivf_topk(

@@ -1937,6 +1937,7 @@ def all_queries():
         "variant_nested_events": variant_nested_events,
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "kmeans_cells_embeddings": kmeans_cells_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
@@ -2005,6 +2006,7 @@ def all_oracles():
         "variant_nested_events": ORACLE_VARIANT_NESTED,
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
+        "kmeans_cells_embeddings": _oracle_kmeans(),
         "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "cosine_near_dup_lsh": _oracle_cosine_lsh(),
@@ -2142,6 +2144,74 @@ WHERE round(list_dot_product(ua.u, ub.u), 6) >= {threshold}
 # the model is a few KB of driver memory; re-fitting it on every query
 # construction would re-scan the corpus for a deterministic result.
 _CENTROID_MODELS: dict[tuple, list] = {}
+
+
+def kmeans_cells_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (4 cells, 2 iterations, lowest-id seeds,
+    empty cells keep their centroid) fit over the embeddings table, then the
+    corpus assigned with the final model: per-cell population + centroid
+    norm. This is the production quantizer behind IVF/SemDeDup cell
+    assignment — the oracle replays both Lloyd iterations as unrolled SQL."""
+    from jsonschema_spark.operators.simsearch import fit_kmeans_centroids, kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    key = ("kmeans", sf_dir, 4, 2)
+    if key not in _CENTROID_MODELS:
+        _CENTROID_MODELS[key] = fit_kmeans_centroids(emb, 4, n_iters=2)
+    model = _CENTROID_MODELS[key]
+    norm_lit = F.array(*[F.lit(n) for _, _, n in model])
+    return (
+        kmeans_assign(emb, model)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_vectors",
+            F.round(F.element_at(norm_lit, F.col("cell").cast("int") + 1), 6).alias(
+                "centroid_norm"
+            ),
+        )
+    )
+
+
+def _oracle_kmeans(n_cells: int = 4, dim: int = 64) -> str:
+    """Both Lloyd iterations unrolled in SQL: seeds = lowest-id vectors,
+    assignment = argmax(v·c − ½|c|²) with ties to the lowest cell
+    (row_number ordered aff DESC, cell ASC — the engine's array_position
+    tie-break), update = per-dimension mean with empty cells keeping the
+    previous centroid (LEFT JOIN + coalesce)."""
+    assign = (
+        "SELECT vec_id, cell FROM ("
+        "SELECT cv.vec_id, m.cell, "
+        "row_number() OVER (PARTITION BY cv.vec_id ORDER BY "
+        "list_dot_product(cv.v, m.c) - 0.5 * list_dot_product(m.c, m.c) DESC, m.cell ASC) AS rn "
+        "FROM corpus cv, {cents} m) WHERE rn = 1"
+    )
+    means = (
+        "SELECT p.cell, coalesce(u.c, p.c) AS c "
+        "FROM {prev} p LEFT JOIN ("
+        "SELECT cell, list(m ORDER BY i) AS c FROM ("
+        "SELECT a.cell, t.i, avg(list_extract(cv.v, t.i)) AS m "
+        "FROM {assigned} a JOIN corpus cv USING (vec_id), range(1, {dimp1}) t(i) "
+        "GROUP BY a.cell, t.i) GROUP BY cell) u USING (cell)"
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {n_cells})),
+a1 AS ({assign.format(cents='seeds')}),
+m1 AS ({means.format(prev='seeds', assigned='a1', dimp1=dim + 1)}),
+a2 AS ({assign.format(cents='m1')}),
+m2 AS ({means.format(prev='m1', assigned='a2', dimp1=dim + 1)}),
+final AS ({assign.format(cents='m2')})
+SELECT f.cell, count(*) AS n_vectors,
+       round(sqrt(list_dot_product(m.c, m.c)), 6) AS centroid_norm
+FROM final f JOIN m2 m USING (cell)
+GROUP BY f.cell, m.c
+"""
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

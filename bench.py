@@ -65,6 +65,7 @@ HEADLINE = [
     "clean_boilerplate_docs",
     "contamination_docs",
     "perplexity_docs",
+    "quality_model_docs",
     "redact_pii_docs",
     "domain_stats_docs",
     "pack_docs",

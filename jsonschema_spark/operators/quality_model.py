@@ -1,0 +1,121 @@
+"""Trainable model-based quality filter: a hashed bag-of-tokens Naive-Bayes
+log-odds classifier — the cheap fastText-style scorer LLM data pipelines run
+after heuristic filters (CCNet/GPT-3/LLaMA-style "quality classifier" stage,
+here as pure Spark aggregation with no ML-runtime dependency).
+
+Training IS one aggregation: per-bucket token counts in each class turn into
+log-odds weights w_b = ln((c⁺_b+α)/(T⁺+αV)) − ln((c⁻_b+α)/(T⁻+αV)); scoring
+is explode → broadcast-join weights → per-doc sum (+ class-prior bias) —
+the same proven plan shape as the CCNet perplexity scorer
+(`operators/lm_quality.py`): token rows of a doc never leave their input
+partition, so the per-doc sum is map-side complete except one exchanged row
+per doc, and the hashing trick bounds the broadcast model at n_buckets rows
+(2^18 × 16 B ≈ 4 MB) no matter how large the corpus vocabulary grows.
+
+Everything is engine-portable (md5-derived bucket hash, integer-count ratios
+under ln) so a DuckDB oracle recomputes scores exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.dedup import tokens
+
+__all__ = ["hashed_token_buckets", "fit_nb_quality_model", "score_quality_model"]
+
+
+def hashed_token_buckets(col: Column, n_buckets: int) -> Column:
+    """array<long> of hashed-feature buckets for each token: first 15 hex
+    chars of md5 as a 60-bit non-negative integer, mod n_buckets (DuckDB:
+    ``CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % n_buckets``)."""
+    return F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+
+
+def fit_nb_quality_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    n_buckets: int = 1 << 18,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the classifier from boolean weak labels (`label_col`: true ⇒
+    positive/high-quality — e.g. "is English Wikipedia-like", "passed the
+    heuristic gates"). Returns (weights, consts), both lazy DataFrames:
+
+    - weights: (bucket:long, weight:double) — one row per SEEN bucket,
+      ≤ n_buckets rows by construction (the broadcastable model);
+    - consts: ONE row (bias:double, w_default:double) — the class-prior
+      log-odds and the weight of a never-seen bucket.
+
+    Plan: one explode + map-side-combining groupBy(bucket) for the counts
+    (V-row result), one tiny agg for totals, one row-count agg for the
+    prior. No iteration, no driver-side state beyond Spark's own agg."""
+    ev = df.select(
+        F.col(label_col).cast("boolean").alias("pos"),
+        F.explode(hashed_token_buckets(F.col(text_col), n_buckets)).alias("b"),
+    )
+    cnt = ev.groupBy("b").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("cn"),
+    )
+    tot = cnt.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
+    v = F.lit(float(n_buckets))
+    a = F.lit(float(alpha))
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("b").alias("bucket"),
+        (
+            F.log((F.col("cp") + a) / (F.col("tp") + a * v))
+            - F.log((F.col("cn") + a) / (F.col("tn") + a * v))
+        ).alias("weight"),
+    )
+    prior = df.agg(
+        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col(label_col).cast("boolean"), 1).otherwise(0)).alias("nn"),
+    )
+    consts = prior.crossJoin(F.broadcast(tot)).select(
+        F.log(F.col("np").cast("double") / F.col("nn")).alias("bias"),
+        (
+            F.log(a / (F.col("tp") + a * v)) - F.log(a / (F.col("tn") + a * v))
+        ).alias("w_default"),
+    )
+    return weights, consts
+
+
+def score_quality_model(
+    df: DataFrame,
+    weights: DataFrame,
+    consts: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 1 << 18,
+) -> DataFrame:
+    """(id, score): score = bias + Σ_tokens weight[bucket(token)], with
+    never-seen buckets contributing w_default. P(high-quality | doc) =
+    sigmoid(score); filter on score > τ (τ=0 ⇔ posterior 0.5).
+
+    Scale shape: explode keeps a doc's token rows in their input partition,
+    the weights join is an explicit broadcast (model ≤ n_buckets rows), and
+    the groupBy(id) sum exchanges one pre-combined row per doc."""
+    ev = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_token_buckets(F.col(text_col), n_buckets)).alias("b"),
+    )
+    joined = ev.join(
+        F.broadcast(weights), ev["b"] == weights["bucket"], "left"
+    ).crossJoin(F.broadcast(consts))
+    return (
+        joined.select(
+            "id", "bias", F.coalesce(F.col("weight"), F.col("w_default")).alias("w")
+        )
+        .groupBy("id")
+        .agg((F.first("bias") + F.sum("w")).alias("score"))
+    )

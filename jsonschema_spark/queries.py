@@ -577,6 +577,54 @@ FROM t LEFT JOIN s USING (id)
 """
 
 
+def quality_model_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style model-based quality filter: a hashed bag-of-tokens
+    Naive-Bayes log-odds classifier trained from weak labels (lang='en' as
+    the high-quality proxy) in ONE aggregation pass, then every doc scored
+    by broadcast-joining the ≤2^18-row weight table — the post-heuristic
+    "quality classifier" stage of CCNet/GPT-3/LLaMA-style pipelines."""
+    from jsonschema_spark.operators.quality_model import (
+        fit_nb_quality_model,
+        score_quality_model,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("pos", F.col("lang") == "en")
+    weights, consts = fit_nb_quality_model(d, "doc_id", "text", "pos")
+    out = score_quality_model(d, weights, consts, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        (F.col("score") > 0).alias("pred_hq"),
+    )
+
+
+ORACLE_QUALITY_MODEL = """
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 262144 AS b
+  FROM (SELECT doc_id, pos, unnest(toks) AS tok FROM t)),
+cnt AS (
+  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+  FROM e GROUP BY 1),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+w AS (
+  SELECT b, ln((cp + 1.0) / (tp + 262144.0)) - ln((cn + 1.0) / (tn + 262144.0)) AS weight
+  FROM cnt, tot),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS bias
+  FROM t),
+scored AS (SELECT e.doc_id, sum(w.weight) AS s FROM e JOIN w USING (b) GROUP BY 1)
+SELECT doc_id, round(bias + s, 6) AS score, (bias + s) > 0 AS pred_hq
+FROM scored, prior
+"""
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal: docs with doc_id%5==0 act as the
     trusted reference corpus a smoothed unigram LM is fit on (top-4096
@@ -1912,6 +1960,7 @@ def all_queries():
         "contamination_docs": contamination_docs,
         "clean_boilerplate_docs": clean_boilerplate_docs,
         "perplexity_docs": perplexity_docs,
+        "quality_model_docs": quality_model_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -1981,6 +2030,7 @@ def all_oracles():
         "contamination_docs": ORACLE_CONTAMINATION,
         "clean_boilerplate_docs": ORACLE_CLEAN_BOILERPLATE,
         "perplexity_docs": ORACLE_PERPLEXITY,
+        "quality_model_docs": ORACLE_QUALITY_MODEL,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

@@ -173,3 +173,31 @@ def test_clean_boilerplate_stays_jvm(spark):
 
     p = _plan(clean_boilerplate_docs(spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_model_scoring_broadcasts_weights_no_python(spark):
+    """NB quality scorer: the weight-table join must broadcast (the hashing
+    trick bounds the model; a shuffle join here would re-exchange every
+    token row) and the whole train+score pipeline stays JVM-side."""
+    from jsonschema_spark.queries import quality_model_docs
+
+    p = _plan(quality_model_docs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "SortMergeJoin" not in p, "weights join must not sort-merge"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmeans_assignment_is_single_projection(spark):
+    """k-means cell assignment: compile-time centroid literals, no join, no
+    window, no Python — one narrow projection however many cells."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.simsearch import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    model = [(i, [0.01 * (i + j) for j in range(64)], 1.0) for i in range(8)]
+    p = _plan(kmeans_assign(emb, model))
+    assert "Join" not in p and "Exchange" not in p and "Window" not in p, p[:800]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

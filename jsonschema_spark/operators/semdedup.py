@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.simsearch import _dot, _norm, centroid_dots
 
-__all__ = ["semantic_dedup", "fit_unit_centroids"]
+__all__ = ["semantic_dedup", "fit_unit_centroids", "fit_spherical_kmeans_centroids"]
 
 
 def _unit(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -66,6 +66,71 @@ def fit_unit_centroids(
     and reuse across queries over the same corpus."""
     unit = _unit(emb, id_col, vec_col)
     return [(r["id"], list(r["u"])) for r in unit.orderBy("id").limit(n_cells).collect()]
+
+
+def fit_spherical_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    *,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Spherical k-means — the production quantizer for COSINE consumers
+    (`semantic_dedup`, or `ivf_topk` at scale): Lloyd's on the unit sphere,
+    where each update renormalizes the cell mean so centroids stay unit
+    vectors and argmax-dot assignment IS argmax-cosine. Returns the
+    `fit_unit_centroids` model shape [(cell_idx, unit_vec)], so
+    `semantic_dedup(..., centroids=...)` takes it unchanged.
+
+    Same scale plan as `simsearch.fit_kmeans_centroids` (one literal-fold
+    assignment projection + one map-side-combining groupBy to k·(dim+1)
+    numbers per iteration); on unit centroids the Euclidean affinity
+    v·c − ½‖c‖² reduces to v·c − ½, so `kmeans_assign` works verbatim and
+    ties break to the lowest cell exactly like the SQL-oracled assignment.
+    Deterministic: lowest-id unit-vector seeds; a cell that captures
+    nothing, or whose members sum to the zero vector, keeps its previous
+    centroid."""
+    import math
+
+    from jsonschema_spark.operators.simsearch import kmeans_assign
+
+    if n_cells < 1:
+        raise ValueError("n_cells must be >= 1")
+    unit = _unit(emb, id_col, vec_col)
+    seed_rows = unit.orderBy("id").limit(n_cells).collect()
+    if len(seed_rows) < n_cells:
+        raise ValueError(
+            f"corpus has only {len(seed_rows)} rows; cannot seed {n_cells} cells"
+        )
+    cents: list[list[float]] = [[float(x) for x in r["u"]] for r in seed_rows]
+    dim = len(cents[0])
+
+    base = unit.select(F.col("u").alias("__v"))
+    for _ in range(n_iters):
+        assigned = kmeans_assign(
+            base, [(c, cents[c], 0.0) for c in range(n_cells)], vec_col="__v", out_col="__cell"
+        ).select("__cell", "__v")
+        stats = (
+            assigned.groupBy("__cell")
+            .agg(*[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {r["__cell"]: r for r in stats}
+        new_cents = []
+        for c in range(n_cells):
+            r = by_cell.get(c)
+            if r is None:
+                new_cents.append(cents[c])
+                continue
+            s = [r[f"__s{i}"] for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in s))
+            if norm == 0.0:  # antipodal members cancel: keep the old centroid
+                new_cents.append(cents[c])
+            else:
+                new_cents.append([x / norm for x in s])
+        cents = new_cents
+    return [(c, cents[c]) for c in range(n_cells)]
 
 
 def semantic_dedup(

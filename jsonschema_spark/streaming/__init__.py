@@ -1,4 +1,4 @@
-from jsonschema_spark.streaming.drift_stream import stream_ks, stream_psi
+from jsonschema_spark.streaming.drift_stream import stream_js, stream_ks, stream_psi
 from jsonschema_spark.streaming.validate_stream import (
     stream_keyword_metrics,
     stream_violation_metrics,
@@ -11,4 +11,5 @@ __all__ = [
     "stream_keyword_metrics",
     "stream_psi",
     "stream_ks",
+    "stream_js",
 ]

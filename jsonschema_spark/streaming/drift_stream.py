@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stream_psi", "stream_ks"]
+__all__ = ["stream_psi", "stream_ks", "stream_js"]
 
 _EPS = 1e-6
 
@@ -73,6 +73,46 @@ def stream_psi(
     for i, k in enumerate(cats):
         psi = psi + term(F.col(f"c__{i}"), base[k])
     return win.select("window", "doc_count", psi.alias("psi"))
+
+
+def stream_js(
+    stream_df: DataFrame,
+    ts_col: str,
+    category_col: str,
+    baseline: dict[str, float],
+    *,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-window Jensen–Shannon divergence of `category_col` against the
+    frozen baseline — the bounded (ln 2) companion to `stream_psi`: an
+    alerting sink can use a fixed threshold even when a window introduces
+    categories the baseline has never seen (where PSI's magnitude is
+    driven by the epsilon floor, not the data). Same single watermarked
+    aggregation; returns (window, doc_count, js)."""
+    base = _normalized(baseline)
+    cats = list(base)
+    c = F.col(category_col)
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    for i, k in enumerate(cats):
+        aggs.append(F.sum(F.when(c == k, 1).otherwise(0)).alias(f"c__{i}"))
+    aggs.append(F.sum(F.when(~c.isin(*cats) | c.isNull(), 1).otherwise(0)).alias("c__other"))
+    win = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("window"))
+        .agg(*aggs)
+    )
+
+    def term(cnt: Column, p: float) -> Column:
+        q = F.greatest(cnt / F.col("doc_count"), F.lit(_EPS))
+        pl = F.lit(max(p, _EPS))
+        m = (pl + q) / 2
+        return 0.5 * pl * F.log(pl / m) + 0.5 * q * F.log(q / m)
+
+    js = term(F.col("c__other"), 0.0)
+    for i, k in enumerate(cats):
+        js = js + term(F.col(f"c__{i}"), base[k])
+    return win.select("window", "doc_count", js.alias("js"))
 
 
 def stream_ks(

@@ -127,3 +127,42 @@ def test_stream_ks_validates_inputs(spark, landing):
         stream_ks(stream, "ts", "val", [], [])
     with pytest.raises(ValueError):
         stream_psi(stream, "ts", "cat", {"a": 0.0})
+
+
+def _js_expected(counts: dict[str, int], n: int) -> float:
+    def term(p, q):
+        p, q = max(p, _EPS), max(q, _EPS)
+        m = (p + q) / 2
+        return 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+
+    other = n - sum(counts.get(k, 0) for k in BASELINE)
+    total = term(_EPS, other / n)
+    for k, p in BASELINE.items():
+        total += term(p, counts.get(k, 0) / n)
+    return total
+
+
+def test_stream_js_matches_formula_and_stays_bounded(spark, landing, tmp_path):
+    from jsonschema_spark.streaming import stream_js
+
+    base, ddl = landing
+    stream = spark.readStream.schema(ddl).parquet(base)
+    out = stream_js(
+        stream, "ts", "cat", BASELINE, window_duration="1 minute", watermark="0 seconds"
+    )
+    rows = sorted(_run_stream(spark, tmp_path, out, "js_stream"), key=lambda r: r["window"])
+    assert len(rows) == 2
+    batch = spark.read.parquet(base)
+    for r in rows:
+        w = batch.filter(
+            (F.col("ts") >= r["window"]["start"]) & (F.col("ts") < r["window"]["end"])
+        )
+        counts = {x["cat"]: x["count"] for x in w.groupBy("cat").count().collect()}
+        n = sum(counts.values())
+        assert r["doc_count"] == n
+        assert r["js"] == pytest.approx(_js_expected(counts, n), rel=1e-9)
+        assert r["js"] <= math.log(2) + 1e-9  # bounded even with the novel category
+    assert rows[1]["js"] > rows[0]["js"]
+    # single stateful aggregation, same contract as stream_psi
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Aggregate") == 1

@@ -102,3 +102,33 @@ def test_kmeans_model_feeds_ivf(spark):
         # with one probed cell per query, neighbors come from the query's blob
         same_blob = (r["query_id"] < 10) == (r["neighbor_id"] < 10)
         assert same_blob
+
+
+def test_spherical_kmeans_unit_centroids_and_blob_directions(spark):
+    import math
+
+    from jsonschema_spark.operators.semdedup import (
+        fit_spherical_kmeans_centroids,
+        semantic_dedup,
+    )
+
+    # two angular blobs: around +x and around +y (unit-ish magnitudes vary;
+    # spherical k-means must ignore magnitude and split by direction)
+    a = [[5.0, 0.01 * i] for i in range(10)]
+    b = [[0.01 * i, 3.0] for i in range(10)]
+    df = _emb_df(spark, a + b)
+    model = fit_spherical_kmeans_centroids(df, 2, n_iters=5)
+    for _, c in model:
+        assert math.sqrt(sum(x * x for x in c)) == pytest.approx(1.0, rel=1e-12)
+    dirs = sorted([c for _, c in model], key=lambda c: c[1])  # x-blob first
+    assert dirs[0][0] > 0.99  # ~ +x
+    assert dirs[1][1] > 0.99  # ~ +y
+
+    # model feeds semantic_dedup unchanged; parallel vectors in the same
+    # cell (cosine 1.0) dedup against the lowest id
+    out = semantic_dedup(df, threshold=0.999, centroids=model).collect()
+    kept = {r["id"] for r in out if r["keep"]}
+    assert 0 in kept and 10 in kept
+
+    again = fit_spherical_kmeans_centroids(df, 2, n_iters=5)
+    assert again == model

@@ -25,6 +25,7 @@ __all__ = [
     "fit_centroids",
     "fit_kmeans_centroids",
     "kmeans_assign",
+    "two_level_assign",
     "ivf_topk",
 ]
 
@@ -356,8 +357,9 @@ def centroid_dots(vec: Column | str, centroids: list[list[float]]) -> Column:
       layout — all cells in ONE array traversal, expression size O(dim)
       instead of O(n_cells·dim) fold nodes. Per-cell accumulation is still
       `acc[c] += x_i·cent[c][i]` for i ascending, so results stay bitwise
-      identical to the flat form. At >10^4 cells, hierarchical two-level
-      assignment (sqrt(n) super-cells, then argmax within) composes on top.
+      identical to the flat form. At >10^4 cells, `two_level_assign` is the shipped
+      hierarchical path (√K super-cells, then argmax within the matched
+      branch only).
     """
     n = len(centroids)
     if isinstance(vec, str):
@@ -438,6 +440,95 @@ def kmeans_assign(
         F.array_position(affs, F.array_max(affs)).cast("int"),
     )
     return df.withColumn(out_col, cell)
+
+
+def _py_kmeans_groups(
+    cents: list[list[float]], n_super: int, n_iters: int = 10
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Driver-side Lloyd's over the CENTROIDS themselves (the model is a few
+    thousand rows at most — no Spark job needed). Deterministic: first
+    n_super centroids seed, ties to the lowest super index, empty supers
+    keep their previous mean. Returns (super_centroids, member cell indices
+    per super, each list ascending)."""
+    supers = [list(c) for c in cents[:n_super]]
+    assign = [0] * len(cents)
+    for _ in range(n_iters):
+        for i, c in enumerate(cents):
+            best, best_aff = 0, None
+            for s, sc in enumerate(supers):
+                aff = _py_dot(c, sc) - 0.5 * _py_dot(sc, sc)
+                if best_aff is None or aff > best_aff:
+                    best, best_aff = s, aff
+            assign[i] = best
+        for s in range(n_super):
+            members = [cents[i] for i in range(len(cents)) if assign[i] == s]
+            if members:
+                supers[s] = [
+                    sum(m[d] for m in members) / len(members) for d in range(len(cents[0]))
+                ]
+    groups = [[i for i in range(len(cents)) if assign[i] == s] for s in range(n_super)]
+    return supers, groups
+
+
+def two_level_assign(
+    df: DataFrame,
+    centroids: list[tuple],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    n_super: int | None = None,
+) -> DataFrame:
+    """Hierarchical nearest-centroid assignment — the >10^4-cells path the
+    flat `kmeans_assign` docstrings promise: group the K centroids into
+    ~√K super-cells (driver-side Lloyd's over the model itself), pick the
+    nearest super-cell first (√K affinities), then the nearest member
+    WITHIN it — O((√K + max_group)·d) flops per row instead of O(K·d),
+    still ONE narrow projection (a CASE over super-cells: codegen evaluates
+    only the matched branch per row), no join, no window, no Python.
+
+    Approximation contract: exact whenever the true nearest centroid lives
+    in the vector's nearest super-cell (always true for well-separated
+    centroid groups; high-agreement otherwise — pinned by tests). Consumers
+    that need exactness at moderate K stay on `kmeans_assign`; at the K
+    where O(K·d) per row dominates, this is the standard IVF-HNSW-style
+    coarse-then-fine trade."""
+    cents = [list(c[1]) for c in centroids]
+    ids = [c[0] for c in centroids]
+    k = len(cents)
+    if n_super is None:
+        n_super = max(1, int(round(k**0.5)))
+    supers, groups = _py_kmeans_groups(cents, n_super)
+    # drop empty supers (their branch could never be selected anyway, but
+    # keeping them would waste affinity slots in the first-level fold)
+    live = [(supers[s], groups[s]) for s in range(n_super) if groups[s]]
+    sup_vecs = [sv for sv, _ in live]
+    sup_half = [0.5 * _py_dot(sv, sv) for sv in sup_vecs]
+    sup_affs = F.zip_with(
+        centroid_dots(vec_col, sup_vecs),
+        F.array(*[F.lit(h) for h in sup_half]),
+        lambda d, h: d - h,
+    )
+    sup_pick = F.array_position(sup_affs, F.array_max(sup_affs))  # 1-based
+
+    expr = None
+    for s, (_, members) in enumerate(live):
+        mem_vecs = [cents[i] for i in members]
+        mem_half = [0.5 * _py_dot(v, v) for v in mem_vecs]
+        mem_affs = F.zip_with(
+            centroid_dots(vec_col, mem_vecs),
+            F.array(*[F.lit(h) for h in mem_half]),
+            lambda d, h: d - h,
+        )
+        mem_pick = F.element_at(
+            F.array(*[F.lit(ids[i]) for i in members]),
+            F.array_position(mem_affs, F.array_max(mem_affs)).cast("int"),
+        )
+        expr = (
+            F.when(sup_pick == s + 1, mem_pick)
+            if expr is None
+            else expr.when(sup_pick == s + 1, mem_pick)
+        )
+    return df.withColumn(out_col, expr)
 
 
 def _py_dot(a: list[float], b: list[float]) -> float:
@@ -548,8 +639,9 @@ def ivf_topk(
     in, one row out, no crossJoin, no per-vector window shuffle. n_cells
     scaling contract: grow n_cells ∝ corpus size so cell size stays bounded;
     the assignment stays a single narrow projection at any n_cells — only
-    the O(n_cells·d) fold grows, and hierarchical two-level assignment
-    halves the exponent when that dominates."""
+    the O(n_cells·d) fold grows, and `two_level_assign` (√K coarse pick,
+    fine pick inside one CASE branch) cuts per-row flops to O(√K·d) when
+    that dominates."""
     if centroids is None:
         centroids = fit_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
     cent_ids = [c[0] for c in centroids]

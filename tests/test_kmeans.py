@@ -132,3 +132,48 @@ def test_spherical_kmeans_unit_centroids_and_blob_directions(spark):
 
     again = fit_spherical_kmeans_centroids(df, 2, n_iters=5)
     assert again == model
+
+
+def test_two_level_assign_exact_on_separated_groups(spark):
+    import random
+
+    from jsonschema_spark.operators.simsearch import kmeans_assign, two_level_assign
+
+    # 16 centroids in 4 well-separated groups of 4 -> the nearest centroid
+    # always lives in the nearest super-cell, so two-level == flat exactly
+    rng = random.Random(3)
+    anchors = [[0.0, 0.0], [100.0, 0.0], [0.0, 100.0], [100.0, 100.0]]
+    cents = []
+    for a in anchors:
+        for _ in range(4):
+            cents.append([a[0] + rng.uniform(-1, 1), a[1] + rng.uniform(-1, 1)])
+    model = [(i, c, 0.0) for i, c in enumerate(cents)]
+    vecs = [
+        [anchors[i % 4][0] + rng.uniform(-3, 3), anchors[i % 4][1] + rng.uniform(-3, 3)]
+        for i in range(200)
+    ]
+    df = _emb_df(spark, vecs)
+    flat = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, model).collect()}
+    two = {r["vec_id"]: r["cell"] for r in two_level_assign(df, model, n_super=4).collect()}
+    assert two == flat
+
+    # plan stays a single joinless, windowless, Python-free projection
+    p = two_level_assign(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and "Exchange" not in p and "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_two_level_assign_high_agreement_unstructured(spark):
+    import random
+
+    from jsonschema_spark.operators.simsearch import kmeans_assign, two_level_assign
+
+    rng = random.Random(11)
+    cents = [[rng.uniform(0, 10) for _ in range(4)] for _ in range(25)]
+    model = [(i, c, 0.0) for i, c in enumerate(cents)]
+    vecs = [[rng.uniform(0, 10) for _ in range(4)] for _ in range(400)]
+    df = _emb_df(spark, vecs)
+    flat = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, model).collect()}
+    two = {r["vec_id"]: r["cell"] for r in two_level_assign(df, model).collect()}
+    agree = sum(flat[i] == two[i] for i in flat) / len(flat)
+    assert agree >= 0.8, f"two-level agreement {agree:.2f} below documented floor"

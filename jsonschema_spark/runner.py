@@ -8,7 +8,8 @@ bucket-local:
 - doc_id uniqueness: all copies of a doc_id hash to the same bucket, so the
   duplicate groupBy never crosses buckets — no global shuffle, ever;
 - referential integrity: broadcast anti-join against the media catalog;
-- drift (KS/PSI): per-bucket histograms, merged on the driver at finalize —
+- drift (KS/W1 on span-length, PSI/JS/chi2 on kind frequencies): per-bucket
+  histograms, merged on the driver at finalize —
   histograms are mergeable, so the statistic over the union is exact;
 - span-sequence equality vs the reference table: the reference side is
   filtered to the same bucket expression, so the equality join is co-local.
@@ -416,6 +417,56 @@ def _psi(p: dict[str, int], q: dict[str, int], eps: float = 1e-6) -> float:
     return out
 
 
+def _w1_from_hists(h_a: dict[int, int], h_b: dict[int, int]) -> float:
+    """1-Wasserstein on the fixed slot grid: Σ |ΔCDF| per slot — the CDF gap
+    integrated in span-length units (bucket width is one span)."""
+    tot_a = sum(h_a.values()) or 1
+    tot_b = sum(h_b.values()) or 1
+    cum_a = cum_b = 0.0
+    w1 = 0.0
+    for slot in range(_SPAN_LEN_BUCKETS):
+        cum_a += h_a.get(slot, 0) / tot_a
+        cum_b += h_b.get(slot, 0) / tot_b
+        w1 += abs(cum_a - cum_b)
+    return w1
+
+
+def _js(p: dict[str, int], q: dict[str, int], eps: float = 1e-6) -> float:
+    """Jensen–Shannon divergence (natural log; bounded by ln 2) — stays
+    meaningful when the observed stream introduces kinds the reference
+    never had, where PSI's magnitude is set by the epsilon floor."""
+    import math
+
+    tot_p = sum(p.values()) or 1
+    tot_q = sum(q.values()) or 1
+    out = 0.0
+    for k in set(p) | set(q):
+        pp = max(p.get(k, 0) / tot_p, eps)
+        qq = max(q.get(k, 0) / tot_q, eps)
+        m = (pp + qq) / 2
+        out += 0.5 * pp * math.log(pp / m) + 0.5 * qq * math.log(qq / m)
+    return out
+
+
+def _chi2(p: dict[str, int], q: dict[str, int]) -> tuple[float, int]:
+    """Two-sample chi-square homogeneity statistic over the kind table and
+    its degrees of freedom (categories − 1) — gives the report a statistic
+    with a known null distribution for p-value-based alerting."""
+    keys = [k for k in set(p) | set(q) if p.get(k, 0) + q.get(k, 0) > 0]
+    tot_p = sum(p.get(k, 0) for k in keys)
+    tot_q = sum(q.get(k, 0) for k in keys)
+    n = tot_p + tot_q
+    if n == 0 or tot_p == 0 or tot_q == 0 or len(keys) < 2:
+        return 0.0, max(len(keys) - 1, 0)
+    stat = 0.0
+    for k in keys:
+        rt = p.get(k, 0) + q.get(k, 0)
+        ep = rt * tot_p / n
+        eq = rt * tot_q / n
+        stat += (p.get(k, 0) - ep) ** 2 / ep + (q.get(k, 0) - eq) ** 2 / eq
+    return stat, len(keys) - 1
+
+
 def table_distributions(
     spark: SparkSession, path: str, *, spans_col: str = "spans"
 ) -> tuple[dict[int, int], dict[str, int]]:
@@ -444,6 +495,8 @@ def finalize_report(
     reference_kind_freq: dict[str, int] | None = None,
     ks_threshold: float = 0.1,
     psi_threshold: float = 0.2,
+    w1_threshold: float = 2.0,
+    js_threshold: float = 0.1,
 ) -> dict[str, Any]:
     """Merge per-bucket metrics into the job report: per-partition verdicts,
     global drift statistics, violation counts. Pure driver-side merge of
@@ -482,9 +535,23 @@ def finalize_report(
     if reference_hist is not None:
         ks = _ks_from_hists(merged_hist, reference_hist)
         report["ks_span_length"] = {"statistic": ks, "threshold": ks_threshold, "drifted": ks > ks_threshold}
+        w1 = _w1_from_hists(merged_hist, reference_hist)
+        report["w1_span_length"] = {
+            "statistic": w1,
+            "threshold": w1_threshold,
+            "drifted": w1 > w1_threshold,
+        }
     if reference_kind_freq is not None:
         psi = _psi(merged_kinds, reference_kind_freq)
         report["psi_kind_freq"] = {"statistic": psi, "threshold": psi_threshold, "drifted": psi > psi_threshold}
+        js = _js(merged_kinds, reference_kind_freq)
+        report["js_kind_freq"] = {
+            "statistic": js,
+            "threshold": js_threshold,
+            "drifted": js > js_threshold,
+        }
+        chi2, dof = _chi2(merged_kinds, reference_kind_freq)
+        report["chi2_kind_freq"] = {"statistic": chi2, "dof": dof}
 
     out = os.path.join(cfg.output_path, "report.json")
     with open(out + ".tmp", "w") as f:

@@ -10,9 +10,13 @@ Composition timed as ONE job (the operators a training-data pipeline chains):
      exact pass must absorb the mass before LSH);
   2. quality filter + language allowlist + deterministic hash split over the
      retained rows (the curate_corpus composition);
-  3. semantic_dedup — cell-bounded within-cell cosine pairs over the
-     embeddings table replicated REP_EMB x (n_cells grown with the corpus,
-     the operator's documented scaling contract).
+  3. Naive-Bayes quality classifier — fit from weak labels (ONE
+     explode+groupBy to the hashed weight table) and score every retained
+     doc via the broadcast-weights join (the round-4 model-based filter);
+  4. semantic_dedup — cell-bounded within-cell cosine pairs over the
+     embeddings table replicated REP_EMB x, quantized by spherical k-means
+     (2 Lloyd iterations, fit INSIDE the timed window — n_cells grown with
+     the corpus, the operator's documented scaling contract).
 
 Prints ONE JSON line: {"label", "docs", "vectors", "elapsed_sec",
 "docs_per_sec"}. Execution forced with the noop sink.
@@ -60,8 +64,15 @@ def replicate(df, id_col: str, k: int, vary_text: bool = False):
 
 def run_once(spark, sf_dir: str, rep_docs: int, rep_emb: int, n_cells: int) -> tuple[int, int]:
     from jsonschema_spark.operators.dedup import dedup_corpus
+    from jsonschema_spark.operators.quality_model import (
+        fit_nb_quality_model,
+        score_quality_model,
+    )
     from jsonschema_spark.operators.sampling import hash_split
-    from jsonschema_spark.operators.semdedup import semantic_dedup
+    from jsonschema_spark.operators.semdedup import (
+        fit_spherical_kmeans_centroids,
+        semantic_dedup,
+    )
     from jsonschema_spark.operators.text import quality_features
 
     # replicas of a single parquet split land in ONE partition — spread them
@@ -85,7 +96,16 @@ def run_once(spark, sf_dir: str, rep_docs: int, rep_emb: int, n_cells: int) -> t
         F.col("lang").isin("en", "de", "fr", "es")
     )
     _force(hash_split(good, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}))
-    _force(semantic_dedup(emb, threshold=0.95, n_cells=n_cells))
+
+    labeled = good.withColumn("pos", F.col("lang") == "en")
+    weights, consts = fit_nb_quality_model(labeled, "doc_id", "text", "pos")
+    _force(score_quality_model(good, weights, consts, "doc_id", "text"))
+
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    model = fit_spherical_kmeans_centroids(emb_d, n_cells, n_iters=2)
+    _force(semantic_dedup(emb_d, threshold=0.95, n_cells=n_cells, centroids=model))
     return rep_docs, rep_emb
 
 

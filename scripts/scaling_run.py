@@ -254,13 +254,15 @@ order-sensitive digests), KS/PSI drift, per-bucket metrics + lineage commit
 |---|---|---|---|---|
 {chr(10).join(rows_eff)}
 
-## Corpus-ops scaling (round-3 heavy operators)
+## Corpus-ops scaling (round-3/4 heavy operators)
 
 The same two-level protocol over the training-data operator chain
 (`scripts/run_corpus_ops_timed.py`): corpus dedup (exact pass + MinHash/LSH
 candidate pairs + star-contraction connected components) -> quality filter +
-language allowlist + deterministic hash split -> SemDeDup semantic dedup
-({corpus[cb]["vectors"]:,} vectors, n_cells=64). Input: the documents table
+language allowlist + deterministic hash split -> Naive-Bayes quality
+classifier (fit + broadcast-weights scoring) -> SemDeDup semantic dedup
+quantized by spherical k-means (2 Lloyd iterations fit inside the timed
+window; {corpus[cb]["vectors"]:,} vectors, n_cells=64). Input: the documents table
 replicated with per-replica word rotation ({corpus[cb]["docs"]:,} distinct
 near-duplicate docs), so the LSH machinery does real per-doc work instead of
 letting the exact pass absorb byte-identical copies.

@@ -58,9 +58,34 @@ def test_full_run_detects_injected_defects(spark, synth_paths, tmp_path):
     assert "dangling_media_ref" in codes
     assert report["partitions_failed"] > 0
     assert len(report["partitions"]) == 8
-    # same generator => no drift vs the clean twin
+    # same generator => no drift vs the clean twin, on every statistic
     assert report["ks_span_length"]["drifted"] is False
     assert report["psi_kind_freq"]["statistic"] < 0.25
+    assert report["w1_span_length"]["drifted"] is False
+    assert report["js_kind_freq"]["statistic"] < 0.05
+    assert report["chi2_kind_freq"]["dof"] >= 1
+    # cross-check the merged-aggregate statistics against the batch drift
+    # operators on the same two relations (kind frequencies)
+    import math
+
+    from jsonschema_spark.operators.drift import chi2_statistic, js_divergence
+    from pyspark.sql import functions as F2
+
+    obs = spark.read.parquet(f"{synth_paths}/docs").select(
+        F2.explode("spans.kind").alias("kind"), F2.lit("a").alias("g")
+    )
+    ref = spark.read.parquet(f"{synth_paths}/ref").select(
+        F2.explode("spans.kind").alias("kind"), F2.lit("b").alias("g")
+    )
+    both = obs.unionByName(ref)
+    want_js = js_divergence(both, "kind", "g", "a", "b").collect()[0]["js"]
+    want_chi2 = chi2_statistic(both, "kind", "g", "a", "b").collect()[0]
+    assert report["js_kind_freq"]["statistic"] == pytest.approx(want_js, rel=1e-9)
+    assert report["chi2_kind_freq"]["statistic"] == pytest.approx(
+        want_chi2["chi2"], rel=1e-9
+    )
+    assert report["chi2_kind_freq"]["dof"] == want_chi2["dof"]
+    assert math.isfinite(report["w1_span_length"]["statistic"])
 
 
 def test_resume_from_partial_run_matches_single_shot(spark, synth_paths, tmp_path):

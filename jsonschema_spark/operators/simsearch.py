@@ -491,7 +491,12 @@ def two_level_assign(
     centroid groups; high-agreement otherwise — pinned by tests). Consumers
     that need exactness at moderate K stay on `kmeans_assign`; at the K
     where O(K·d) per row dominates, this is the standard IVF-HNSW-style
-    coarse-then-fine trade."""
+    coarse-then-fine trade.
+
+    Cosine consumers: with a UNIT-centroid model (spherical k-means), every
+    ½‖c‖² term is the constant ½, so argmax(v·c − ½) == argmax v·c — the
+    same cell the cosine assignment picks — making this the drop-in
+    hierarchical path for `semantic_dedup`-style quantizers too."""
     cents = [list(c[1]) for c in centroids]
     ids = [c[0] for c in centroids]
     k = len(cents)

@@ -177,3 +177,20 @@ def test_two_level_assign_high_agreement_unstructured(spark):
     two = {r["vec_id"]: r["cell"] for r in two_level_assign(df, model).collect()}
     agree = sum(flat[i] == two[i] for i in flat) / len(flat)
     assert agree >= 0.8, f"two-level agreement {agree:.2f} below documented floor"
+
+
+def test_two_level_assign_degenerate_supers_equal_flat(spark):
+    import random
+
+    from jsonschema_spark.operators.simsearch import kmeans_assign, two_level_assign
+
+    rng = random.Random(5)
+    cents = [[rng.uniform(0, 10) for _ in range(3)] for _ in range(9)]
+    model = [(i, c, 0.0) for i, c in enumerate(cents)]
+    vecs = [[rng.uniform(0, 10) for _ in range(3)] for _ in range(60)]
+    df = _emb_df(spark, vecs)
+    flat = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, model).collect()}
+    # n_super=1: one super-cell containing every centroid -> the fine pick
+    # IS the flat argmax
+    one = {r["vec_id"]: r["cell"] for r in two_level_assign(df, model, n_super=1).collect()}
+    assert one == flat

@@ -54,6 +54,7 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "minhash_signatures_docs",
     "lsh_candidate_pairs_docs",
+    "containment_pairs_docs",
     "dup_clusters_docs",
     "dedup_corpus_docs",
     "curate_corpus_docs",

@@ -177,6 +177,44 @@ def lsh_candidate_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """(id_a, id_b, containment_a, containment_b) for candidate pairs:
+    containment_a = |A∩B| / |A| over distinct token shingles (and
+    symmetrically for B), keeping pairs where EITHER direction clears
+    `min_containment`.
+
+    The asymmetric near-dup signal Jaccard misses: a short document quoted
+    wholesale inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment_a ≈ 1. Like `ngram_jaccard_pairs`, this is a VERIFIER —
+    candidates come from `lsh_candidate_pairs` (or any bare-id pair
+    relation), so the shingle payloads join only to the candidate set and
+    the corpus is never self-joined. Containments are rounded to 6 decimals
+    BEFORE thresholding so row membership matches across engines."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    ca = F.round(inter / F.size("sh_a"), 6)
+    cb = F.round(inter / F.size("sh_b"), 6)
+    return (
+        joined.select(
+            "id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b")
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= min_containment)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1188,6 +1188,54 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over LSH candidate pairs: |A∩B|/|A| per
+    direction on distinct 3-gram shingles — the subset/quote-heavy near-dup
+    signal Jaccard misses (a short doc inside a long one scores Jaccard
+    ≈ |A|/|B| but containment ≈ 1)."""
+    from jsonschema_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return containment_pairs(docs, cand, "doc_id", "text", min_containment=0.5)
+
+
+def _oracle_containment(threshold: float = 0.5) -> str:
+    """Containment verifier over the SAME md5 MinHash-LSH candidate pipeline
+    the Spark query runs; shingle sets are the `sh` construction the LSH
+    oracle uses (distinct space-joined 3-grams)."""
+    return (
+        "\nWITH pairs AS (" + _oracle_lsh_pairs() + "),"
+        + _ORACLE_CONTAINMENT_BODY.format(threshold=threshold)
+    )
+
+
+_ORACLE_CONTAINMENT_BODY = """
+toks2 AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh2 AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks2),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment_a,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS containment_b
+  FROM pairs p JOIN sh2 a ON a.id = p.id_a JOIN sh2 b ON b.id = p.id_b)
+SELECT id_a, id_b, containment_a, containment_b
+FROM scored WHERE greatest(containment_a, containment_b) >= {threshold}
+"""
+
+
 def _oracle_lsh_pairs(
     k: int = 8, bands: int = 4, rows_per_band: int = 2, source: str = "documents"
 ) -> str:
@@ -1989,6 +2037,7 @@ def all_queries():
         "kmeans_cells_embeddings": kmeans_cells_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
+        "containment_pairs_docs": containment_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
         "localized_violations_docs": localized_violations_docs,
         "simhash_docs": simhash_docs,
@@ -2059,6 +2108,7 @@ def all_oracles():
         "kmeans_cells_embeddings": _oracle_kmeans(),
         "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
+        "containment_pairs_docs": _oracle_containment(),
         "cosine_near_dup_lsh": _oracle_cosine_lsh(),
         "localized_violations_docs": ORACLE_LOCALIZED_DOCS,
         "simhash_docs": ORACLE_SIMHASH,

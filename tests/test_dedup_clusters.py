@@ -100,3 +100,31 @@ def test_unknown_algorithm_rejected(spark):
 
     with _pytest.raises(ValueError, match="unknown algorithm"):
         _clusters(spark, [(1, 2)], algorithm="nope")
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"  # strict subset
+    extra = " ".join(f"word{i}" for i in range(40))  # 40 distinct filler words
+    long = short + " " + extra
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(df, cand, "doc_id", "text", min_containment=0.9).collect()
+    }
+    # the short doc is fully contained in the long one: containment_b == 1.0
+    assert out[(1, 2)][1] == 1.0
+    # ...while its Jaccard against the long doc is well under any dedup bar
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", min_jaccard=0.0).filter(
+        (F.col("id_a") == 1) & (F.col("id_b") == 2)
+    ).collect()
+    assert not jac or jac[0]["jaccard"] < 0.5
+    # the unrelated pair is filtered out entirely
+    assert (1, 3) not in out

@@ -75,6 +75,8 @@ HEADLINE = [
     "sample_split_docs",
     "stratified_sample_docs",
     "simsearch_topk",
+    "sessionize_events",
+    "attribution_asof_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

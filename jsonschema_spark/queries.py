@@ -2050,6 +2050,8 @@ def all_queries():
         "domain_stats_docs": domain_stats_docs,
         "pack_docs": pack_docs,
         "curate_corpus_docs": curate_corpus_docs,
+        "sessionize_events": sessionize_events,
+        "attribution_asof_events": attribution_asof_events,
     }
 
 
@@ -2121,6 +2123,8 @@ def all_oracles():
         "domain_stats_docs": ORACLE_DOMAIN_STATS,
         "pack_docs": ORACLE_PACK_DOCS,
         "curate_corpus_docs": _oracle_curate_corpus(),
+        "sessionize_events": ORACLE_SESSIONIZE,
+        "attribution_asof_events": ORACLE_ASOF,
     }
 
 
@@ -2529,4 +2533,79 @@ SELECT event_id,
         AND user_id != event_id
         AND (event_type != 'purchase' OR value >= 10)) AS valid
 FROM events
+"""
+
+
+# ----- event-stream ops: sessionization + as-of attribution ----------------
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap): one row
+    per (user, session) with event count, start/end micros, summed value.
+    ONE exchange on user_id — the ordered window and the compound-key
+    aggregate both cluster on the user key."""
+    from jsonschema_spark.operators.sessions import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap_seconds=1800, value_col="value")
+
+
+ORACLE_SESSIONIZE = """
+WITH staged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+marked AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM staged
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       round(sum(value), 6) AS total_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def attribution_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join inside the events stream: each click attributed to the
+    user's most recent view at-or-before it (union-tag + ignorenulls-last
+    window — no range join, single exchange on user_id)."""
+    from jsonschema_spark.operators.sessions import asof_attribute
+
+    e = _t(spark, sf_dir, "events")
+    return asof_attribute(
+        e, left_kind="click", right_kind="view"
+    )
+
+
+ORACLE_ASOF = """
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left,
+         CASE WHEN event_type = 'view' THEN event_id END AS rid,
+         CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS rus
+  FROM events WHERE event_type IN ('click', 'view')
+),
+carried AS (
+  SELECT user_id, event_id, us, is_left,
+         last_value(rid IGNORE NULLS) OVER w AS right_id,
+         last_value(rus IGNORE NULLS) OVER w AS right_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_left, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id AS left_id, right_id, us - right_us AS gap_us
+FROM carried WHERE is_left = 1
 """

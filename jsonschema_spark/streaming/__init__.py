@@ -1,4 +1,5 @@
 from jsonschema_spark.streaming.drift_stream import stream_js, stream_ks, stream_psi
+from jsonschema_spark.streaming.sessions_stream import stream_sessionize
 from jsonschema_spark.streaming.validate_stream import (
     stream_keyword_metrics,
     stream_violation_metrics,
@@ -12,4 +13,5 @@ __all__ = [
     "stream_psi",
     "stream_ks",
     "stream_js",
+    "stream_sessionize",
 ]

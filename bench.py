@@ -57,6 +57,7 @@ HEADLINE = [
     "containment_pairs_docs",
     "dup_clusters_docs",
     "dedup_corpus_docs",
+    "dedup_incremental_docs",
     "curate_corpus_docs",
     "simhash_docs",
     "text_quality_docs",

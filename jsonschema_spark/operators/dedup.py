@@ -31,6 +31,7 @@ __all__ = [
     "simhash_near_pairs",
     "duplicate_clusters",
     "dedup_corpus",
+    "dedup_against",
 ]
 
 
@@ -115,6 +116,34 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, 
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def _band_buckets(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band): the band's signature
+    rows hashed into a bucket key. A single explode over a compile-time
+    struct array; no shuffle."""
+    return sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, *, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
@@ -137,20 +166,7 @@ def lsh_candidate_pairs(
     # persist so the expensive text→shingle→minhash pipeline runs once.
     sig_df = sig_df.persist()
 
-    buckets = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = _band_buckets(sig_df, bands, rows_per_band)
 
     # dedupe candidate pairs on bare ids FIRST (a pair sharing several bands
     # would otherwise be shuffled once per band, dragging both signatures
@@ -511,3 +527,108 @@ def dedup_corpus(
         F.col("id").alias(id_col)
     )
     return survivors.join(drop_near, id_col, "left_anti")
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+    report: bool = False,
+) -> DataFrame:
+    """Incremental deduplication of a NEW batch against an EXISTING corpus —
+    the step a continuously-crawling pipeline runs on every ingest: drop new
+    documents that duplicate something already kept, never re-deduping the
+    reference against itself.
+
+    1. exact pass — md5(normalized text) of the new batch joined against the
+       distinct reference hash set (16 B/row through the exchange; at scale
+       the reference hash relation is a precomputed table, and a bloom
+       filter built from it can pre-filter the scan);
+    2. near pass — MinHash signatures on BOTH sides, banded LSH buckets,
+       new×ref joined only within (band, bucket) — never new×new or ref×ref
+       — candidate pairs deduped on bare ids before signatures are
+       re-attached for the est_jaccard ≥ threshold verification.
+
+    Reference signatures/hashes depend only on ``ref_df``: a production
+    deployment computes them once per corpus snapshot and reuses them across
+    every incoming batch (write ``minhash_signature(ref)`` to a table keyed
+    by the snapshot id). Both joins are key-partitioned on (band, bucket) /
+    text_hash, so the plan co-partitions rather than broadcasting when the
+    reference corpus is large; Spark's AQE flips to broadcast automatically
+    when the reference side is small.
+
+    Returns the surviving rows of ``new_df`` unchanged, or with
+    ``report=True`` a per-document verdict relation
+    ``(id, status ∈ {kept, exact_dup, near_dup}, match_id)`` where
+    ``match_id`` is the smallest matching reference id (NULL for kept).
+    """
+    norm = F.md5(normalize_text(F.col(text_col)))
+    ref_hashes = (
+        ref_df.select(norm.alias("text_hash"), F.col(id_col).alias("__rid"))
+        .groupBy("text_hash")
+        .agg(F.min("__rid").alias("match_id"))
+    )
+    new_hashed = new_df.select(F.col(id_col).alias("id"), norm.alias("text_hash"))
+    # ref_hashes is distinct per hash, so this inner join emits ≤1 row per new id
+    exact_hits = new_hashed.join(ref_hashes, "text_hash").select("id", "match_id")
+
+    survivors = new_df.join(
+        exact_hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+    sig_new = minhash_signature(survivors, id_col, text_col, k=k, shingle_n=shingle_n).persist()
+    sig_ref = minhash_signature(ref_df, id_col, text_col, k=k, shingle_n=shingle_n).persist()
+    nb = _band_buckets(sig_new, bands, rows_per_band).select(
+        F.col("id").alias("nid"), "band", "bucket"
+    )
+    rb = _band_buckets(sig_ref, bands, rows_per_band).select(
+        F.col("id").alias("rid"), "band", "bucket"
+    )
+    # bare-id candidate dedup first (a pair sharing several bands would drag
+    # both signatures through the exchange once per band otherwise)
+    cand = nb.join(rb, ["band", "bucket"]).select("nid", "rid").distinct()
+    scored = cand.join(
+        sig_new.select(F.col("id").alias("nid"), F.col("sig").alias("sig_n")), "nid"
+    ).join(sig_ref.select(F.col("id").alias("rid"), F.col("sig").alias("sig_r")), "rid")
+    est = F.aggregate(
+        F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_n")
+    near_hits = (
+        scored.filter(est >= F.lit(jaccard_threshold))
+        .groupBy("nid")
+        .agg(F.min("rid").alias("match_id"))
+        .select(F.col("nid").alias("id"), "match_id")
+        .persist()
+    )
+    near_hits.count()  # materialize the small hit cache while signatures are hot
+    sig_new.unpersist()
+    sig_ref.unpersist()
+
+    if not report:
+        return survivors.join(
+            near_hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+
+    kept = (
+        survivors.select(F.col(id_col).alias("id"))
+        .join(near_hits.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.lit("kept").alias("status"),
+            F.lit(None).cast(dict(exact_hits.dtypes)["match_id"]).alias("match_id"),
+        )
+    )
+    return (
+        exact_hits.select("id", F.lit("exact_dup").alias("status"), "match_id")
+        .unionByName(near_hits.select("id", F.lit("near_dup").alias("status"), "match_id"))
+        .unionByName(kept)
+    )

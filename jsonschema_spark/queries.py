@@ -1584,6 +1584,114 @@ SELECT s.doc_id, s.lang FROM survivors s ANTI JOIN drop_near USING (doc_id)
 """
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup — the step a continuously-crawling
+    pipeline runs per ingest batch. The existing corpus is the even doc_ids;
+    the new batch is the odd doc_ids plus injected exact copies
+    (doc_id % 10 = 0, verbatim text) and near copies (doc_id % 10 = 2, text
+    with a trailing marker appended) of reference documents. Per-document
+    verdicts (kept / exact_dup / near_dup) with the smallest matching
+    reference id."""
+    from jsonschema_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" refreshed crawl snapshot")).alias("text"),
+            )
+        )
+    )
+    rep = dedup_against(new, ref, "doc_id", "text", report=True)
+    return rep.select(F.col("id").alias("doc_id"), "status", "match_id")
+
+
+def _oracle_sig_ctes(
+    source: str, suffix: str, k: int = 8, bands: int = 4, rows_per_band: int = 2
+) -> str:
+    """The MinHash signature + band-bucket CTE chain for ONE named source
+    relation (columns doc_id, text) with a suffix so two corpora can coexist
+    in one query — the cross-corpus analogue of _oracle_lsh_pairs."""
+    sig_items = ",\n         ".join(
+        f"list_min([md5('{s}:' || x) FOR x IN s])" for s in range(k)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, md5({parts}) AS bucket FROM sig{sfx}".format(
+            b=b,
+            sfx=suffix,
+            parts=" || '|' || ".join(
+                f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""toks{suffix} AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM {source}),
+sh{suffix} AS (
+  SELECT id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks{suffix}),
+sig{suffix} AS (
+  SELECT id, [{sig_items}] AS sig
+  FROM sh{suffix}),
+buckets{suffix} AS (
+  {band_selects})"""
+
+
+def _oracle_dedup_incremental(threshold: float = 0.5, k: int = 8) -> str:
+    return f"""
+WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' refreshed crawl snapshot' AS text
+  FROM documents WHERE doc_id % 10 = 2),
+ref_hash AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th,
+         min(doc_id) AS match_id
+  FROM ref GROUP BY th),
+new_hash AS (
+  SELECT doc_id AS id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS th
+  FROM newb),
+exact_hits AS (SELECT id, match_id FROM new_hash JOIN ref_hash USING (th)),
+surv AS (SELECT * FROM newb WHERE doc_id NOT IN (SELECT id FROM exact_hits)),
+{_oracle_sig_ctes("surv", "_n", k=k)},
+{_oracle_sig_ctes("ref", "_r", k=k)},
+cand AS (
+  SELECT DISTINCT n.id AS nid, r.id AS rid
+  FROM buckets_n n JOIN buckets_r r ON n.band = r.band AND n.bucket = r.bucket),
+near_hits AS (
+  SELECT nid AS id, min(rid) AS match_id
+  FROM cand c
+  JOIN sig_n sn ON sn.id = c.nid
+  JOIN sig_r sr ON sr.id = c.rid
+  WHERE CAST(len(list_filter(range(1, {k + 1}), i -> sn.sig[i] = sr.sig[i])) AS DOUBLE) / {k}
+        >= {threshold}
+  GROUP BY nid)
+SELECT id AS doc_id, 'exact_dup' AS status, match_id FROM exact_hits
+UNION ALL
+SELECT id AS doc_id, 'near_dup' AS status, match_id FROM near_hits
+UNION ALL
+SELECT doc_id, 'kept' AS status, CAST(NULL AS BIGINT) AS match_id
+FROM surv WHERE doc_id NOT IN (SELECT id FROM near_hits)
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures on the engine-portable md5-derived 60-bit hash
     family (md5_hash60) so a DuckDB oracle can recompute them exactly; the
@@ -2046,6 +2154,7 @@ def all_queries():
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "redact_pii_docs": redact_pii_docs,
         "domain_stats_docs": domain_stats_docs,
         "pack_docs": pack_docs,
@@ -2119,6 +2228,7 @@ def all_oracles():
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
+        "dedup_incremental_docs": _oracle_dedup_incremental(),
         "redact_pii_docs": _oracle_redact_pii(),
         "domain_stats_docs": ORACLE_DOMAIN_STATS,
         "pack_docs": ORACLE_PACK_DOCS,

@@ -67,6 +67,7 @@ HEADLINE = [
     "clean_boilerplate_docs",
     "contamination_docs",
     "perplexity_docs",
+    "ppl_buckets_docs",
     "quality_model_docs",
     "redact_pii_docs",
     "domain_stats_docs",

@@ -21,6 +21,8 @@ __all__ = [
     "split_thresholds",
     "stratified_sample",
     "deterministic_sample_n",
+    "quantile_buckets",
+    "bucket_by_thresholds",
 ]
 
 
@@ -116,3 +118,85 @@ def deterministic_sample_n(df: DataFrame, key: str, n: int, *, salt: str = "") -
         .limit(n)
         .drop("__hf")
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    *,
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    id_col: str | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-group quantile bucketing (CCNet head/middle/tail): rank
+    rows within each `by` group by `value_col` and cut into `n_buckets`
+    equal-count buckets via ntile. CCNet buckets crawl docs into perplexity
+    terciles per language and trains/filters per bucket; this is that cut.
+
+    Ties are broken by `id_col` (pass it — without a unique tiebreaker the
+    within-group order of equal values is engine-dependent and the cut
+    points land differently). Standard SQL ntile semantics: bucket sizes
+    differ by at most 1, larger buckets first — identical in Spark/DuckDB/
+    Trino, so the whole operator is oracle-expressible.
+
+    Scale note: one exchange hash-partitioned on the group key plus a
+    per-group sort. Groups here are schema-level strata (languages,
+    sources) whose per-group row counts at 100 TB exceed a partition, so
+    for production-scale corpora use `bucket_by_thresholds` (aggregate
+    approximate cut points, broadcast them back — no global sort); this
+    exact form is the verifier and the small-strata path.
+    """
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"need exactly {n_buckets} labels, got {len(labels)}")
+    from pyspark.sql.window import Window
+
+    order = [F.col(value_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
+    tile = F.ntile(n_buckets).over(Window.partitionBy(by).orderBy(*order))
+    if labels is not None:
+        bucket = F.element_at(F.array(*[F.lit(s) for s in labels]), tile)
+    else:
+        bucket = tile
+    return df.withColumn(bucket_col, bucket)
+
+
+def bucket_by_thresholds(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    *,
+    n_buckets: int = 3,
+    labels: list[str] | None = None,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Scale path for quantile_buckets: per-group approximate cut points
+    (one map-side-combining aggregation of GK sketches), broadcast back and
+    compared in a narrow projection — no per-group sort, no row ever
+    leaves its partition except the tiny sketch merge.
+
+    Bucket sizes are approximate (within the sketch accuracy) and rows
+    equal to a cut point all land in the lower bucket, so this is NOT
+    row-identical to the exact ntile form on tied values — tests pin
+    agreement on separated data and bounded skew on ties."""
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"need exactly {n_buckets} labels, got {len(labels)}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(by).agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__cuts")
+    )
+    joined = df.join(F.broadcast(cuts), by)
+    # index of the first cut point >= value, else the last bucket
+    tile = F.lit(n_buckets) - F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col(value_col) <= c).cast("int"),
+    )
+    if labels is not None:
+        bucket = F.element_at(F.array(*[F.lit(s) for s in labels]), tile)
+    else:
+        bucket = tile
+    return joined.withColumn(bucket_col, bucket).drop("__cuts")

@@ -660,6 +660,57 @@ SELECT id, n_tokens, n_oov, round(exp(-ll / n_tokens), 6) AS perplexity FROM s
 """
 
 
+def ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual selection step: per-LANGUAGE perplexity terciles
+    (head/middle/tail) over the scored crawl docs — head is kept outright,
+    tail is the drop candidate pool. Exact ntile cut with id tiebreak; the
+    sketch-threshold scale path is pinned against this in
+    tests/test_sampling.py."""
+    from jsonschema_spark.operators.lm_quality import fit_unigram_lm, perplexity_scores
+    from jsonschema_spark.operators.sampling import quantile_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    model = fit_unigram_lm(d.filter(F.col("doc_id") % 5 == 0), "text", vocab_size=4096)
+    scores = perplexity_scores(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", model)
+    scored = scores.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+    out = quantile_buckets(
+        scored,
+        "perplexity",
+        "lang",
+        n_buckets=3,
+        labels=["head", "middle", "tail"],
+        id_col="id",
+    )
+    return out.select(F.col("id").alias("doc_id"), "lang", "perplexity", "bucket")
+
+
+ORACLE_PPL_BUCKETS = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+c AS (SELECT token, count(*) AS cnt FROM e WHERE doc_id % 5 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 4096),
+k AS (SELECT count(*) AS kept FROM v),
+m AS (SELECT v.token, ln((v.cnt + 1.0) / (tot.total + k.kept + 1)) AS logp
+      FROM v, tot, k),
+o AS (SELECT ln(1.0 / (tot.total + k.kept + 1)) AS oov_logp FROM tot, k),
+s AS (
+  SELECT e.doc_id AS id, count(*) AS n_tokens,
+         sum(coalesce(m.logp, o.oov_logp)) AS ll
+  FROM e LEFT JOIN m USING (token), o
+  WHERE e.doc_id % 5 <> 0 GROUP BY 1),
+scored AS (
+  SELECT s.id, d.lang, round(exp(-s.ll / s.n_tokens), 6) AS perplexity
+  FROM s JOIN documents d ON d.doc_id = s.id)
+SELECT id AS doc_id, lang, perplexity,
+       (['head', 'middle', 'tail'])[ntile(3) OVER (PARTITION BY lang ORDER BY perplexity ASC, id ASC)] AS bucket
+FROM scored
+"""
+
+
 def histogram_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin equal-width histogram of l_extendedprice (empty bins kept)."""
     from jsonschema_spark.operators.profile import histogram
@@ -2155,6 +2206,7 @@ def all_queries():
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "ppl_buckets_docs": ppl_buckets_docs,
         "redact_pii_docs": redact_pii_docs,
         "domain_stats_docs": domain_stats_docs,
         "pack_docs": pack_docs,
@@ -2229,6 +2281,7 @@ def all_oracles():
         "stratified_sample_docs": _oracle_stratified_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
+        "ppl_buckets_docs": ORACLE_PPL_BUCKETS,
         "redact_pii_docs": _oracle_redact_pii(),
         "domain_stats_docs": ORACLE_DOMAIN_STATS,
         "pack_docs": ORACLE_PACK_DOCS,

@@ -111,3 +111,83 @@ def test_split_properties(spark):
         )
 
     check()
+
+
+# ----- quantile bucketing (CCNet head/middle/tail) --------------------------
+
+
+def _scored(spark, n=90):
+    # values 0..n-1 within 3 langs, interleaved so every lang spans the range
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        F.col("id").cast("double").alias("ppl"),
+    )
+
+
+def test_quantile_buckets_equal_counts_per_group(spark):
+    from jsonschema_spark.operators.sampling import quantile_buckets
+
+    out = quantile_buckets(
+        _scored(spark), "ppl", "lang", n_buckets=3,
+        labels=["head", "middle", "tail"], id_col="doc_id",
+    )
+    counts = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in out.groupBy("lang", "bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert all(v == 10 for v in counts.values()) and len(counts) == 9
+
+
+def test_quantile_buckets_orders_by_value(spark):
+    from jsonschema_spark.operators.sampling import quantile_buckets
+
+    out = quantile_buckets(
+        _scored(spark), "ppl", "lang", n_buckets=3,
+        labels=["head", "middle", "tail"], id_col="doc_id",
+    ).filter(F.col("lang") == "0")
+    rows = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # lang 0 holds ids 0,3,...,87; lowest third (0..27) must be head, top third tail
+    assert rows[0] == "head" and rows[27] == "head"
+    assert rows[30] == "middle" and rows[57] == "middle"
+    assert rows[60] == "tail" and rows[87] == "tail"
+
+
+def test_quantile_buckets_label_count_mismatch(spark):
+    from jsonschema_spark.operators.sampling import quantile_buckets
+
+    with pytest.raises(ValueError):
+        quantile_buckets(_scored(spark), "ppl", "lang", n_buckets=3, labels=["a", "b"])
+
+
+def test_bucket_by_thresholds_agrees_on_separated_values(spark):
+    """The sketch-threshold scale path must agree with exact ntile when
+    values are distinct (no ties, accuracy ample for the group size)."""
+    from jsonschema_spark.operators.sampling import bucket_by_thresholds, quantile_buckets
+
+    d = _scored(spark)
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in quantile_buckets(
+            d, "ppl", "lang", n_buckets=3, labels=["head", "middle", "tail"], id_col="doc_id"
+        ).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in bucket_by_thresholds(
+            d, "ppl", "lang", n_buckets=3, labels=["head", "middle", "tail"]
+        ).collect()
+    }
+    agree = sum(exact[k] == approx[k] for k in exact)
+    assert agree >= 0.9 * len(exact)  # boundary rows may differ by one bucket
+
+
+def test_bucket_by_thresholds_no_sort_exchange(spark):
+    """Plan gate: the scale path must broadcast the cut points — no
+    per-group Sort over the corpus, no window."""
+    from jsonschema_spark.operators.sampling import bucket_by_thresholds
+
+    out = bucket_by_thresholds(_scored(spark), "ppl", "lang", n_buckets=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

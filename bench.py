@@ -65,6 +65,7 @@ HEADLINE = [
     "top_bigram_docs",
     "boilerplate_docs",
     "clean_boilerplate_docs",
+    "substring_dup_docs",
     "contamination_docs",
     "perplexity_docs",
     "ppl_buckets_docs",

@@ -32,6 +32,8 @@ __all__ = [
     "duplicate_clusters",
     "dedup_corpus",
     "dedup_against",
+    "window_hashes",
+    "window_dup_stats",
 ]
 
 
@@ -631,4 +633,70 @@ def dedup_against(
         exact_hits.select("id", F.lit("exact_dup").alias("status"), "match_id")
         .unionByName(near_hits.select("id", F.lit("near_dup").alias("status"), "match_id"))
         .unionByName(kept)
+    )
+
+
+def window_hashes(col: Column, k: int = 8) -> Column:
+    """Distinct md5 hashes of every rolling k-token window of a text column,
+    built in ONE projection (``sequence`` + ``transform`` + ``slice`` over the
+    staged token array — no explode, no shuffle). Docs with fewer than k
+    tokens produce an empty array. md5 keeps the family engine-portable so
+    DuckDB oracles can replay it verbatim."""
+    toks = tokens(col)
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def window_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-window statistics per document (the
+    token-window analogue of Lee et al.'s exact-substring dedup, at the
+    granularity the repo's other dedup ops use: a window is duplicated when
+    its hash occurs in >= `min_docs` DISTINCT documents).
+
+    Returns (id, n_windows, n_dup, dup_frac, keep) for EVERY input doc —
+    docs shorter than k tokens have zero windows, dup_frac 0.0, keep=true.
+
+    Scale: the exchange carries (id, 16-byte window hash) pairs only — text
+    payloads never shuffle. The corpus count is one map-side-combining
+    groupBy on the hash; the per-doc rollup joins counts back on the hash
+    key and aggregates (count, sum) in a second map-side-combining groupBy.
+    No self-join, no pair materialization — per-doc output stays linear in
+    corpus size no matter how hot a boilerplate window is (contrast a
+    pair-producing design, which is quadratic in the hottest window)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), window_hashes(F.col(text_col), k).alias("__w")
+    ).select("id", F.explode("__w").alias("wh"))
+    counts = exploded.groupBy("wh").agg(F.countDistinct("id").alias("docs_with"))
+    scored = (
+        exploded.join(counts, "wh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("docs_with") >= min_docs).cast("long")).alias("n_dup"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    frac = F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.greatest(
+        F.coalesce(F.col("n_windows"), F.lit(0)), F.lit(1)
+    )
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+        frac.alias("dup_frac"),
+        (frac < max_dup_frac).alias("keep"),
     )

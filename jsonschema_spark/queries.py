@@ -540,6 +540,38 @@ FROM totals t LEFT JOIN rebuilt r USING (id)
 """
 
 
+def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-window stats: per doc, the fraction of
+    its distinct 8-token rolling windows whose hash appears in >= 2 distinct
+    documents (the synth corpus's native near/exact duplicates make the
+    positive set non-trivial)."""
+    from jsonschema_spark.operators.dedup import window_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return window_dup_stats(d, "doc_id", "text", k=8, min_docs=2, max_dup_frac=0.5)
+
+
+ORACLE_SUBSTRING_DUP = """
+WITH t AS (SELECT doc_id AS id,
+       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+w AS (
+  SELECT id, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+  FROM t, unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+  WHERE len(toks) >= 8),
+d AS (SELECT DISTINCT id, wh FROM w),
+c AS (SELECT wh, count(DISTINCT id) AS docs_with FROM d GROUP BY 1),
+s AS (SELECT d.id, count(*) AS n_windows,
+             CAST(sum(CAST(c.docs_with >= 2 AS INT)) AS BIGINT) AS n_dup
+      FROM d JOIN c USING (wh) GROUP BY 1)
+SELECT i.id, CAST(coalesce(s.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(coalesce(s.n_dup, 0) AS DOUBLE) / greatest(coalesce(s.n_windows, 0), 1) AS dup_frac,
+       CAST(coalesce(s.n_dup, 0) AS DOUBLE) / greatest(coalesce(s.n_windows, 0), 1) < 0.5 AS keep
+FROM (SELECT doc_id AS id FROM documents) i LEFT JOIN s USING (id)
+"""
+
+
 def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: docs with doc_id%10==0 act as the
     frozen eval suite; every other doc is scored by the fraction of its
@@ -2166,6 +2198,7 @@ def all_queries():
         "boilerplate_docs": boilerplate_docs,
         "contamination_docs": contamination_docs,
         "clean_boilerplate_docs": clean_boilerplate_docs,
+        "substring_dup_docs": substring_dup_docs,
         "perplexity_docs": perplexity_docs,
         "quality_model_docs": quality_model_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
@@ -2241,6 +2274,7 @@ def all_oracles():
         "boilerplate_docs": ORACLE_BOILERPLATE,
         "contamination_docs": ORACLE_CONTAMINATION,
         "clean_boilerplate_docs": ORACLE_CLEAN_BOILERPLATE,
+        "substring_dup_docs": ORACLE_SUBSTRING_DUP,
         "perplexity_docs": ORACLE_PERPLEXITY,
         "quality_model_docs": ORACLE_QUALITY_MODEL,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,

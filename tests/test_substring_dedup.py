@@ -1,0 +1,57 @@
+"""ExactSubstr-style k-token-window dedup (operators/dedup.window_dup_stats):
+unit semantics on hand-built docs + the plan-shape gate (hash-only exchange,
+zero Python, no self-join / pair materialization)."""
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.dedup import window_dup_stats, window_hashes
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_dup_stats_semantics(spark):
+    # a/b share an 8-token run ("one two ... eight"); c is unique; d too short
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix words here then " + shared + " and a different tail entirely"),
+            (3, "totally unrelated content with enough tokens to form many windows here now"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in window_dup_stats(docs, "doc_id", "text", k=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1: 16 tokens -> 9 windows, exactly 1 (the shared run) duplicated
+    assert out[1]["n_windows"] == 9 and out[1]["n_dup"] == 1
+    assert out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["keep"]
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0 and out[4]["keep"]
+    # dup_frac is n_dup / n_windows
+    assert abs(out[1]["dup_frac"] - 1 / 9) < 1e-9
+
+
+def test_window_hashes_distinct_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [("a b c a b c a b c",), ("x y",)], "text string"
+    ).select(F.size(window_hashes(F.col("text"), 3)).alias("n"))
+    ns = sorted(r["n"] for r in df.collect())
+    # 9 tokens -> 7 windows but only 3 distinct cyclic patterns; short doc -> 0
+    assert ns == [0, 3]
+
+
+def test_window_dup_stats_plan_no_python_no_selfjoin(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(window_dup_stats(docs, "doc_id", "text", k=8))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # linear pipeline: window-hash count join + per-doc rollup + base re-join —
+    # no CartesianProduct / no bucket self-join that could go quadratic
+    assert "CartesianProduct" not in p
+    # text payloads must not travel through the counting exchange: every
+    # Exchange's output carries only ids/hashes/counts, never the text column
+    for seg in p.split("Exchange")[1:]:
+        first = seg.splitlines()[0]
+        assert "text#" not in first, f"text payload shuffled: {first}"

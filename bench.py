@@ -72,6 +72,7 @@ HEADLINE = [
     "quality_model_docs",
     "redact_pii_docs",
     "domain_stats_docs",
+    "url_dedup_docs",
     "pack_docs",
     "token_count_by_lang",
     "fingerprint_docs",

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats"]
+__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -144,4 +144,49 @@ def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_urls"),
             F.countDistinct("id").alias("n_docs"),
         )
+    )
+
+
+def canonicalize_url(col: Column) -> Column:
+    """SURT-style URL canonicalization (the key under which web-crawl
+    pipelines dedup by URL): strip the fragment, drop tracking params
+    (utm_*, fbclid, gclid), lowercase scheme and host, remove the scheme's
+    default port (:80 http / :443 https), and trim trailing slashes off the
+    path. One projection of chained regexp ops — the regexes stay in the
+    lookaround-free subset shared by Java regex and RE2-family engines so
+    DuckDB oracles replay the exact rule."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid)=[^&]*&?", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    return F.concat(scheme, F.lit("://"), host, path, F.when(query == "?", F.lit("")).otherwise(query))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level dedup: (id, canonical_url, group_size, keep) where keep
+    marks the lowest id per canonical URL — the crawl-frontier dedup that
+    runs BEFORE any content fetch/compare.
+
+    Scale: canonicalization is a narrow projection; the group roll-up is one
+    map-side-combining groupBy on the canonical key carrying (min_id, count)
+    — 2 small columns — and the verdict re-join is a shuffle hash join on the
+    same key, so the exchange never carries payloads and reuses the
+    partitioning. No window function (a per-group window would sort every
+    group; min-id semantics only need the commutative agg)."""
+    canon = df.select(F.col(id_col).alias("id"), canonicalize_url(F.col(url_col)).alias("canonical_url"))
+    groups = canon.groupBy("canonical_url").agg(
+        F.min("id").alias("__keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return canon.join(groups, "canonical_url").select(
+        "id",
+        "canonical_url",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("id") == F.col("__keep_id")).alias("keep"),
     )

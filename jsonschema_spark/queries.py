@@ -1520,6 +1520,69 @@ FROM e GROUP BY 1
 """
 
 
+def url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over injected URL variants: 4 surface forms per
+    canonical URL (plain / uppercase-host+default-port / utm+fragment /
+    trailing slash) that all canonicalize to the same key; the small moduli
+    force cross-doc groups so both the canonicalizer and the keep-lowest-id
+    rule are non-vacuous."""
+    from jsonschema_spark.operators.text import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 5).cast("string")
+    p = (F.col("doc_id") % 20).cast("string")
+    q = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://site"), h, F.lit(".example.com/p/"), p, F.lit("?id="), q))
+        .when(v == 1, F.concat(F.lit("HTTP://Site"), h, F.lit(".Example.COM:80/p/"), p, F.lit("?id="), q))
+        .when(v == 2, F.concat(F.lit("http://site"), h, F.lit(".example.com/p/"), p, F.lit("?id="), q, F.lit("&utm_source=news#frag")))
+        .otherwise(F.concat(F.lit("http://site"), h, F.lit(".example.com/p/"), p, F.lit("/?id="), q))
+    )
+    injected = d.select("doc_id", url.alias("url"))
+    return url_dedup(injected, "doc_id", "url")
+
+
+ORACLE_URL_DEDUP = r"""
+WITH injected AS (
+  SELECT doc_id AS id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR)
+      WHEN 1 THEN 'HTTP://Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM:80/p/' || CAST(doc_id % 20 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR)
+      WHEN 2 THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_source=news#frag'
+      ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id % 20 AS VARCHAR) || '/?id=' || CAST(doc_id % 10 AS VARCHAR)
+    END AS url
+  FROM documents),
+c2 AS (
+  SELECT id,
+         regexp_replace(
+           regexp_replace(regexp_replace(url, '#.*$', ''), '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+           '[?&]+$', '') AS u
+  FROM injected),
+parts AS (
+  SELECT id,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1) AS rest
+  FROM c2),
+canon AS (
+  SELECT id,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END ||
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') ||
+         CASE WHEN regexp_extract(rest, '(\?.*)$', 1) = '?' THEN ''
+              ELSE regexp_extract(rest, '(\?.*)$', 1) END AS canonical_url
+  FROM parts),
+g AS (SELECT canonical_url, min(id) AS keep_id, count(*) AS group_size
+      FROM canon GROUP BY 1)
+SELECT c.id, c.canonical_url, CAST(g.group_size AS BIGINT) AS group_size,
+       c.id = g.keep_id AS keep
+FROM canon c JOIN g USING (canonical_url)
+"""
+
+
 def _oracle_redact_pii() -> str:
     from jsonschema_spark.operators.text import PII_PATTERNS
 
@@ -2242,6 +2305,7 @@ def all_queries():
         "ppl_buckets_docs": ppl_buckets_docs,
         "redact_pii_docs": redact_pii_docs,
         "domain_stats_docs": domain_stats_docs,
+        "url_dedup_docs": url_dedup_docs,
         "pack_docs": pack_docs,
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
@@ -2318,6 +2382,7 @@ def all_oracles():
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,
         "redact_pii_docs": _oracle_redact_pii(),
         "domain_stats_docs": ORACLE_DOMAIN_STATS,
+        "url_dedup_docs": ORACLE_URL_DEDUP,
         "pack_docs": ORACLE_PACK_DOCS,
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,

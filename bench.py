@@ -73,6 +73,7 @@ HEADLINE = [
     "redact_pii_docs",
     "domain_stats_docs",
     "url_dedup_docs",
+    "domain_quota_docs",
     "pack_docs",
     "token_count_by_lang",
     "fingerprint_docs",

@@ -23,6 +23,7 @@ __all__ = [
     "deterministic_sample_n",
     "quantile_buckets",
     "bucket_by_thresholds",
+    "group_quota",
 ]
 
 
@@ -200,3 +201,53 @@ def bucket_by_thresholds(
     else:
         bucket = tile
     return joined.withColumn(bucket_col, bucket).drop("__cuts")
+
+
+def group_quota(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    *,
+    n: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-group quota sampling: keep the top-`n` rows of every group by
+    (score DESC, id ASC — deterministic tiebreak). The curation step that
+    caps hot domains / sources so no single origin dominates a training mix.
+
+    Scale: exact top-n per group WITHOUT sorting whole groups on one task.
+    Phase 1 splits each group into `salt_buckets` hash buckets of the id and
+    ranks inside (group, bucket) — a group's global top-n rows each win
+    their own bucket's top-n, so the survivor set (≤ n·salt_buckets per
+    group, regardless of group size) provably contains the answer. Phase 2
+    re-ranks the survivors per group. A billion-row hot domain costs two
+    bounded window sorts instead of one 10^9-row sort on a single key; both
+    exchanges carry (id, group, score) only."""
+    w_id = F.col(id_col)
+    bucket = F.pmod(F.xxhash64(w_id.cast("string")), F.lit(salt_buckets))
+    slim = df.select(
+        w_id.alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("score"),
+        bucket.alias("__b"),
+    )
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("grp", "__b").orderBy(F.desc("score"), F.asc("id"))
+    survivors = (
+        slim.withColumn("__r", F.row_number().over(local))
+        .filter(F.col("__r") <= n)
+        .drop("__r", "__b")
+    )
+    final = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= n)
+        .select(
+            "id",
+            F.col("grp").alias(group_col),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1583,6 +1583,32 @@ FROM canon c JOIN g USING (canonical_url)
 """
 
 
+def domain_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap every (injected) domain at its 5
+    highest-scoring docs (score = n_chars, id tiebreak) — the salted
+    two-phase exact top-n that never sorts a whole hot domain on one task."""
+    from jsonschema_spark.operators.sampling import group_quota
+
+    d = _t(spark, sf_dir, "documents")
+    dom = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.com"))
+    slim = d.select("doc_id", dom.alias("domain"), F.col("n_chars").alias("score"))
+    return group_quota(slim, "doc_id", "domain", "score", n=5)
+
+
+ORACLE_DOMAIN_QUOTA = """
+WITH t AS (
+  SELECT doc_id AS id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+         n_chars AS score
+  FROM documents),
+r AS (
+  SELECT id, domain, score,
+         row_number() OVER (PARTITION BY domain ORDER BY score DESC, id ASC) AS rnk
+  FROM t)
+SELECT id, domain, score, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+"""
+
+
 def _oracle_redact_pii() -> str:
     from jsonschema_spark.operators.text import PII_PATTERNS
 
@@ -2306,6 +2332,7 @@ def all_queries():
         "redact_pii_docs": redact_pii_docs,
         "domain_stats_docs": domain_stats_docs,
         "url_dedup_docs": url_dedup_docs,
+        "domain_quota_docs": domain_quota_docs,
         "pack_docs": pack_docs,
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
@@ -2383,6 +2410,7 @@ def all_oracles():
         "redact_pii_docs": _oracle_redact_pii(),
         "domain_stats_docs": ORACLE_DOMAIN_STATS,
         "url_dedup_docs": ORACLE_URL_DEDUP,
+        "domain_quota_docs": ORACLE_DOMAIN_QUOTA,
         "pack_docs": ORACLE_PACK_DOCS,
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,

@@ -88,6 +88,7 @@ HEADLINE = [
     "cosine_near_dup_lsh",
     "ivf_topk_embeddings",
     "kmeans_cells_embeddings",
+    "pq_topk_embeddings",
     "semantic_dedup_embeddings",
 ]
 

@@ -14,6 +14,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "fit_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "cosine_similarity",
     "brute_force_topk",
     "hyperplane_projections",
@@ -714,3 +717,127 @@ def ivf_topk(
         ),
     )
     return ranked.filter(F.col("rank") <= k).select("query_id", "neighbor_id", "rank", "cosine")
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """Product-quantization codebooks: split the d-dim space into `m`
+    contiguous subspaces of d/m dims and fit an independent `ksub`-cell
+    Lloyd's model per subspace (same deterministic recipe as
+    `fit_kmeans_centroids`: lowest-id seeds, affinity argmax with
+    lowest-cell ties, empty cells keep their centroid). Returns one model
+    per subspace, each in the standard [(cell, centroid, norm)] shape.
+
+    PQ is the memory path for embeddings at 10^12 rows: m log2(ksub)-bit
+    codes replace 4·d bytes per vector (64-dim float32 → 4 bytes at
+    m=4/ksub=256, a 64× compression), and the fit cost is m small k-means
+    runs over subvector projections (each a narrow slice — column pruning
+    means the scan reads the embedding column once per run)."""
+    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty corpus")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sl = emb.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__sv"),
+        )
+        books.append(
+            fit_kmeans_centroids(sl, ksub, n_iters=n_iters, id_col=id_col, vec_col="__sv")
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append `out_col`: array<int> of m PQ codes — per subspace, the index
+    of the nearest sub-centroid in squared Euclidean distance (affinity
+    identity argmin ||v−c||² == argmax (v·c − ½||c||²), ties to the lowest
+    code). ONE narrow projection against compile-time codebook literals —
+    the same no-crossJoin / no-window shape as `kmeans_assign`, m times in
+    the same expression tree. One row in, one row out at any corpus size."""
+    sub = len(codebooks[0][0][1])
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        cents = [list(c[1]) for c in book]
+        half = [0.5 * _py_dot(c, c) for c in cents]
+        sv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        affs = F.zip_with(
+            centroid_dots(sv, cents),
+            F.array(*[F.lit(h) for h in half]),
+            lambda d, h: d - h,
+        )
+        code_cols.append((F.array_position(affs, F.array_max(affs)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*code_cols))
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus to m-byte codes, then
+    score every (query, code) pair with the ADC approximation
+    dist²(q, v) ≈ Σ_s (||q_s||² − 2 q_s·c_{s,code_s} + ||c_{s,code_s}||²)
+    and keep the k smallest per query (ties to the lowest neighbor id).
+    Queries: (query_id, query_vec).
+
+    Scale shape: the codebooks ride as literals; corpus rows carry only
+    (id, m codes) into the scan — the full embedding column is needed once
+    for encoding and never again (at production scale you'd persist the
+    codes table and amortize encoding across every query batch). The query
+    side broadcasts, so scoring is a broadcast nested-loop over compact
+    codes — the sequential code-scan ADC is, by construction. Compose with
+    IVF cells (`ivf_topk`'s assignment) to prune the scan to probed cells;
+    per-query ranking is a bounded window over the scan output."""
+    enc = pq_encode(emb, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    sub = len(codebooks[0][0][1])
+    cent_lit = F.array(
+        *[F.array(*[F.lit(list(c[1])) for c in book]) for book in codebooks]
+    )
+    cnorm2_lit = F.array(
+        *[F.array(*[F.lit(_py_dot(list(c[1]), list(c[1]))) for c in book]) for book in codebooks]
+    )
+    q = queries.select("query_id", "query_vec")
+    joined = enc.crossJoin(F.broadcast(q))
+    terms = []
+    for s in range(len(codebooks)):
+        qs = F.slice(F.col("query_vec"), s * sub + 1, sub)
+        sel = F.element_at(F.element_at(cent_lit, s + 1), F.col("codes")[s] + 1)
+        cn2 = F.element_at(F.element_at(cnorm2_lit, s + 1), F.col("codes")[s] + 1)
+        terms.append(cn2 - F.lit(2.0) * _dot(qs, sel))
+    dist = _dot(F.col("query_vec"), F.col("query_vec"))
+    for t in terms:
+        dist = dist + t
+    scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "adc_dist"
+    )

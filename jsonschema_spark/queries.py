@@ -2316,6 +2316,7 @@ def all_queries():
         "cosine_near_dup_exact": cosine_near_dup_exact,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "kmeans_cells_embeddings": kmeans_cells_embeddings,
+        "pq_topk_embeddings": pq_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "containment_pairs_docs": containment_pairs_docs,
@@ -2394,6 +2395,7 @@ def all_oracles():
         "cosine_near_dup_exact": ORACLE_COSINE_NEAR_DUP,
         "ivf_topk_embeddings": ORACLE_IVF_TOPK,
         "kmeans_cells_embeddings": _oracle_kmeans(),
+        "pq_topk_embeddings": _oracle_pq_topk(),
         "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "containment_pairs_docs": _oracle_containment(),
@@ -2606,6 +2608,88 @@ SELECT f.cell, count(*) AS n_vectors,
 FROM final f JOIN m2 m USING (cell)
 GROUP BY f.cell, m.c
 """
+
+
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: fit 4 subspace codebooks (4 cells each, one
+    Lloyd iteration, lowest-id seeds), encode the corpus to 4-code arrays,
+    and answer 3 queries by asymmetric-distance top-5 over the codes. The
+    oracle replays the whole chain — per-subspace k-means, encoding, ADC —
+    as unrolled SQL."""
+    from jsonschema_spark.operators.simsearch import fit_pq_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    key = ("pq", sf_dir, 4, 4, 1)
+    if key not in _CENTROID_MODELS:
+        _CENTROID_MODELS[key] = fit_pq_codebooks(emb, m=4, ksub=4, n_iters=1)
+    books = _CENTROID_MODELS[key]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(emb, queries, books, k=5)
+    return out.select("query_id", "neighbor_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def _oracle_pq_topk(m: int = 4, ksub: int = 4, dim: int = 64) -> str:
+    """The PQ chain unrolled: per subspace — lowest-id seeds, one Lloyd
+    assign+update (empty cells keep their seed), final encode — then ADC
+    scoring ||q||² + Σ_s (||c_s||² − 2 q_s·c_s) with (dist ASC, id ASC)
+    ranking, mirroring the engine's fold orders term by term."""
+    sub = dim // m
+    assign = (
+        "SELECT vec_id, cell FROM ("
+        "SELECT cv.vec_id, mm.cell, row_number() OVER (PARTITION BY cv.vec_id ORDER BY "
+        "list_dot_product(cv.v, mm.c) - 0.5 * list_dot_product(mm.c, mm.c) DESC, mm.cell ASC) AS rn "
+        "FROM {src} cv, {cents} mm) WHERE rn = 1"
+    )
+    ctes = ["corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"c{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM corpus)")
+        ctes.append(
+            f"seed{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c "
+            f"FROM (SELECT vec_id, v FROM c{s} ORDER BY vec_id LIMIT {ksub}))"
+        )
+        ctes.append(f"a{s} AS ({assign.format(src=f'c{s}', cents=f'seed{s}')})")
+        ctes.append(
+            f"m{s} AS (SELECT p.cell, coalesce(u.c, p.c) AS c FROM seed{s} p LEFT JOIN ("
+            f"SELECT cell, list(mval ORDER BY i) AS c FROM ("
+            f"SELECT a.cell, t.i, avg(list_extract(cv.v, t.i)) AS mval "
+            f"FROM a{s} a JOIN c{s} cv USING (vec_id), range(1, {sub + 1}) t(i) "
+            f"GROUP BY a.cell, t.i) GROUP BY cell) u USING (cell))"
+        )
+        ctes.append(f"f{s} AS ({assign.format(src=f'c{s}', cents=f'm{s}')})")
+    ctes.append("q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 3)")
+    dist_terms = ["list_dot_product(q.qv, q.qv)"]
+    joins = ["q CROSS JOIN f0"]
+    for s in range(m):
+        if s > 0:
+            joins.append(f"JOIN f{s} USING (vec_id)")
+        joins.append(f"JOIN m{s} ON m{s}.cell = f{s}.cell")
+        lo, hi = s * sub + 1, (s + 1) * sub
+        dist_terms.append(
+            f"(list_dot_product(m{s}.c, m{s}.c) - 2 * list_dot_product(list_slice(q.qv, {lo}, {hi}), m{s}.c))"
+        )
+    ctes.append(
+        "scored AS (SELECT q.query_id, f0.vec_id AS neighbor_id, "
+        + " + ".join(dist_terms)
+        + " AS adc FROM "
+        + " ".join(joins)
+        + ")"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk, adc "
+        "FROM scored)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, round(adc, 6) AS adc_dist "
+        "FROM ranked WHERE rnk <= 5"
+    )
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

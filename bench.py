@@ -89,6 +89,7 @@ HEADLINE = [
     "ivf_topk_embeddings",
     "kmeans_cells_embeddings",
     "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
     "semantic_dedup_embeddings",
 ]
 

@@ -17,6 +17,7 @@ __all__ = [
     "fit_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "cosine_similarity",
     "brute_force_topk",
     "hyperplane_projections",
@@ -831,6 +832,89 @@ def pq_topk(
     dist = _dot(F.col("query_vec"), F.col("query_vec"))
     for t in terms:
         dist = dist + t
+    scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "adc_dist"
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple]],
+    centroids: list[tuple],
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ: coarse-quantize the corpus into inverted lists (squared-
+    Euclidean argmin against `centroids`, the same affinity identity as
+    `kmeans_assign`), PQ-encode every vector, and answer queries by ADC
+    scoring ONLY the codes in each query's `n_probe` closest cells — the
+    production ANN layout where neither raw vectors nor the full code table
+    are scanned per query.
+
+    One corpus pass computes cell + codes in a single projection (both are
+    literal folds); the scored relation is a broadcast join of query probes
+    against the (cell-keyed) code table, so per-query work is
+    |probed cells| · codes-per-cell, not |corpus|. Non-residual variant
+    (codes encode raw vectors): the classic residual refinement changes only
+    `pq_encode`'s input (v − centroid[cell]) and is orthogonal to the plan
+    shape. Ranking ties break to the lowest neighbor id."""
+    enc = pq_encode(
+        kmeans_assign(emb, centroids, vec_col=vec_col, out_col="cell"),
+        codebooks,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+
+    cent_ids = [c[0] for c in centroids]
+    cent_vecs = [list(c[1]) for c in centroids]
+    half_sq = [0.5 * _py_dot(c, c) for c in cent_vecs]
+    id_lit = F.array(*[F.lit(i) for i in cent_ids])
+    affs = F.zip_with(
+        centroid_dots("query_vec", cent_vecs),
+        F.array(*[F.lit(h) for h in half_sq]),
+        lambda d, h: d - h,
+    )
+    probe = F.slice(
+        F.array_sort(
+            F.zip_with(
+                affs,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda a, i: F.struct((-a).alias("neg_aff"), i.alias("idx")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    query_cells = (
+        queries.select("query_id", "query_vec")
+        .select("query_id", "query_vec", F.explode(probe).alias("__p"))
+        .select(
+            "query_id", "query_vec", F.element_at(id_lit, F.col("__p.idx") + 1).alias("cell")
+        )
+    )
+
+    sub = len(codebooks[0][0][1])
+    cent_lit = F.array(*[F.array(*[F.lit(list(c[1])) for c in book]) for book in codebooks])
+    cnorm2_lit = F.array(
+        *[F.array(*[F.lit(_py_dot(list(c[1]), list(c[1]))) for c in book]) for book in codebooks]
+    )
+    joined = enc.join(F.broadcast(query_cells), "cell")
+    dist = _dot(F.col("query_vec"), F.col("query_vec"))
+    for s in range(len(codebooks)):
+        qs = F.slice(F.col("query_vec"), s * sub + 1, sub)
+        sel = F.element_at(F.element_at(cent_lit, s + 1), F.col("codes")[s] + 1)
+        cn2 = F.element_at(F.element_at(cnorm2_lit, s + 1), F.col("codes")[s] + 1)
+        dist = dist + (cn2 - F.lit(2.0) * _dot(qs, sel))
     scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
     ranked = scored.withColumn(
         "rank",

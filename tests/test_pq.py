@@ -79,3 +79,33 @@ def test_topk_plan_broadcasts_queries(spark):
     p = _plan(pq_topk(emb, q, books, k=3))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ivfpq_prunes_to_probed_cells_and_finds_cluster(spark):
+    from jsonschema_spark.operators.simsearch import fit_centroids, ivfpq_topk
+
+    emb = _clustered(spark)
+    books = fit_pq_codebooks(emb, m=2, ksub=2, n_iters=1)
+    cents = fit_centroids(emb, 2, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivfpq_topk(emb, q, books, cents, k=3, n_probe=1).collect()
+    # probing ONE cell still finds the query's own (negative) cluster
+    assert all(r["neighbor_id"] >= 5 for r in top)
+    assert len(top) == 3
+
+
+def test_ivfpq_plan_broadcasts_probes_no_python(spark):
+    from jsonschema_spark.operators.simsearch import fit_centroids, ivfpq_topk
+
+    emb = _clustered(spark)
+    books = fit_pq_codebooks(emb, m=2, ksub=2, n_iters=1)
+    cents = fit_centroids(emb, 2, id_col="vec_id", vec_col="embedding")
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = _plan(ivfpq_topk(emb, q, books, cents, k=3, n_probe=1))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p, "query probes must broadcast onto the code table"
+    assert "CartesianProduct" not in p

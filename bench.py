@@ -79,6 +79,7 @@ HEADLINE = [
     "fingerprint_docs",
     "sample_split_docs",
     "stratified_sample_docs",
+    "mixture_sample_docs",
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",

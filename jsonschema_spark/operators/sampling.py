@@ -24,6 +24,7 @@ __all__ = [
     "quantile_buckets",
     "bucket_by_thresholds",
     "group_quota",
+    "mixture_sample",
 ]
 
 
@@ -251,3 +252,57 @@ def group_quota(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    targets: dict[str, float],
+    out_frac: float,
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture resampling (Pile/Dolma-style source
+    mixing): keep a hash-selected subset sized ~`out_frac` of the corpus
+    whose group proportions follow `targets` (renormalized over the groups
+    present). Per group, the keep fraction is
+    ``least(1, (t_g / Σt) · (out_frac · N_total) / n_g)`` — groups short of
+    their quota keep everything they have (single-pass semantics: leftover
+    quota is NOT redistributed; water-filling is a driver-side loop over the
+    tiny per-group plan if a caller needs it). Groups absent from `targets`
+    are dropped.
+
+    Scale: group counts are ONE map-side-combining groupBy; the per-group
+    plan (a few rows) broadcasts back onto the corpus, and membership is the
+    same md5 hash-range rule as every sampler here — no RNG, no shuffle of
+    payloads, stable under corpus growth of OTHER groups (a doc's fate
+    changes only when its own group's count or target changes). The keep
+    fractions are computed entirely in JVM double arithmetic (no Python
+    float round-trip), so an external SQL engine replaying the same
+    expression gets bit-identical thresholds; dyadic-rational targets make
+    the Σt fold exact in any summation order."""
+    t_map = F.create_map(
+        *[l for k, v in sorted(targets.items()) for l in (F.lit(k), F.lit(float(v)))]
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    counts = (
+        base.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+        .withColumn("t_g", F.coalesce(F.element_at(t_map, F.col("grp")), F.lit(0.0)))
+    )
+    tot = counts.agg(F.sum("n_g").alias("n_total"), F.sum("t_g").alias("t_sum"))
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.least(
+            F.lit(1.0),
+            F.col("t_g")
+            / F.col("t_sum")
+            * (F.lit(float(out_frac)) * F.col("n_total"))
+            / F.col("n_g"),
+        ).alias("frac"),
+    )
+    kept = base.join(F.broadcast(plan), "grp").filter(
+        hash_fraction(F.col("id"), salt) < F.col("frac")
+    )
+    return kept.select("id", "grp")

@@ -1681,6 +1681,43 @@ WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS 
 """
 
 
+_MIXTURE_TARGETS = {"en": 0.5, "zh": 0.25, "de": 0.125, "es": 0.0625, "fr": 0.0625}
+
+
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: draw ~50% of the corpus with language
+    proportions en:zh:de:es:fr = 8:4:2:1:1 (dyadic targets — the Σt fold is
+    exact in any summation order, keeping the JVM and oracle thresholds
+    bit-identical); under-provisioned languages keep all their docs."""
+    from jsonschema_spark.operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", _MIXTURE_TARGETS, 0.5
+    )
+
+
+def _oracle_mixture_sample() -> str:
+    case = " ".join(
+        f"WHEN '{k}' THEN CAST({v!r} AS DOUBLE)" for k, v in sorted(_MIXTURE_TARGETS.items())
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id, lang AS grp FROM documents),
+c AS (SELECT grp, count(*) AS n_g FROM t GROUP BY 1),
+c2 AS (SELECT grp, n_g,
+       CASE grp {case} ELSE CAST(0.0 AS DOUBLE) END AS t_g FROM c),
+tot AS (SELECT sum(n_g) AS n_total, sum(t_g) AS t_sum FROM c2),
+plan AS (
+  SELECT grp,
+         least(CAST(1.0 AS DOUBLE),
+               t_g / t_sum * (CAST(0.5 AS DOUBLE) * n_total) / n_g) AS frac
+  FROM c2, tot)
+SELECT t.id, t.grp FROM t JOIN plan USING (grp)
+WHERE CAST(('0x' || substr(md5('mix' || CAST(t.id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / POWER(2, 60)
+      < plan.frac
+"""
+
+
 def dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (est_jaccard ≥ 0.5) → connected components →
     (doc_id, cluster_id): the step that turns pairwise near-dup evidence
@@ -2328,6 +2365,7 @@ def all_queries():
         "dup_clusters_docs": dup_clusters_docs,
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
+        "mixture_sample_docs": mixture_sample_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
@@ -2408,6 +2446,7 @@ def all_oracles():
         "dup_clusters_docs": _oracle_dup_clusters(),
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
+        "mixture_sample_docs": _oracle_mixture_sample(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,

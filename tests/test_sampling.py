@@ -191,3 +191,58 @@ def test_bucket_by_thresholds_no_sort_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        rows = [(i, "a" if i % 4 != 3 else "b") for i in range(400)]
+        rows += [(1000 + i, "rare") for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def test_proportions_and_caps(self, spark):
+        from jsonschema_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        # targets 50/25/25, out_frac 0.5 over 405 docs -> quotas ~101/51/51;
+        # 'rare' has only 5 docs -> capped at frac 1.0, keeps all 5
+        out = mixture_sample(df, "doc_id", "grp", {"a": 0.5, "b": 0.25, "rare": 0.25}, 0.5)
+        got = {g: 0 for g in ("a", "b", "rare")}
+        for r in out.collect():
+            got[r["grp"]] += 1
+        assert got["rare"] == 5
+        assert 80 <= got["a"] <= 125  # ~101 expected, hash variance
+        assert 35 <= got["b"] <= 70  # ~51 expected
+
+    def test_untargeted_groups_dropped_and_deterministic(self, spark):
+        from jsonschema_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        out1 = sorted(r["id"] for r in mixture_sample(df, "doc_id", "grp", {"a": 1.0}, 0.25).collect())
+        out2 = sorted(r["id"] for r in mixture_sample(df, "doc_id", "grp", {"a": 1.0}, 0.25).collect())
+        assert out1 == out2
+        kept_groups = {r["grp"] for r in mixture_sample(df, "doc_id", "grp", {"a": 1.0}, 0.25).collect()}
+        assert kept_groups == {"a"}
+
+    def test_membership_stable_under_other_group_growth(self, spark):
+        from jsonschema_spark.operators.sampling import mixture_sample
+
+        df = self._docs(spark)
+        grown = df.unionByName(
+            spark.createDataFrame([(5000 + i, "b") for i in range(200)], "doc_id long, grp string")
+        )
+        kept_a_before = {r["id"] for r in mixture_sample(df, "doc_id", "grp", {"a": 0.5, "b": 0.5}, 0.25).collect() if r["grp"] == "a"}
+        kept_a_after = {r["id"] for r in mixture_sample(grown, "doc_id", "grp", {"a": 0.5, "b": 0.5}, 0.25).collect() if r["grp"] == "a"}
+        # group a's count and target are unchanged; N_total grew, so a's
+        # quota can only grow — the before-set must survive intact
+        assert kept_a_before <= kept_a_after
+
+    def test_plan_broadcasts_group_plan_no_python(self, spark):
+        from jsonschema_spark.operators.sampling import mixture_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = mixture_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5}, 0.5)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "BroadcastHashJoin" in p
+        for seg in p.split("Exchange")[1:]:
+            assert "text#" not in seg.splitlines()[0]

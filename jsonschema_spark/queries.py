@@ -547,7 +547,7 @@ def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive set non-trivial)."""
     from jsonschema_spark.operators.dedup import window_dup_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", hot=True)
     return window_dup_stats(d, "doc_id", "text", k=8, min_docs=2, max_dup_frac=0.5)
 
 

@@ -80,6 +80,7 @@ HEADLINE = [
     "sample_split_docs",
     "stratified_sample_docs",
     "mixture_sample_docs",
+    "keywords_tfidf_docs",
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",

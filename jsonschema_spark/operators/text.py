@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup"]
+__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -189,4 +189,61 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         "canonical_url",
         F.col("group_size").cast("long").alias("group_size"),
         (F.col("id") == F.col("__keep_id")).alias("keep"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 3,
+    vocab_size: int = 65536,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (tfidf = tf · (ln((N+1)/(df+1)) + 1), sklearn's smooth-idf): the corpus
+    analytics that feeds topic routing / near-dup triage. Returns
+    (id, term, rank, tfidf), rank 1..top_k per doc, ties broken
+    (tfidf DESC, term ASC).
+
+    Scale: ONE explode feeds both aggregates — per-(doc,term) counts
+    (map-side combining) and document frequency (countDistinct over the
+    already-deduped (doc,term) relation, so no second pass over raw
+    tokens). The IDF relation is capped at `vocab_size` terms by
+    (df DESC, term ASC) TakeOrdered — no global sort — and broadcast back;
+    tail terms outside the cap are dropped from keyword candidacy
+    (documented contract: at 10^12 docs the long tail is hapax noise, and
+    the cap bounds the broadcast). The final per-doc top-k is a window over
+    groups bounded by per-doc vocabulary, never corpus size."""
+    from jsonschema_spark.operators.dedup import tokens as _tokens
+
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(vocab_size)
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (
+            F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = pairs.join(F.broadcast(idf), "term").select(
+        "id", "term", (F.col("tf").cast("double") * F.col("idf")).alias("tfidf")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "term", F.col("rank").cast("long").alias("rank"), "tfidf")
     )

@@ -1681,6 +1681,36 @@ WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS 
 """
 
 
+def keywords_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed TF-IDF (sklearn smooth-idf,
+    deterministic (tfidf DESC, term ASC) ties)."""
+    from jsonschema_spark.operators.text import tfidf_keywords
+
+    out = tfidf_keywords(_t(spark, sf_dir, "documents", hot=True), "doc_id", "text", top_k=3)
+    return out.select("id", "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+
+
+ORACLE_KEYWORDS_TFIDF = """
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+p AS (SELECT id, unnest(toks) AS term FROM t),
+pairs AS (SELECT id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT id) AS n_docs FROM t),
+dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+idf AS (SELECT term, ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0 AS idf FROM dfreq, nd),
+scored AS (SELECT id, pairs.term AS term, CAST(tf AS DOUBLE) * idf AS tfidf
+           FROM pairs JOIN idf USING (term)),
+ranked AS (SELECT id, term,
+                  row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rnk,
+                  tfidf
+           FROM scored)
+SELECT id, term, CAST(rnk AS BIGINT) AS rank, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rnk <= 3
+"""
+
+
 _MIXTURE_TARGETS = {"en": 0.5, "zh": 0.25, "de": 0.125, "es": 0.0625, "fr": 0.0625}
 
 
@@ -2366,6 +2396,7 @@ def all_queries():
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "mixture_sample_docs": mixture_sample_docs,
+        "keywords_tfidf_docs": keywords_tfidf_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
@@ -2447,6 +2478,7 @@ def all_oracles():
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "mixture_sample_docs": _oracle_mixture_sample(),
+        "keywords_tfidf_docs": ORACLE_KEYWORDS_TFIDF,
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,

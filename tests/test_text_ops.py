@@ -49,3 +49,42 @@ def test_domain_stats(spark):
     assert rows["a.example.com"]["n_docs"] == 2
     assert rows["other.net"]["n_urls"] == 1 and rows["other.net"]["n_docs"] == 1
     assert set(rows) == {"a.example.com", "other.net"}
+
+
+class TestTfidfKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        from jsonschema_spark.operators.text import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common common unique1"),
+                (2, "common common zebra"),
+                (3, "common filler words here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r["id"], r["rank"]): r["term"] for r in tfidf_keywords(df, "doc_id", "text", top_k=2).collect()}
+        # 'unique1' (df=1) beats 'common' (df=3) for doc 1 despite lower tf? no:
+        # tf(common)=3, idf(common)=ln(4/4)+1=1 -> 3.0; tf(unique1)=1, idf=ln(4/2)+1≈1.693
+        assert out[(1, 1)] == "common" and out[(1, 2)] == "unique1"
+        # doc 2: zebra idf 1.693 > common tf2*1.0 = 2.0? 1.693 < 2.0 -> common first
+        assert out[(2, 1)] == "common" and out[(2, 2)] == "zebra"
+
+    def test_vocab_cap_drops_tail_terms(self, spark):
+        from jsonschema_spark.operators.text import tfidf_keywords
+
+        df = spark.createDataFrame(
+            [(1, "aa aa bb"), (2, "aa bb cc"), (3, "aa dd")],
+            "doc_id long, text string",
+        )
+        # cap=2 keeps only the 2 highest-df terms (aa df=3, bb df=2)
+        out = tfidf_keywords(df, "doc_id", "text", top_k=3, vocab_size=2).collect()
+        assert {r["term"] for r in out} == {"aa", "bb"}
+
+    def test_plan_broadcasts_idf_no_python(self, spark):
+        from jsonschema_spark.operators.text import tfidf_keywords
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = tfidf_keywords(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "BroadcastHashJoin" in p

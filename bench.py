@@ -81,6 +81,7 @@ HEADLINE = [
     "stratified_sample_docs",
     "mixture_sample_docs",
     "keywords_tfidf_docs",
+    "clean_text_docs",
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",

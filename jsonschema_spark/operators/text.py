@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords"]
+__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -246,4 +246,41 @@ def tfidf_keywords(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("id", "term", F.col("rank").cast("long").alias("rank"), "tfidf")
+    )
+
+
+# Cleaning rules (order matters): each is (java/RE2-shared pattern, repl).
+# \x{...} escapes parse identically in Java regex and RE2, keeping the
+# operator oracle-expressible.
+CLEAN_RULES: list[tuple[str, str]] = [
+    # control chars except \t \n (and \r normalized to \n first)
+    (r"\r\n?", "\n"),
+    (r"[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}]", ""),
+    # zero-width space/joiners + BOM
+    (r"[\x{200B}-\x{200D}\x{FEFF}]", ""),
+    # horizontal whitespace runs -> one space
+    (r"[ \t]+", " "),
+    # spaces hugging newlines
+    (r" ?\n ?", "\n"),
+    # 3+ blank-line runs -> one blank line
+    (r"\n{3,}", "\n\n"),
+]
+
+
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pre-tokenization text normalization: CRLF → LF, strip control and
+    zero-width characters, collapse horizontal whitespace, tidy newline
+    runs, trim. Returns (id, text, n_before, n_after). One narrow projection
+    of chained regexp_replace — zero shuffle, zero Python; every pattern is
+    in the Java-regex ∩ RE2 subset so an external engine replays the exact
+    rule chain."""
+    cleaned = F.col(text_col)
+    for pat, repl in CLEAN_RULES:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    cleaned = F.trim(cleaned)
+    return df.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("text"),
+        F.length(F.col(text_col)).cast("long").alias("n_before"),
+        F.length(cleaned).cast("long").alias("n_after"),
     )

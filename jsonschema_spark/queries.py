@@ -1681,6 +1681,46 @@ WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS 
 """
 
 
+def clean_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization over injected junk (TPC-H-ish text is already
+    clean): 1-in-3 docs get a BEL control char, a zero-width space, tab
+    runs, CRLF, space-hugged newlines and a 4-newline run appended; the
+    cleaner must strip/collapse them all and report before/after lengths."""
+    from jsonschema_spark.operators.text import clean_text
+
+    d = _t(spark, sf_dir, "documents")
+    junk = F.lit("\t\t junk\u0007\u200b\r\nmid \n end\n\n\n\ntail")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.when(F.col("doc_id") % 3 == 0, junk).otherwise(F.lit(""))
+        ).alias("text"),
+    )
+    return clean_text(injected, "doc_id", "text")
+
+
+def _oracle_clean_text() -> str:
+    from jsonschema_spark.operators.text import CLEAN_RULES
+
+    expr = "text"
+    for pat, repl in CLEAN_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')".replace("\n", "' || chr(10) || '")
+    return f"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN chr(9) || chr(9) || ' junk' || chr(7) || chr(8203)
+                           || chr(13) || chr(10) || 'mid ' || chr(10) || ' end'
+                           || repeat(chr(10), 4) || 'tail'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT id, trim({expr}) AS text,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length(trim({expr})) AS BIGINT) AS n_after
+FROM injected
+"""
+
+
 def keywords_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (sklearn smooth-idf,
     deterministic (tfidf DESC, term ASC) ties)."""
@@ -2397,6 +2437,7 @@ def all_queries():
         "stratified_sample_docs": stratified_sample_docs,
         "mixture_sample_docs": mixture_sample_docs,
         "keywords_tfidf_docs": keywords_tfidf_docs,
+        "clean_text_docs": clean_text_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
@@ -2479,6 +2520,7 @@ def all_oracles():
         "stratified_sample_docs": _oracle_stratified_sample(),
         "mixture_sample_docs": _oracle_mixture_sample(),
         "keywords_tfidf_docs": ORACLE_KEYWORDS_TFIDF,
+        "clean_text_docs": _oracle_clean_text(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,

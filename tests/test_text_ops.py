@@ -88,3 +88,31 @@ class TestTfidfKeywords:
         p = tfidf_keywords(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "BroadcastHashJoin" in p
+
+
+class TestCleanText:
+    def test_rules(self, spark):
+        from jsonschema_spark.operators.text import clean_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\tb\u0007c\u200bd"),
+                (2, "x \r\n y\n\n\n\n\nz"),
+                (3, "  padded  "),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in clean_text(df, "doc_id", "text").collect()}
+        assert out[1]["text"] == "a bcd"
+        assert out[2]["text"] == "x\ny\n\nz"
+        assert out[3]["text"] == "padded"
+        assert out[4]["text"] == "" and out[4]["n_before"] == 0
+        assert out[1]["n_before"] == 7 and out[1]["n_after"] == 5
+
+    def test_plan_is_projection(self, spark):
+        from jsonschema_spark.operators.text import clean_text
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = clean_text(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p

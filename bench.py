@@ -66,6 +66,7 @@ HEADLINE = [
     "boilerplate_docs",
     "clean_boilerplate_docs",
     "substring_dup_docs",
+    "winnow_dup_docs",
     "contamination_docs",
     "perplexity_docs",
     "ppl_buckets_docs",

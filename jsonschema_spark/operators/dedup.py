@@ -34,6 +34,8 @@ __all__ = [
     "dedup_against",
     "window_hashes",
     "window_dup_stats",
+    "winnow_fingerprints",
+    "winnow_dup_stats",
 ]
 
 
@@ -696,4 +698,73 @@ def window_dup_stats(
         F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
         frac.alias("dup_frac"),
         (frac < max_dup_frac).alias("keep"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-token gram, then keep the minimum hash of each w-gram
+    sliding window — the deterministic local-minima subset that GUARANTEES
+    any shared token run of length >= w+k-1 leaves at least one common
+    fingerprint, while shrinking the per-doc fingerprint set ~w/2× versus
+    shipping every gram (the scale lever: the corpus-matching exchange
+    carries the winnowed subset, not all grams).
+
+    Returns the exploded (id, fp) relation, fp = md5 hex (lexicographic
+    rolling min — portable, oracle-replayable). Built row-locally in ONE
+    projection: gram hashes via the zip_with single pass, the rolling min
+    via w-1 chained zip_with/least folds over shifted views (least skips
+    the NULL padding, and the final slice keeps full windows only). Docs
+    with fewer than k+w-1 tokens produce no fingerprints."""
+    staged = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    hashes = F.transform(word_ngrams(F.col("__toks"), k), lambda g: F.md5(g))
+    staged = staged.select("id", hashes.alias("__h"))
+    acc = F.col("__h")
+    for i in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice(F.col("__h"), i + 1, F.size("__h")), lambda a, b: F.least(a, b)
+        )
+    fps = F.array_distinct(
+        F.slice(acc, 1, F.greatest(F.size("__h") - (w - 1), F.lit(0)))
+    )
+    return staged.select("id", F.explode(fps).alias("fp"))
+
+
+def winnow_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-fingerprint stats over the winnowed set:
+    (id, n_fps, n_shared) where n_shared counts this doc's fingerprints
+    that occur in >= `min_docs` distinct docs. Same linear two-groupBy
+    shape as `window_dup_stats`, but the exchange carries the winnowed
+    subset (~2/(w+1) of all grams) — the guarantee above says no shared
+    run of >= w+k-1 tokens is missed by the thinning."""
+    exploded = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    counts = exploded.groupBy("fp").agg(F.countDistinct("id").alias("docs_with"))
+    scored = (
+        exploded.join(counts, "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum((F.col("docs_with") >= min_docs).cast("long")).alias("n_shared"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_fps"), F.lit(0)).cast("long").alias("n_fps"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
     )

@@ -572,6 +572,41 @@ FROM (SELECT doc_id AS id FROM documents) i LEFT JOIN s USING (id)
 """
 
 
+def winnow_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint duplicate stats (MOSS-style): per doc, how many
+    of its winnowed (k=5, w=4) fingerprints occur in >= 2 distinct docs —
+    the thinned-exchange alternative to shipping every gram."""
+    from jsonschema_spark.operators.dedup import winnow_dup_stats
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    return winnow_dup_stats(d, "doc_id", "text", k=5, w=4, min_docs=2)
+
+
+ORACLE_WINNOW_DUP = """
+WITH t AS (SELECT doc_id AS id,
+       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT id, i AS pos, md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS gh
+  FROM t, unnest(range(1, len(toks) - 5 + 2)) AS r(i)
+  WHERE len(toks) >= 5),
+r AS (
+  SELECT id, pos,
+         min(gh) OVER (PARTITION BY id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY id) AS ng
+  FROM g),
+fps AS (SELECT DISTINCT id, fp FROM r WHERE pos <= ng - 3),
+c AS (SELECT fp, count(DISTINCT id) AS docs_with FROM fps GROUP BY 1),
+s AS (SELECT fps.id, count(*) AS n_fps,
+             CAST(sum(CAST(c.docs_with >= 2 AS INT)) AS BIGINT) AS n_shared
+      FROM fps JOIN c USING (fp) GROUP BY 1)
+SELECT i.id, CAST(coalesce(s.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared
+FROM (SELECT doc_id AS id FROM documents) i LEFT JOIN s USING (id)
+"""
+
+
 def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scores: docs with doc_id%10==0 act as the
     frozen eval suite; every other doc is scored by the fraction of its
@@ -2395,6 +2430,7 @@ def all_queries():
         "contamination_docs": contamination_docs,
         "clean_boilerplate_docs": clean_boilerplate_docs,
         "substring_dup_docs": substring_dup_docs,
+        "winnow_dup_docs": winnow_dup_docs,
         "perplexity_docs": perplexity_docs,
         "quality_model_docs": quality_model_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
@@ -2478,6 +2514,7 @@ def all_oracles():
         "contamination_docs": ORACLE_CONTAMINATION,
         "clean_boilerplate_docs": ORACLE_CLEAN_BOILERPLATE,
         "substring_dup_docs": ORACLE_SUBSTRING_DUP,
+        "winnow_dup_docs": ORACLE_WINNOW_DUP,
         "perplexity_docs": ORACLE_PERPLEXITY,
         "quality_model_docs": ORACLE_QUALITY_MODEL,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,

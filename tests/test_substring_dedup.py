@@ -55,3 +55,57 @@ def test_window_dup_stats_plan_no_python_no_selfjoin(spark):
     for seg in p.split("Exchange")[1:]:
         first = seg.splitlines()[0]
         assert "text#" not in first, f"text payload shuffled: {first}"
+
+
+class TestWinnowing:
+    def test_guarantee_shared_run_leaves_common_fingerprint(self, spark):
+        from jsonschema_spark.operators.dedup import winnow_fingerprints
+
+        # k=3, w=3: guarantee holds for shared runs >= w+k-1 = 5 tokens
+        shared = "alpha beta gamma delta epsilon"
+        df = spark.createDataFrame(
+            [
+                (1, "one two " + shared + " nine ten eleven"),
+                (2, shared + " completely different tail words here"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=3).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2], "winnowing guarantee violated"
+
+    def test_thinning_vs_all_grams(self, spark):
+        from jsonschema_spark.operators.dedup import winnow_fingerprints
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        n_fps = winnow_fingerprints(docs, "doc_id", "text", k=5, w=4).count()
+        # all k-gram count (non-winnowed baseline)
+        from pyspark.sql import functions as F
+        from jsonschema_spark.operators.dedup import tokens, word_ngrams
+
+        staged = docs.select(tokens(F.col("text")).alias("__toks"))
+        n_grams = (
+            staged.select(F.explode(word_ngrams(F.col("__toks"), 5)).alias("g")).count()
+        )
+        assert n_fps < 0.6 * n_grams, f"winnowing should thin: {n_fps} vs {n_grams}"
+
+    def test_short_docs_yield_nothing(self, spark):
+        from jsonschema_spark.operators.dedup import winnow_dup_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+        )
+        # 7 tokens, k=5 -> 3 grams, w=4 needs 4 -> no full window
+        out = {r["id"]: r for r in winnow_dup_stats(df, "doc_id", "text", k=5, w=4).collect()}
+        assert out[1]["n_fps"] == 0 and out[2]["n_fps"] == 0
+
+    def test_plan_no_python_no_text_shuffle(self, spark):
+        from jsonschema_spark.operators.dedup import winnow_dup_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = winnow_dup_stats(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        for seg in p.split("Exchange")[1:]:
+            assert "text#" not in seg.splitlines()[0]

@@ -94,6 +94,7 @@ HEADLINE = [
     "kmeans_cells_embeddings",
     "pq_topk_embeddings",
     "ivfpq_topk_embeddings",
+    "ivfpq_residual_topk_embeddings",
     "semantic_dedup_embeddings",
 ]
 

@@ -18,6 +18,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "fit_residual_pq_codebooks",
+    "ivfpq_residual_topk",
     "cosine_similarity",
     "brute_force_topk",
     "hyperplane_projections",
@@ -915,6 +917,118 @@ def ivfpq_topk(
         sel = F.element_at(F.element_at(cent_lit, s + 1), F.col("codes")[s] + 1)
         cn2 = F.element_at(F.element_at(cnorm2_lit, s + 1), F.col("codes")[s] + 1)
         dist = dist + (cn2 - F.lit(2.0) * _dot(qs, sel))
+    scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "adc_dist"
+    )
+
+
+def _residual_col(vec_col: str, centroids: list[tuple], cell_col: str = "cell") -> Column:
+    """v − centroid[cell], elementwise, against the compile-time centroid
+    matrix: select the row's centroid with array_position on the id literal
+    (cells carry centroid IDs, not positions), then one zip_with. Row-local."""
+    id_lit = F.array(*[F.lit(c[0]) for c in centroids])
+    cent_lit = F.array(*[F.lit(list(c[1])) for c in centroids])
+    sel = F.element_at(cent_lit, F.array_position(id_lit, F.col(cell_col)).cast("int"))
+    return F.zip_with(F.col(vec_col), sel, lambda x, c: x - c)
+
+
+def fit_residual_pq_codebooks(
+    emb: DataFrame,
+    centroids: list[tuple],
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """PQ codebooks fit on COARSE RESIDUALS (v − centroid[cell]) — the
+    FAISS IVF-PQ recipe: residuals concentrate around 0 with far less
+    variance than raw vectors, so the same ksub codes quantize them much
+    more accurately. The residual projection is row-local (assignment +
+    subtraction against literals); the fit is the same deterministic
+    per-subspace Lloyd's as `fit_pq_codebooks`."""
+    assigned = kmeans_assign(emb, centroids, vec_col=vec_col, out_col="__cell")
+    residuals = assigned.select(
+        F.col(id_col).alias(id_col), _residual_col(vec_col, centroids, "__cell").alias("__rv")
+    )
+    return fit_pq_codebooks(
+        residuals, m=m, ksub=ksub, n_iters=n_iters, id_col=id_col, vec_col="__rv"
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple]],
+    centroids: list[tuple],
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF+PQ ADC: corpus codes quantize v − centroid[cell]; each
+    (query, probed cell) pair scores against the residual target
+    t = q − centroid[cell], so dist ≈ ||t||² + Σ_s (||c_s||² − 2 t_s·c_s).
+    Same plan shape as `ivfpq_topk` (one corpus projection for cell+codes,
+    broadcast probes onto the cell-keyed code table, bounded ranking window)
+    — the residual subtraction rides inside the existing projections against
+    centroid literals, adding zero joins and zero shuffles."""
+    assigned = kmeans_assign(emb, centroids, vec_col=vec_col, out_col="cell")
+    with_res = assigned.withColumn("__rv", _residual_col(vec_col, centroids, "cell"))
+    enc = pq_encode(with_res, codebooks, vec_col="__rv").select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes"
+    )
+
+    cent_ids = [c[0] for c in centroids]
+    cent_vecs = [list(c[1]) for c in centroids]
+    half_sq = [0.5 * _py_dot(c, c) for c in cent_vecs]
+    id_lit = F.array(*[F.lit(i) for i in cent_ids])
+    affs = F.zip_with(
+        centroid_dots("query_vec", cent_vecs),
+        F.array(*[F.lit(h) for h in half_sq]),
+        lambda d, h: d - h,
+    )
+    probe = F.slice(
+        F.array_sort(
+            F.zip_with(
+                affs,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda a, i: F.struct((-a).alias("neg_aff"), i.alias("idx")),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    query_cells = (
+        queries.select("query_id", "query_vec")
+        .select("query_id", "query_vec", F.explode(probe).alias("__p"))
+        .select(
+            "query_id", "query_vec", F.element_at(id_lit, F.col("__p.idx") + 1).alias("cell")
+        )
+        .withColumn("__t", _residual_col("query_vec", centroids, "cell"))
+    )
+
+    sub = len(codebooks[0][0][1])
+    cent_lit = F.array(*[F.array(*[F.lit(list(c[1])) for c in book]) for book in codebooks])
+    cnorm2_lit = F.array(
+        *[F.array(*[F.lit(_py_dot(list(c[1]), list(c[1]))) for c in book]) for book in codebooks]
+    )
+    joined = enc.join(F.broadcast(query_cells), "cell")
+    dist = _dot(F.col("__t"), F.col("__t"))
+    for s in range(len(codebooks)):
+        ts = F.slice(F.col("__t"), s * sub + 1, sub)
+        sel = F.element_at(F.element_at(cent_lit, s + 1), F.col("codes")[s] + 1)
+        cn2 = F.element_at(F.element_at(cnorm2_lit, s + 1), F.col("codes")[s] + 1)
+        dist = dist + (cn2 - F.lit(2.0) * _dot(ts, sel))
     scored = joined.select("query_id", "neighbor_id", dist.alias("adc_dist"))
     ranked = scored.withColumn(
         "rank",

@@ -2461,6 +2461,7 @@ def all_queries():
         "kmeans_cells_embeddings": kmeans_cells_embeddings,
         "pq_topk_embeddings": pq_topk_embeddings,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        "ivfpq_residual_topk_embeddings": ivfpq_residual_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "containment_pairs_docs": containment_pairs_docs,
@@ -2545,6 +2546,7 @@ def all_oracles():
         "kmeans_cells_embeddings": _oracle_kmeans(),
         "pq_topk_embeddings": _oracle_pq_topk(),
         "ivfpq_topk_embeddings": _oracle_ivfpq_topk(),
+        "ivfpq_residual_topk_embeddings": _oracle_ivfpq_residual_topk(),
         "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "containment_pairs_docs": _oracle_containment(),
@@ -2924,6 +2926,115 @@ def _oracle_ivfpq_topk(
         )
     ctes.append(
         "scored AS (SELECT qp.query_id, cc.vec_id AS neighbor_id, "
+        + " + ".join(dist_terms)
+        + " AS adc FROM "
+        + " ".join(joins)
+        + ")"
+    )
+    ctes.append(
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk, adc "
+        "FROM scored)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, round(adc, 6) AS adc_dist "
+        "FROM ranked WHERE rnk <= 5"
+    )
+
+
+def ivfpq_residual_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF+PQ (the FAISS recipe): codebooks fit on v − centroid[cell]
+    residuals, ADC against the per-(query,cell) residual target. Same coarse
+    model and probe policy as `ivfpq_topk_embeddings`."""
+    from jsonschema_spark.operators.simsearch import (
+        fit_centroids,
+        fit_residual_pq_codebooks,
+        ivfpq_residual_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    ckey = ("ivfpq-cent", sf_dir, 4)
+    if ckey not in _CENTROID_MODELS:
+        _CENTROID_MODELS[ckey] = fit_centroids(emb, 4)
+    cents = _CENTROID_MODELS[ckey]
+    rkey = ("pq-res", sf_dir, 4, 4, 1)
+    if rkey not in _CENTROID_MODELS:
+        _CENTROID_MODELS[rkey] = fit_residual_pq_codebooks(emb, cents, m=4, ksub=4, n_iters=1)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivfpq_residual_topk(
+        emb, queries, _CENTROID_MODELS[rkey], cents, k=5, n_probe=2
+    )
+    return out.select("query_id", "neighbor_id", "rank", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def _oracle_ivfpq_residual_topk(
+    n_cells: int = 4, n_probe: int = 2, m: int = 4, ksub: int = 4, dim: int = 64
+) -> str:
+    """Residual IVF+PQ unrolled: coarse assign, residual vectors
+    (list_transform subtraction), per-subspace k-means over residual slices,
+    probe-restricted ADC against the residual query target."""
+    sub = dim // m
+    assign = (
+        "SELECT vec_id, cell FROM ("
+        "SELECT cv.vec_id, mm.cell, row_number() OVER (PARTITION BY cv.vec_id ORDER BY "
+        "list_dot_product(cv.v, mm.c) - 0.5 * list_dot_product(mm.c, mm.c) DESC, mm.cell ASC) AS rn "
+        "FROM {src} cv, {cents} mm) WHERE rn = 1"
+    )
+    ctes = ["corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings)"]
+    ctes.append(
+        f"cent AS (SELECT vec_id AS cell, v AS c FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {n_cells}))"
+    )
+    ctes.append(f"cc AS ({assign.format(src='corpus', cents='cent')})")
+    ctes.append(
+        f"rc AS (SELECT cc.vec_id, "
+        f"list_transform(range(1, {dim + 1}), i -> list_extract(corpus.v, i) - list_extract(cent.c, i)) AS v "
+        f"FROM cc JOIN corpus USING (vec_id) JOIN cent ON cent.cell = cc.cell)"
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"c{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM rc)")
+        ctes.append(
+            f"seed{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c "
+            f"FROM (SELECT vec_id, v FROM c{s} ORDER BY vec_id LIMIT {ksub}))"
+        )
+        ctes.append(f"a{s} AS ({assign.format(src=f'c{s}', cents=f'seed{s}')})")
+        ctes.append(
+            f"m{s} AS (SELECT p.cell, coalesce(u.c, p.c) AS c FROM seed{s} p LEFT JOIN ("
+            f"SELECT cell, list(mval ORDER BY i) AS c FROM ("
+            f"SELECT a.cell, t.i, avg(list_extract(cv.v, t.i)) AS mval "
+            f"FROM a{s} a JOIN c{s} cv USING (vec_id), range(1, {sub + 1}) t(i) "
+            f"GROUP BY a.cell, t.i) GROUP BY cell) u USING (cell))"
+        )
+        ctes.append(f"f{s} AS ({assign.format(src=f'c{s}', cents=f'm{s}')})")
+    ctes.append("q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 3)")
+    ctes.append(
+        "qp AS (SELECT query_id, qv, cell FROM ("
+        "SELECT q.query_id, q.qv, cent.cell, row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "list_dot_product(q.qv, cent.c) - 0.5 * list_dot_product(cent.c, cent.c) DESC, cent.cell ASC) AS rn "
+        f"FROM q, cent) WHERE rn <= {n_probe})"
+    )
+    ctes.append(
+        f"qt AS (SELECT qp.query_id, qp.cell, "
+        f"list_transform(range(1, {dim + 1}), i -> list_extract(qp.qv, i) - list_extract(cent.c, i)) AS t "
+        f"FROM qp JOIN cent USING (cell))"
+    )
+    dist_terms = ["list_dot_product(qt.t, qt.t)"]
+    joins = ["qt JOIN cc ON qt.cell = cc.cell"]
+    for s in range(m):
+        joins.append(f"JOIN f{s} ON f{s}.vec_id = cc.vec_id")
+        joins.append(f"JOIN m{s} ON m{s}.cell = f{s}.cell")
+        lo, hi = s * sub + 1, (s + 1) * sub
+        dist_terms.append(
+            f"(list_dot_product(m{s}.c, m{s}.c) - 2 * list_dot_product(list_slice(qt.t, {lo}, {hi}), m{s}.c))"
+        )
+    ctes.append(
+        "scored AS (SELECT qt.query_id, cc.vec_id AS neighbor_id, "
         + " + ".join(dist_terms)
         + " AS adc FROM "
         + " ".join(joins)

@@ -109,3 +109,52 @@ def test_ivfpq_plan_broadcasts_probes_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p, "query probes must broadcast onto the code table"
     assert "CartesianProduct" not in p
+
+
+def test_ivfpq_residual_self_is_top1_with_tight_adc(spark):
+    from jsonschema_spark.operators.simsearch import (
+        fit_centroids,
+        fit_residual_pq_codebooks,
+        ivfpq_residual_topk,
+    )
+
+    emb = _clustered(spark)
+    cents = fit_centroids(emb, 2, id_col="vec_id", vec_col="embedding")
+    rbooks = fit_residual_pq_codebooks(emb, cents, m=2, ksub=2, n_iters=2)
+    q = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = ivfpq_residual_topk(emb, q, rbooks, cents, k=5, n_probe=1).collect()
+    by_rank = {r["rank"]: r for r in res}
+    by_id = {r["neighbor_id"]: r for r in res}
+    # ADC can't distinguish same-code cluster members: self must carry the
+    # minimal ADC distance (possibly tied, ties break to lower ids)
+    # ADC can't distinguish same-code cluster members, so the pins are:
+    # self is retrieved, and it carries the minimal ADC distance (possibly
+    # tied — ties break to lower ids). NB the lowest-id coarse placeholder
+    # puts both centroids in the positive cluster here, so cells do NOT
+    # align with the true clusters — irrelevant for these invariants.
+    # ("residual beats raw PQ" is an in-expectation property of realistic
+    # data, not a per-point invariant on a 10-row toy — not pinned.)
+    assert 3 in by_id, "self must be retrieved"
+    assert abs(by_id[3]["adc_dist"] - by_rank[1]["adc_dist"]) < 1e-9
+    assert by_id[3]["adc_dist"] < 0.05, "residual codes must reconstruct self tightly"
+
+
+def test_ivfpq_residual_plan_no_python(spark):
+    from jsonschema_spark.operators.simsearch import (
+        fit_centroids,
+        fit_residual_pq_codebooks,
+        ivfpq_residual_topk,
+    )
+
+    emb = _clustered(spark)
+    cents = fit_centroids(emb, 2, id_col="vec_id", vec_col="embedding")
+    rbooks = fit_residual_pq_codebooks(emb, cents, m=2, ksub=2, n_iters=1)
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    p = _plan(ivfpq_residual_topk(emb, q, rbooks, cents, k=3, n_probe=1))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

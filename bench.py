@@ -83,6 +83,9 @@ HEADLINE = [
     "mixture_sample_docs",
     "keywords_tfidf_docs",
     "clean_text_docs",
+    "c4_filter_docs",
+    "gopher_quality_docs",
+    "strip_html_docs",
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",

@@ -1,0 +1,182 @@
+"""Classic web-corpus heuristic filters: the C4 line/document rules
+(Raffel et al. 2020, "Exploring the Limits of Transfer Learning", §2.2)
+and the Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+Models", Table A1).
+
+Beyond-reference training-data operators (the reference validator has no
+corpus-filter surface; this extends the SURVEY §2.7 dataset-check family).
+
+Every signal is a single narrow projection over built-in expressions —
+splits, `rlike`, higher-order array functions — so the hot path stays in
+whole-stage codegen: no Python, no shuffle, no explode. At 10^12 docs the
+cost is one pass over the text column; filters compose with `.filter(keep)`
+so Catalyst can push the resulting predicate next to the scan.
+
+Regexes are restricted to the Java∩RE2 subset (no lookaround, no
+backreferences) so the exact rule chain replays in any oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "C4_TERMINAL_LINE_RE",
+    "GOPHER_REQUIRED_WORDS",
+    "c4_line_filter",
+    "gopher_quality",
+]
+
+# A line survives C4 iff it ends in terminal punctuation (., !, ?, or a
+# closing quote after one). Whitespace after the terminal mark is tolerated.
+C4_TERMINAL_LINE_RE = r'[.!?"]\s*$'
+
+# Gopher's "must contain at least 2 of these" stopword rule (Table A1).
+GOPHER_REQUIRED_WORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def _line_words(line: Column) -> Column:
+    t = F.trim(line)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4's cleaning pass as one projection.
+
+    Line rules: keep only lines that end in terminal punctuation AND carry
+    at least `min_words_per_line` words. Document rules: drop the doc if
+    the retained text has fewer than `min_sentences` sentence-final marks,
+    mentions "lorem ipsum", or contains a curly brace (code marker).
+
+    Returns (id, text, n_lines, n_lines_kept, n_sentences, keep) where
+    `text` is the retained line-joined text. Filtering is the caller's
+    `.filter("keep")` so audits can inspect near-misses.
+    """
+    t = F.col(text_col)
+    lines = _lines(t)
+    kept_lines = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(C4_TERMINAL_LINE_RE)
+        & (_line_words(ln) >= min_words_per_line),
+    )
+    kept_text = F.array_join(F.transform(kept_lines, F.trim), "\n")
+    # sentence-final marks in the retained text
+    n_sent = F.length(kept_text) - F.length(F.regexp_replace(kept_text, r"[.!?]", ""))
+    lower_all = F.lower(t)
+    keep = (
+        (n_sent >= min_sentences)
+        & ~lower_all.contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        kept_text.alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept_lines).cast("bigint").alias("n_lines_kept"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher Table-A1 document-quality rules as one projection.
+
+    Signals: word count bounds, mean word length bounds, symbol-to-word
+    ratio (# and ellipsis), fraction of bullet-started lines, fraction of
+    ellipsis-ended lines, fraction of words with an alphabetic character,
+    and presence of >= `min_required_stopwords` distinct required words.
+
+    Returns one row per doc with every signal plus the composite `keep`, so
+    per-rule ablations are a `.groupBy` away.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+
+    total_word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wlen = total_word_chars.cast("double") / n_words_d
+
+    # symbols: '#' occurrences + ellipses ('...' runs or U+2026), per word
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    no_ellipsis = F.regexp_replace(F.regexp_replace(t, r"\.\.\.", ""), "…", "")
+    # each removed ASCII ellipsis drops 3 chars, each U+2026 drops 1; count both
+    n_ellipsis = (
+        (F.length(F.regexp_replace(t, "…", "")) - F.length(no_ellipsis)) / F.lit(3)
+        + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+    ).cast("long")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_d
+
+    lines = _lines(t)
+    n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))).cast("double")
+        / n_lines_d
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines_d
+    )
+
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))).cast("double") / n_words_d
+    )
+
+    lower_words = F.transform(words, lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", "")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_required_stopwords)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        keep.alias("keep"),
+    )

@@ -1756,6 +1756,206 @@ FROM injected
 """
 
 
+def c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/document cleaning rules (Raffel et al. 2020 §2.2) over
+    injected multi-line structure (TPC-H-ish text is single-line and
+    unpunctuated): every doc gets a terminated tail, 1-in-3 an extra
+    short line + a proper sentence line, 1-in-7 a lorem-ipsum marker,
+    1-in-11 a curly-brace code line."""
+    from jsonschema_spark.operators.heuristics import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". More sentence one. More sentence two."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nshort no end\nThis second appended line ends properly today."),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nfiller lorem ipsum filler")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nvar conf = { mode: 1 }")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_filter(injected, "doc_id", "text")
+
+
+ORACLE_C4_FILTER = r"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         text || '. More sentence one. More sentence two.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'short no end' || chr(10)
+                      || 'This second appended line ends properly today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'filler lorem ipsum filler' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'var conf = { mode: 1 }' ELSE '' END
+         AS text
+  FROM documents),
+l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM injected),
+k AS (SELECT id, text, lines,
+        list_filter(lines, ln ->
+          regexp_matches(trim(ln), '[.!?"]\s*$')
+          AND (CASE WHEN length(trim(ln)) = 0 THEN 0
+               ELSE len(string_split(regexp_replace(trim(ln), '\s+', ' ', 'g'), ' ')) END) >= 5
+        ) AS kept
+      FROM l),
+j AS (SELECT id, text, lines, kept,
+        array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS kept_text
+      FROM k)
+SELECT id,
+       kept_text AS text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
+         AS n_sentences,
+       (length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep
+FROM j
+"""
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 quality rules over injected rule-triggers: 1-in-5
+    docs get 20 '#' symbol words (symbol-ratio trip), 1-in-9 thirty bullet
+    lines (bullet-fraction trip), 1-in-13 eight ellipsis-ended lines
+    (ellipsis-fraction trip), 1-in-17 are truncated to 20 chars
+    (word-count trip)."""
+    from jsonschema_spark.operators.heuristics import gopher_quality
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    injected = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.substring(F.col("text"), 1, 20))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), 20))).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 9 == 0, F.repeat(F.lit("\n- item"), 30)).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 13 == 0, F.repeat(F.lit("\nthis line trails off..."), 8)).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return gopher_quality(injected, "doc_id", "text")
+
+
+def _oracle_gopher_quality() -> str:
+    from jsonschema_spark.operators.heuristics import GOPHER_REQUIRED_WORDS
+
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    return rf"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 17 = 0 THEN substr(text, 1, 20)
+              ELSE text
+                || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 20) ELSE '' END
+                || CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- item', 30) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || 'this line trails off...', 8) ELSE '' END
+         END AS text
+  FROM documents),
+w AS (
+  SELECT id, text,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words,
+         string_split(text, chr(10)) AS lines,
+         regexp_replace(text, '…', '', 'g') AS t_nouni,
+         regexp_replace(regexp_replace(text, '\.\.\.', '', 'g'), '…', '', 'g') AS t_noell
+  FROM injected),
+s AS (
+  SELECT id, text, words, lines,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS n_words,
+         CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) AS word_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(t_nouni) - length(t_noell)) / 3 + (length(text) - length(t_nouni)) AS n_ell,
+         len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, ln -> regexp_matches(trim(ln), '(\.\.\.|…)$'))) AS n_ell_lines,
+         len(lines) AS n_lines,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter([{req}],
+             s -> list_contains(list_transform(words, x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g'))), s)))
+           AS stop_hits
+  FROM w),
+m AS (
+  SELECT id, n_words,
+         word_chars / greatest(n_words, 1) AS mean_word_len,
+         (n_hash + CAST(n_ell AS BIGINT)) / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+         n_bullet / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
+         n_ell_lines / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
+         n_alpha / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_frac,
+         stop_hits
+  FROM s)
+SELECT id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3
+        AND alpha_frac >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM m
+"""
+
+
+def strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over injected page chrome: every doc is
+    wrapped in html/head/style/script/comment markup with entity-encoded
+    tail text; the stripper must drop the block bodies, strip tags, decode
+    entities and collapse whitespace."""
+    from jsonschema_spark.operators.text import strip_html
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    ds = F.col("doc_id").cast("string")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), ds,
+            F.lit('</title><style type="text/css">p { color: red }</style>'),
+            F.lit('<script>if (1 < 2) { x = "</p>"; }</script></head>'),
+            F.lit('<body><!-- hidden --><p class="lead">'),
+            F.col("text"),
+            F.lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end</div></body></html>"),
+        ).alias("text"),
+    )
+    return strip_html(injected, "doc_id", "text")
+
+
+def _oracle_strip_html() -> str:
+    from jsonschema_spark.operators.text import HTML_RULES
+
+    expr = "text"
+    for pat, repl in HTML_RULES:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style type="text/css">p {{ color: red }}</style>'
+         || '<script>if (1 < 2) {{ x = "</p>"; }}</script></head>'
+         || '<body><!-- hidden --><p class="lead">'
+         || text
+         || '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end</div></body></html>'
+         AS text
+  FROM documents),
+cleaned AS (
+  SELECT id, text, trim({expr}) AS out_text FROM injected)
+SELECT id, out_text AS text,
+       CAST(length(text) AS BIGINT) AS n_before,
+       CAST(length(out_text) AS BIGINT) AS n_after
+FROM cleaned
+"""
+
+
 def keywords_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 keywords by smoothed TF-IDF (sklearn smooth-idf,
     deterministic (tfidf DESC, term ASC) ties)."""
@@ -2475,6 +2675,9 @@ def all_queries():
         "mixture_sample_docs": mixture_sample_docs,
         "keywords_tfidf_docs": keywords_tfidf_docs,
         "clean_text_docs": clean_text_docs,
+        "c4_filter_docs": c4_filter_docs,
+        "gopher_quality_docs": gopher_quality_docs,
+        "strip_html_docs": strip_html_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
@@ -2560,6 +2763,9 @@ def all_oracles():
         "mixture_sample_docs": _oracle_mixture_sample(),
         "keywords_tfidf_docs": ORACLE_KEYWORDS_TFIDF,
         "clean_text_docs": _oracle_clean_text(),
+        "c4_filter_docs": ORACLE_C4_FILTER,
+        "gopher_quality_docs": _oracle_gopher_quality(),
+        "strip_html_docs": _oracle_strip_html(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,

@@ -86,6 +86,7 @@ HEADLINE = [
     "c4_filter_docs",
     "gopher_quality_docs",
     "strip_html_docs",
+    "web_pipeline_docs",
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",

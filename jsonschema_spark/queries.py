@@ -1781,7 +1781,33 @@ def c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(injected, "doc_id", "text")
 
 
-ORACLE_C4_FILTER = r"""
+def _c4_sql_chain(src: str) -> str:
+    """DuckDB CTE chain replaying c4_line_filter over `src`(id, text).
+    Exposes c4_j(id, text=original, kept_text, n_lines, n_lines_kept,
+    n_sentences, keep)."""
+    return rf"""c4_l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM {src}),
+c4_k AS (SELECT id, text, lines,
+        list_filter(lines, ln ->
+          regexp_matches(trim(ln), '[.!?"]\s*$')
+          AND (CASE WHEN length(trim(ln)) = 0 THEN 0
+               ELSE len(string_split(regexp_replace(trim(ln), '\s+', ' ', 'g'), ' ')) END) >= 5
+        ) AS kept
+      FROM c4_l),
+c4_j AS (SELECT id, text, len(lines) AS n_lines, len(kept) AS n_lines_kept,
+        array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS kept_text,
+        length(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
+          - length(regexp_replace(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+                                  '[.!?]', '', 'g')) AS n_sentences,
+        (length(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
+           - length(regexp_replace(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+                                   '[.!?]', '', 'g')) >= 3
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{{')) AS keep
+      FROM c4_k)"""
+
+
+def _oracle_c4_filter() -> str:
+    return rf"""
 WITH injected AS (
   SELECT doc_id AS id,
          text || '. More sentence one. More sentence two.'
@@ -1790,30 +1816,16 @@ WITH injected AS (
                       || 'This second appended line ends properly today.'
                  ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'filler lorem ipsum filler' ELSE '' END
-         || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'var conf = { mode: 1 }' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'var conf = ' || chr(123) || ' mode: 1 ' || chr(125) ELSE '' END
          AS text
   FROM documents),
-l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM injected),
-k AS (SELECT id, text, lines,
-        list_filter(lines, ln ->
-          regexp_matches(trim(ln), '[.!?"]\s*$')
-          AND (CASE WHEN length(trim(ln)) = 0 THEN 0
-               ELSE len(string_split(regexp_replace(trim(ln), '\s+', ' ', 'g'), ' ')) END) >= 5
-        ) AS kept
-      FROM l),
-j AS (SELECT id, text, lines, kept,
-        array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS kept_text
-      FROM k)
-SELECT id,
-       kept_text AS text,
-       CAST(len(lines) AS BIGINT) AS n_lines,
-       CAST(len(kept) AS BIGINT) AS n_lines_kept,
-       CAST(length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g')) AS BIGINT)
-         AS n_sentences,
-       (length(kept_text) - length(regexp_replace(kept_text, '[.!?]', '', 'g')) >= 3
-        AND NOT contains(lower(text), 'lorem ipsum')
-        AND NOT contains(text, '{')) AS keep
-FROM j
+{_c4_sql_chain('injected')}
+SELECT id, kept_text AS text,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       keep
+FROM c4_j
 """
 
 
@@ -1842,28 +1854,21 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(injected, "doc_id", "text")
 
 
-def _oracle_gopher_quality() -> str:
+def _gopher_sql_chain(src: str) -> str:
+    """DuckDB CTE chain replaying gopher_quality over `src`(id, text).
+    Exposes gop_m(id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, keep) — UNROUNDED doubles."""
     from jsonschema_spark.operators.heuristics import GOPHER_REQUIRED_WORDS
 
     req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
-    return rf"""
-WITH injected AS (
-  SELECT doc_id AS id,
-         CASE WHEN doc_id % 17 = 0 THEN substr(text, 1, 20)
-              ELSE text
-                || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 20) ELSE '' END
-                || CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- item', 30) ELSE '' END
-                || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || 'this line trails off...', 8) ELSE '' END
-         END AS text
-  FROM documents),
-w AS (
+    return rf"""gop_w AS (
   SELECT id, text,
          string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words,
          string_split(text, chr(10)) AS lines,
          regexp_replace(text, '…', '', 'g') AS t_nouni,
          regexp_replace(regexp_replace(text, '\.\.\.', '', 'g'), '…', '', 'g') AS t_noell
-  FROM injected),
-s AS (
+  FROM {src}),
+gop_s AS (
   SELECT id, text, words, lines,
          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS n_words,
          CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) AS word_chars,
@@ -1876,16 +1881,38 @@ s AS (
          len(list_filter([{req}],
              s -> list_contains(list_transform(words, x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g'))), s)))
            AS stop_hits
-  FROM w),
-m AS (
+  FROM gop_w),
+gop_m AS (
   SELECT id, n_words,
          word_chars / greatest(n_words, 1) AS mean_word_len,
          (n_hash + CAST(n_ell AS BIGINT)) / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
          n_bullet / CAST(greatest(n_lines, 1) AS DOUBLE) AS bullet_frac,
          n_ell_lines / CAST(greatest(n_lines, 1) AS DOUBLE) AS ellipsis_frac,
          n_alpha / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_frac,
-         stop_hits
-  FROM s)
+         stop_hits,
+         (n_words >= 50 AND n_words <= 100000
+          AND word_chars / greatest(n_words, 1) >= 3.0
+          AND word_chars / greatest(n_words, 1) <= 10.0
+          AND (n_hash + CAST(n_ell AS BIGINT)) / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.1
+          AND n_bullet / CAST(greatest(n_lines, 1) AS DOUBLE) <= 0.9
+          AND n_ell_lines / CAST(greatest(n_lines, 1) AS DOUBLE) <= 0.3
+          AND n_alpha / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8
+          AND stop_hits >= 2) AS keep
+  FROM gop_s)"""
+
+
+def _oracle_gopher_quality() -> str:
+    return rf"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 17 = 0 THEN substr(text, 1, 20)
+              ELSE text
+                || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 20) ELSE '' END
+                || CASE WHEN doc_id % 9 = 0 THEN repeat(chr(10) || '- item', 30) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || 'this line trails off...', 8) ELSE '' END
+         END AS text
+  FROM documents),
+{_gopher_sql_chain('injected')}
 SELECT id,
        CAST(n_words AS BIGINT) AS n_words,
        round(mean_word_len, 6) AS mean_word_len,
@@ -1894,14 +1921,8 @@ SELECT id,
        round(ellipsis_frac, 6) AS ellipsis_frac,
        round(alpha_frac, 6) AS alpha_frac,
        CAST(stop_hits AS BIGINT) AS stop_hits,
-       (n_words >= 50 AND n_words <= 100000
-        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        AND symbol_ratio <= 0.1
-        AND bullet_frac <= 0.9
-        AND ellipsis_frac <= 0.3
-        AND alpha_frac >= 0.8
-        AND stop_hits >= 2) AS keep
-FROM m
+       keep
+FROM gop_m
 """
 
 
@@ -1928,14 +1949,21 @@ def strip_html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_html(injected, "doc_id", "text")
 
 
-def _oracle_strip_html() -> str:
+def _html_strip_expr(col: str = "text") -> str:
+    """The strip_html regexp chain as a DuckDB expression over `col` (the
+    final trim is the caller's)."""
     from jsonschema_spark.operators.text import HTML_RULES
 
-    expr = "text"
+    expr = col
     for pat, repl in HTML_RULES:
         p = pat.replace("'", "''")
         r = repl.replace("'", "''").replace("\n", "' || chr(10) || '")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def _oracle_strip_html() -> str:
+    expr = _html_strip_expr("text")
     return f"""
 WITH injected AS (
   SELECT doc_id AS id,
@@ -1953,6 +1981,87 @@ SELECT id, out_text AS text,
        CAST(length(text) AS BIGINT) AS n_before,
        CAST(length(out_text) AS BIGINT) AS n_after
 FROM cleaned
+"""
+
+
+_WEB_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def web_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-corpus pipeline end-to-end, composed from the engine's
+    own operators: HTML strip → C4 line/doc rules → Gopher quality rules →
+    exact dedup (keep lowest id) → deterministic train/val/test split.
+    Injection gives every doc page chrome plus two closing sentences
+    (guaranteeing C4 sentence count and Gopher stopwords); 1-in-7 docs get
+    a lorem-ipsum paragraph (C4 doc rule), 1-in-11 an inline curly-brace
+    code paragraph that SURVIVES the HTML strip (the style block's braces
+    must not false-trigger — ordering matters)."""
+    from jsonschema_spark.operators.dedup import normalize_text
+    from jsonschema_spark.operators.heuristics import c4_line_filter, gopher_quality
+    from jsonschema_spark.operators.sampling import hash_split
+    from jsonschema_spark.operators.text import strip_html
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p { x: 1 }</style></head><body><p>"),
+            F.col("text"),
+            F.lit(". One more of the full sentences to have and that be with us."
+                  " A second complete sentence ends the page.</p>"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("<p>filler lorem ipsum</p>")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("<p>inline { code } block.</p>")).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("text"),
+    )
+    stripped = strip_html(injected, "doc_id", "text").select("id", "text")
+    c4 = c4_line_filter(stripped, "id", "text")
+    c4kept = c4.filter("keep").select("id", "text")
+    g = gopher_quality(c4kept, "id", "text")
+    gkept = g.filter("keep").select("id", "n_words")
+    surv = c4kept.join(gkept, "id")
+    norm = surv.select("id", "n_words", F.md5(normalize_text(F.col("text"))).alias("key"))
+    reps = norm.groupBy("key").agg(F.min("id").alias("id"))
+    kept = norm.join(reps.select("id"), "id", "left_semi").select("id", "n_words")
+    return hash_split(kept, "id", _WEB_SPLITS, salt="web").select("id", "n_words", "split")
+
+
+def _oracle_web_pipeline() -> str:
+    from jsonschema_spark.operators.sampling import split_thresholds
+
+    ths = split_thresholds(_WEB_SPLITS)
+    case = " ".join(f"WHEN hf < {t!r} THEN '{n}'" for n, t in ths[:-1])
+    html_expr = _html_strip_expr("text")
+    return rf"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         '<html><head><style>p ' || chr(123) || ' x: 1 ' || chr(125) || '</style></head><body><p>'
+         || text
+         || '. One more of the full sentences to have and that be with us.'
+         || ' A second complete sentence ends the page.</p>'
+         || CASE WHEN doc_id % 7 = 0 THEN '<p>filler lorem ipsum</p>' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN '<p>inline ' || chr(123) || ' code ' || chr(125) || ' block.</p>' ELSE '' END
+         || '</body></html>' AS text
+  FROM documents),
+stripped AS (SELECT id, trim({html_expr}) AS text FROM injected),
+{_c4_sql_chain('stripped')},
+c4kept AS (SELECT id, kept_text AS text FROM c4_j WHERE keep),
+{_gopher_sql_chain('c4kept')},
+gkept AS (SELECT id, n_words FROM gop_m WHERE keep),
+surv AS (SELECT c.id, c.text, g.n_words FROM c4kept c JOIN gkept g USING (id)),
+norm AS (SELECT id, n_words,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS key
+         FROM surv),
+reps AS (SELECT key, min(id) AS keep_id FROM norm GROUP BY key),
+kept AS (SELECT n.id, n.n_words FROM norm n JOIN reps r ON n.id = r.keep_id),
+f AS (SELECT id, n_words,
+        CAST(('0x' || substr(md5('web' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / POWER(2, 60) AS hf
+      FROM kept)
+SELECT id, CAST(n_words AS BIGINT) AS n_words,
+       CASE {case} ELSE '{ths[-1][0]}' END AS split
+FROM f
 """
 
 
@@ -2678,6 +2787,7 @@ def all_queries():
         "c4_filter_docs": c4_filter_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "strip_html_docs": strip_html_docs,
+        "web_pipeline_docs": web_pipeline_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
@@ -2763,9 +2873,10 @@ def all_oracles():
         "mixture_sample_docs": _oracle_mixture_sample(),
         "keywords_tfidf_docs": ORACLE_KEYWORDS_TFIDF,
         "clean_text_docs": _oracle_clean_text(),
-        "c4_filter_docs": ORACLE_C4_FILTER,
+        "c4_filter_docs": _oracle_c4_filter(),
         "gopher_quality_docs": _oracle_gopher_quality(),
         "strip_html_docs": _oracle_strip_html(),
+        "web_pipeline_docs": _oracle_web_pipeline(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,

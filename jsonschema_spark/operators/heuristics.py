@@ -40,8 +40,15 @@ def _lines(text: Column) -> Column:
     return F.split(text, r"\n")
 
 
+def _wstrip(col: Column) -> Column:
+    # regex whitespace strip — F.trim only removes ASCII spaces, which
+    # miscounts words on tab/newline-padded text (split('\s+') emits an
+    # empty leading token)
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _line_words(line: Column) -> Column:
-    t = F.trim(line)
+    t = _wstrip(line)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
@@ -68,10 +75,10 @@ def c4_line_filter(
     lines = _lines(t)
     kept_lines = F.filter(
         lines,
-        lambda ln: F.trim(ln).rlike(C4_TERMINAL_LINE_RE)
+        lambda ln: _wstrip(ln).rlike(C4_TERMINAL_LINE_RE)
         & (_line_words(ln) >= min_words_per_line),
     )
-    kept_text = F.array_join(F.transform(kept_lines, F.trim), "\n")
+    kept_text = F.array_join(F.transform(kept_lines, _wstrip), "\n")
     # sentence-final marks in the retained text
     n_sent = F.length(kept_text) - F.length(F.regexp_replace(kept_text, r"[.!?]", ""))
     lower_all = F.lower(t)
@@ -116,8 +123,9 @@ def gopher_quality(
     per-rule ablations are a `.groupBy` away.
     """
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
-    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(words))
+    ts = _wstrip(t)
+    words = F.split(ts, r"\s+")
+    n_words = F.when(F.length(ts) == 0, F.lit(0)).otherwise(F.size(words))
     n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
 
     total_word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
@@ -136,12 +144,12 @@ def gopher_quality(
     lines = _lines(t)
     n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
-        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))).cast("double")
+        F.size(F.filter(lines, lambda ln: _wstrip(ln).rlike(r"^[-*•]"))).cast("double")
         / n_lines_d
     )
     ellipsis_frac = (
         F.size(
-            F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+            F.filter(lines, lambda ln: _wstrip(ln).rlike(r"(\.\.\.|…)$"))
         ).cast("double")
         / n_lines_d
     )

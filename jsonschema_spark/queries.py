@@ -1788,18 +1788,18 @@ def _c4_sql_chain(src: str) -> str:
     return rf"""c4_l AS (SELECT id, text, string_split(text, chr(10)) AS lines FROM {src}),
 c4_k AS (SELECT id, text, lines,
         list_filter(lines, ln ->
-          regexp_matches(trim(ln), '[.!?"]\s*$')
-          AND (CASE WHEN length(trim(ln)) = 0 THEN 0
-               ELSE len(string_split(regexp_replace(trim(ln), '\s+', ' ', 'g'), ' ')) END) >= 5
+          regexp_matches(regexp_replace(ln, '^\s+|\s+$', '', 'g'), '[.!?"]\s*$')
+          AND (CASE WHEN length(regexp_replace(ln, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+               ELSE len(string_split(regexp_replace(regexp_replace(ln, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'), ' ')) END) >= 5
         ) AS kept
       FROM c4_l),
 c4_j AS (SELECT id, text, len(lines) AS n_lines, len(kept) AS n_lines_kept,
-        array_to_string(list_transform(kept, x -> trim(x)), chr(10)) AS kept_text,
-        length(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
-          - length(regexp_replace(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+        array_to_string(list_transform(kept, x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), chr(10)) AS kept_text,
+        length(array_to_string(list_transform(kept, x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), chr(10)))
+          - length(regexp_replace(array_to_string(list_transform(kept, x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), chr(10)),
                                   '[.!?]', '', 'g')) AS n_sentences,
-        (length(array_to_string(list_transform(kept, x -> trim(x)), chr(10)))
-           - length(regexp_replace(array_to_string(list_transform(kept, x -> trim(x)), chr(10)),
+        (length(array_to_string(list_transform(kept, x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), chr(10)))
+           - length(regexp_replace(array_to_string(list_transform(kept, x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), chr(10)),
                                    '[.!?]', '', 'g')) >= 3
          AND NOT contains(lower(text), 'lorem ipsum')
          AND NOT contains(text, '{{')) AS keep
@@ -1863,19 +1863,19 @@ def _gopher_sql_chain(src: str) -> str:
     req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
     return rf"""gop_w AS (
   SELECT id, text,
-         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS words,
+         string_split(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'), ' ') AS words,
          string_split(text, chr(10)) AS lines,
          regexp_replace(text, '…', '', 'g') AS t_nouni,
          regexp_replace(regexp_replace(text, '\.\.\.', '', 'g'), '…', '', 'g') AS t_noell
   FROM {src}),
 gop_s AS (
   SELECT id, text, words, lines,
-         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(words) END AS n_words,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0 ELSE len(words) END AS n_words,
          CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) AS word_chars,
          length(text) - length(replace(text, '#', '')) AS n_hash,
          (length(t_nouni) - length(t_noell)) / 3 + (length(text) - length(t_nouni)) AS n_ell,
-         len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS n_bullet,
-         len(list_filter(lines, ln -> regexp_matches(trim(ln), '(\.\.\.|…)$'))) AS n_ell_lines,
+         len(list_filter(lines, ln -> regexp_matches(regexp_replace(ln, '^\s+|\s+$', '', 'g'), '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, ln -> regexp_matches(regexp_replace(ln, '^\s+|\s+$', '', 'g'), '(\.\.\.|…)$'))) AS n_ell_lines,
          len(lines) AS n_lines,
          len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
          len(list_filter([{req}],

@@ -692,6 +692,58 @@ FROM scored, prior
 """
 
 
+def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): src0 docs act as the
+    target corpus; every doc gets a hashed unigram+bigram log importance
+    weight log p̂_target − log q̂_raw, and the top-100 by deterministic
+    Gumbel key are selected — the "make the crawl look like the trusted
+    corpus" stage of LLaMA/RedPajama-style data pipelines."""
+    from jsonschema_spark.operators.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    out = dsir_sample(d, target, "doc_id", "text", 100, n_buckets=65536)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.round("logw", 6).alias("logw"),
+        F.round("key", 6).alias("gumbel_key"),
+    )
+
+
+ORACLE_DSIR_SAMPLE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+feat AS (
+  SELECT doc_id, source,
+         list_concat(
+           list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 65536),
+           list_transform(range(1, len(toks)), i ->
+             CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15)) AS BIGINT) % 65536)
+         ) AS fs
+  FROM tok),
+ev AS (
+  SELECT TRUE AS t, unnest(fs) AS b FROM feat WHERE source = 'src0'
+  UNION ALL
+  SELECT FALSE AS t, unnest(fs) AS b FROM feat),
+cnt AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr FROM ev GROUP BY 1),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+w AS (SELECT b, ln((ct + 1.0) / (tt + 65536.0)) - ln((cr + 1.0) / (tr + 65536.0)) AS lr
+      FROM cnt, tot),
+de AS (SELECT doc_id AS id, unnest(fs) AS b FROM feat),
+sc AS (SELECT de.id, sum(w.lr) AS logw FROM de JOIN w USING (b) GROUP BY 1),
+keyed AS (
+  SELECT id, logw,
+         logw + -ln(-ln((CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         + 0.5) / POWER(2, 60))) AS k
+  FROM sc)
+SELECT id AS doc_id, round(logw, 6) AS logw, round(k, 6) AS gumbel_key
+FROM keyed ORDER BY k DESC, id ASC LIMIT 100
+"""
+
+
 def perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal: docs with doc_id%5==0 act as the
     trusted reference corpus a smoothed unigram LM is fit on (top-4096
@@ -2742,6 +2794,7 @@ def all_queries():
         "winnow_dup_docs": winnow_dup_docs,
         "perplexity_docs": perplexity_docs,
         "quality_model_docs": quality_model_docs,
+        "dsir_sample_docs": dsir_sample_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
         "referential_events_suppliers": referential_events_suppliers,
         "referential_orders_clean": referential_orders_clean,
@@ -2831,6 +2884,7 @@ def all_oracles():
         "winnow_dup_docs": ORACLE_WINNOW_DUP,
         "perplexity_docs": ORACLE_PERPLEXITY,
         "quality_model_docs": ORACLE_QUALITY_MODEL,
+        "dsir_sample_docs": ORACLE_DSIR_SAMPLE,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
         "referential_events_suppliers": ORACLE_REFERENTIAL_DANGLING,
         "referential_orders_clean": ORACLE_REFERENTIAL_CLEAN,

@@ -58,6 +58,7 @@ HEADLINE = [
     "dup_clusters_docs",
     "dedup_corpus_docs",
     "dedup_incremental_docs",
+    "bloom_dedup_docs",
     "curate_corpus_docs",
     "simhash_docs",
     "text_quality_docs",

@@ -2290,6 +2290,71 @@ def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(F.col("id").alias("doc_id"), "status", "match_id")
 
 
+def bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: the existing corpus is the
+    even doc_ids, the new batch is the odd doc_ids plus injected verbatim
+    copies of doc_id % 10 = 0 reference docs. The Bloom filter is sized
+    deliberately small (512 bits, k=2) so false positives are NON-ZERO and
+    observable in the report — bloom_pass=true & status=kept rows measure
+    exactly what the prefilter costs the verification join at this fill
+    ratio, while status itself stays identical to the plain anti-join."""
+    from jsonschema_spark.operators.bloom import bloom_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    rep = bloom_dedup_against(new, ref, "doc_id", "text", n_bits=512, k=2, report=True)
+    return rep.select(F.col("id").alias("doc_id"), "bloom_pass", "status", "match_id")
+
+
+def _oracle_bloom_positions(h: str, n_bits: int, k: int) -> str:
+    """DuckDB replay of operators/bloom.bloom_positions over md5-hex col h."""
+    return (
+        f"unnest(list_transform(range(0, {k}), i -> "
+        f"(CAST('0x' || substr({h}, 1, 15) AS BIGINT) "
+        f"+ i * (2 * CAST('0x' || substr({h}, 17, 12) AS BIGINT) + 1)) % {n_bits}))"
+    )
+
+
+ORACLE_BLOOM_DEDUP = f"""
+WITH ref AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 2 = 0),
+newb AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  FROM documents WHERE doc_id % 10 = 0),
+rpos AS (SELECT {_oracle_bloom_positions('h', 512, 2)} AS pos FROM ref),
+words AS (
+  SELECT pos // 32 AS widx, bit_or(CAST(power(2, pos % 32) AS BIGINT)) AS word
+  FROM rpos GROUP BY 1),
+npos AS (SELECT doc_id, h, {_oracle_bloom_positions('h', 512, 2)} AS pos FROM newb),
+bp AS (
+  SELECT doc_id, h,
+         sum(CASE WHEN w.word IS NOT NULL
+                   AND (w.word & CAST(power(2, npos.pos % 32) AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END) = 2 AS bloom_pass
+  FROM npos LEFT JOIN words w ON npos.pos // 32 = w.widx
+  GROUP BY 1, 2),
+rh AS (SELECT h, min(doc_id) AS match_id FROM ref GROUP BY 1)
+SELECT bp.doc_id, bp.bloom_pass,
+       CASE WHEN bp.bloom_pass AND rh.h IS NOT NULL THEN 'exact_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN bp.bloom_pass AND rh.h IS NOT NULL THEN rh.match_id END AS match_id
+FROM bp LEFT JOIN rh ON bp.h = rh.h
+"""
+
+
 def _oracle_sig_ctes(
     source: str, suffix: str, k: int = 8, bands: int = 4, rows_per_band: int = 2
 ) -> str:
@@ -2843,6 +2908,7 @@ def all_queries():
         "web_pipeline_docs": web_pipeline_docs,
         "dedup_corpus_docs": dedup_corpus_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "bloom_dedup_docs": bloom_dedup_docs,
         "ppl_buckets_docs": ppl_buckets_docs,
         "redact_pii_docs": redact_pii_docs,
         "domain_stats_docs": domain_stats_docs,
@@ -2933,6 +2999,7 @@ def all_oracles():
         "web_pipeline_docs": _oracle_web_pipeline(),
         "dedup_corpus_docs": _oracle_dedup_corpus(),
         "dedup_incremental_docs": _oracle_dedup_incremental(),
+        "bloom_dedup_docs": ORACLE_BLOOM_DEDUP,
         "ppl_buckets_docs": ORACLE_PPL_BUCKETS,
         "redact_pii_docs": _oracle_redact_pii(),
         "domain_stats_docs": ORACLE_DOMAIN_STATS,

@@ -40,6 +40,28 @@ def _lines(text: Column) -> Column:
     return F.split(text, r"\n")
 
 
+def _fence(keep: Column) -> Column:
+    """AND a vacuously-true nondeterministic term onto a keep flag.
+
+    PushPredicateThroughNonJoin substitutes alias definitions into a
+    predicate and pushes it through every deterministic Project — so a
+    caller's `.filter("keep")` lands at the bottom of the chain with the
+    ENTIRE signal expression stack inlined (staging undone — no CSE inside
+    a Filter condition; observed 40%+ of web_pipeline's runtime). The rule
+    refuses nondeterministic predicates, so this term pins the filter right
+    above the Project that computes `keep`, which is then evaluated ONCE
+    from the staged arrays. `monotonically_increasing_id()` is never
+    negative, so the flag's VALUE is unchanged and engine-portable oracles
+    replay it (NOT `isNotNull` — nullability simplification folds that to
+    TRUE and the fence vanishes; no rule reasons about the id's sign).
+
+    Callers should apply source-table predicates (partition pruning, id
+    ranges) BEFORE the operator — those still reach the scan; only
+    predicates over the operator's own derived signals are fenced, and
+    those could never be pushed to the scan anyway."""
+    return keep & (F.monotonically_increasing_id() >= 0)
+
+
 def _wstrip(col: Column) -> Column:
     # regex whitespace strip — F.trim only removes ASCII spaces, which
     # miscounts words on tab/newline-padded text (split('\s+') emits an
@@ -71,30 +93,47 @@ def c4_line_filter(
     `text` is the retained line-joined text. Filtering is the caller's
     `.filter("keep")` so audits can inspect near-misses.
     """
+    # stage line/kept-line arrays as attributes: inline, every reuse of the
+    # array re-runs the regex line filter (HOF lambdas defeat CSE, and
+    # CollapseProject declines to merge the stages precisely because the
+    # expressions are non-cheap) — the same trap repetition.py:52 documents
     t = F.col(text_col)
-    lines = _lines(t)
-    kept_lines = F.filter(
-        lines,
-        lambda ln: _wstrip(ln).rlike(C4_TERMINAL_LINE_RE)
-        & (_line_words(ln) >= min_words_per_line),
+    staged = df.select(
+        F.col(id_col).alias("id"), t.alias("__t"), _lines(t).alias("__lines")
     )
-    kept_text = F.array_join(F.transform(kept_lines, _wstrip), "\n")
+    kept = staged.select(
+        "id",
+        "__t",
+        "__lines",
+        F.filter(
+            F.col("__lines"),
+            lambda ln: _wstrip(ln).rlike(C4_TERMINAL_LINE_RE)
+            & (_line_words(ln) >= min_words_per_line),
+        ).alias("__kept"),
+    ).select(
+        "id",
+        "__t",
+        "__lines",
+        "__kept",
+        F.array_join(F.transform(F.col("__kept"), _wstrip), "\n").alias("__ktext"),
+    )
+    kept_text = F.col("__ktext")
     # sentence-final marks in the retained text
     n_sent = F.length(kept_text) - F.length(F.regexp_replace(kept_text, r"[.!?]", ""))
-    lower_all = F.lower(t)
     keep = (
         (n_sent >= min_sentences)
-        & ~lower_all.contains("lorem ipsum")
-        & ~t.contains("{")
+        & ~F.lower(F.col("__t")).contains("lorem ipsum")
+        & ~F.col("__t").contains("{")
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    sig = kept.select(
+        "id",
         kept_text.alias("text"),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(kept_lines).cast("bigint").alias("n_lines_kept"),
+        F.size(F.col("__lines")).cast("bigint").alias("n_lines"),
+        F.size(F.col("__kept")).cast("bigint").alias("n_lines_kept"),
         n_sent.cast("bigint").alias("n_sentences"),
-        keep.alias("keep"),
+        _fence(keep).alias("keep"),
     )
+    return sig
 
 
 def gopher_quality(
@@ -111,6 +150,7 @@ def gopher_quality(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_required_stopwords: int = 2,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Gopher Table-A1 document-quality rules as one projection.
 
@@ -122,10 +162,33 @@ def gopher_quality(
     Returns one row per doc with every signal plus the composite `keep`, so
     per-rule ablations are a `.groupBy` away.
     """
-    t = F.col(text_col)
-    ts = _wstrip(t)
-    words = F.split(ts, r"\s+")
-    n_words = F.when(F.length(ts) == 0, F.lit(0)).otherwise(F.size(words))
+    # stage text, word array, line array, and the normalized word array as
+    # attributes before the HOF-heavy signal expressions: inline, the split
+    # and per-word regex transforms are re-evaluated once PER SIGNAL (HOF
+    # lambdas defeat CSE — repetition.py:52's trap), which made this
+    # projection ~4x slower than its staged form
+    t0 = F.col(text_col)
+    ts0 = _wstrip(t0)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        t0.alias("__t"),
+        ts0.alias("__ts"),
+        F.split(ts0, r"\s+").alias("__words"),
+        _lines(t0).alias("__lines"),
+    ).select(
+        "id",
+        "__t",
+        "__ts",
+        "__words",
+        "__lines",
+        F.transform(
+            F.col("__words"), lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", ""))
+        ).alias("__lower_words"),
+    )
+    t = F.col("__t")
+    words = F.col("__words")
+    lines = F.col("__lines")
+    n_words = F.when(F.length(F.col("__ts")) == 0, F.lit(0)).otherwise(F.size(words))
     n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
 
     total_word_chars = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
@@ -141,7 +204,6 @@ def gopher_quality(
     ).cast("long")
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_d
 
-    lines = _lines(t)
     n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(F.filter(lines, lambda ln: _wstrip(ln).rlike(r"^[-*•]"))).cast("double")
@@ -158,11 +220,10 @@ def gopher_quality(
         F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))).cast("double") / n_words_d
     )
 
-    lower_words = F.transform(words, lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", "")))
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
-            lambda s: F.array_contains(lower_words, s),
+            lambda s: F.array_contains(F.col("__lower_words"), s),
         )
     )
 
@@ -177,8 +238,8 @@ def gopher_quality(
         & (alpha_frac >= min_alpha_frac)
         & (stop_hits >= min_required_stopwords)
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    sig = staged.select(
+        "id",
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
@@ -186,5 +247,11 @@ def gopher_quality(
         F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
         stop_hits.cast("bigint").alias("stop_hits"),
-        keep.alias("keep"),
+        _fence(keep).alias("keep"),
+        # keep_text lets pipeline composers stay single-pass: without it a
+        # downstream `input.join(signals, id)` re-evaluates the whole
+        # upstream chain on BOTH join sides (Spark does not CSE across a
+        # self-join), which doubled web_pipeline's regex work.
+        *([t.alias("text")] if keep_text else []),
     )
+    return sig

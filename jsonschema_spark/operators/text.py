@@ -28,8 +28,16 @@ def token_count(col: Column) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc quality metrics: lengths, punct/digit/space ratios, word stats."""
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, *, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-doc quality metrics: lengths, punct/digit/space ratios, word stats.
+
+    keep_cols carries extra input columns through the projection so pipeline
+    composers can filter on the signals WITHOUT semi-joining back to the
+    input — `input.join(signals, id)` re-evaluates the whole upstream DAG on
+    both join sides (no cross-join CSE), which doubled curate_corpus's
+    dedup stage."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = tokens(t)
@@ -40,6 +48,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     en_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),

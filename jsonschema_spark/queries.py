@@ -1465,13 +1465,14 @@ def curate_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators.text import quality_features
 
     kept = dedup_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    q = quality_features(kept, "doc_id", "text")
-    good_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2)).select(
-        F.col("id").alias("doc_id")
-    )
-    good = kept.join(good_ids, "doc_id", "left_semi").filter(
-        F.col("lang").isin("en", "de", "fr", "es")
-    )
+    # quality signals carry lang through the projection: a semi-join back to
+    # `kept` would re-run the whole dedup DAG on both join sides
+    q = quality_features(kept, "doc_id", "text", keep_cols=("lang",))
+    good = q.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") < 0.2)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    ).select(F.col("id").alias("doc_id"), "lang")
     return hash_split(good, "doc_id", _CURATE_SPLITS).select("doc_id", "lang", "split")
 
 
@@ -2069,12 +2070,17 @@ def web_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = strip_html(injected, "doc_id", "text").select("id", "text")
     c4 = c4_line_filter(stripped, "id", "text")
     c4kept = c4.filter("keep").select("id", "text")
-    g = gopher_quality(c4kept, "id", "text")
-    gkept = g.filter("keep").select("id", "n_words")
-    surv = c4kept.join(gkept, "id")
-    norm = surv.select("id", "n_words", F.md5(normalize_text(F.col("text"))).alias("key"))
-    reps = norm.groupBy("key").agg(F.min("id").alias("id"))
-    kept = norm.join(reps.select("id"), "id", "left_semi").select("id", "n_words")
+    # single-pass chain: gopher carries text through so no self-join ever
+    # re-evaluates the regex stack, and the exact-dedup keep-lowest-id rule
+    # is ONE min_by aggregation instead of a groupBy + semi-join (which
+    # recomputed the whole chain on the probe side too)
+    g = gopher_quality(c4kept, "id", "text", keep_text=True)
+    norm = g.filter("keep").select(
+        "id", "n_words", F.md5(normalize_text(F.col("text"))).alias("key")
+    )
+    kept = norm.groupBy("key").agg(
+        F.min("id").alias("id"), F.min_by("n_words", "id").alias("n_words")
+    )
     return hash_split(kept, "id", _WEB_SPLITS, salt="web").select("id", "n_words", "split")
 
 

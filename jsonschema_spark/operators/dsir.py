@@ -33,7 +33,9 @@ from jsonschema_spark.operators.dedup import tokens
 
 __all__ = [
     "hashed_ngram_features",
+    "features_from_tokens",
     "fit_importance_model",
+    "fit_importance_model_flagged",
     "importance_weights",
     "dsir_sample",
 ]
@@ -49,8 +51,17 @@ def hashed_ngram_features(col: Column, n_buckets: int) -> Column:
     Bigrams ride the same zip_with-over-shifted-views single pass as
     `dedup.shingles` — no explode, no per-gram array copies. Bucket =
     first 15 md5 hex chars as a 60-bit integer mod n_buckets (DuckDB:
-    ``CAST('0x' || substr(md5(g),1,15) AS BIGINT) % n_buckets``)."""
-    toks = tokens(col)
+    ``CAST('0x' || substr(md5(g),1,15) AS BIGINT) % n_buckets``).
+
+    NOTE: references the token array in ~5 HOF positions, and HOF lambdas
+    defeat CSE — callers on the hot path should stage `tokens(col)` as an
+    attribute first and use `features_from_tokens` (one split instead of
+    five)."""
+    return features_from_tokens(tokens(col), n_buckets)
+
+
+def features_from_tokens(toks: Column, n_buckets: int) -> Column:
+    """`hashed_ngram_features` over an already-staged token-array column."""
     uni = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
@@ -86,19 +97,53 @@ def fit_importance_model(
 
     One union + explode + groupBy(bucket): both corpora are counted in a
     single map-side-combining aggregation bounded at n_buckets rows."""
-    ev = target.select(
-        F.lit(True).alias("t"),
-        F.explode(hashed_ngram_features(F.col(text_col), n_buckets)).alias("b"),
-    ).unionByName(
-        raw.select(
-            F.lit(False).alias("t"),
-            F.explode(hashed_ngram_features(F.col(text_col), n_buckets)).alias("b"),
-        )
+    ev = _staged_events(target, F.lit(True), text_col, n_buckets).unionByName(
+        _staged_events(raw, F.lit(False), text_col, n_buckets)
     )
     cnt = ev.groupBy("b").agg(
         F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("t"), 1).otherwise(0)).alias("cr"),
     )
+    return _model_from_counts(cnt, n_buckets=n_buckets, alpha=alpha)
+
+
+def fit_importance_model_flagged(
+    df: DataFrame,
+    target_flag: Column,
+    text_col: str,
+    *,
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """`fit_importance_model` for the common case where the target corpus is
+    a FLAGGED SUBSET of the raw corpus (e.g. the trusted source among crawl
+    sources). Identical model to fit(target=df.filter(flag), raw=df) — the
+    target's feature count rides the same rows as the raw count — but the
+    corpus text is tokenized/hashed ONCE instead of twice (flagged docs are
+    not re-scanned through a union branch)."""
+    ev = _staged_events(df, target_flag, text_col, n_buckets)
+    cnt = ev.groupBy("b").agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    return _model_from_counts(cnt, n_buckets=n_buckets, alpha=alpha)
+
+
+def _staged_events(df: DataFrame, flag: Column, text_col: str, n_buckets: int) -> DataFrame:
+    """(t:boolean, b:long) feature-occurrence events with the token array
+    staged as an attribute first — one split per doc, not one per HOF."""
+    return df.select(
+        flag.alias("t"), tokens(F.col(text_col)).alias("__toks")
+    ).select("t", F.explode(features_from_tokens(F.col("__toks"), n_buckets)).alias("b"))
+
+
+def _model_from_counts(
+    cnt: DataFrame, *, n_buckets: int, alpha: float
+) -> tuple[DataFrame, DataFrame]:
+    # the count relation is bounded at n_buckets rows by construction —
+    # persisting it means the corpus-wide feature scan runs ONCE, not once
+    # per derived broadcast (weights + consts each force the DAG otherwise)
+    cnt = cnt.persist()
     tot = cnt.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     v = F.lit(float(n_buckets))
     a = F.lit(float(alpha))
@@ -132,8 +177,10 @@ def importance_weights(
 
     Broadcast-joins the bounded model; one exchanged row per doc."""
     ev = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(hashed_ngram_features(F.col(text_col), n_buckets)).alias("b"),
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "id",
+        F.explode_outer(features_from_tokens(F.col("__toks"), n_buckets)).alias("b"),
     )
     joined = ev.join(
         F.broadcast(weights), ev["b"] == weights["bucket"], "left"
@@ -166,22 +213,34 @@ def gumbel_key(id_col: Column, logw: Column) -> Column:
 
 def dsir_sample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int,
     *,
     n_buckets: int = 1 << 16,
     alpha: float = 1.0,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """End-to-end DSIR: fit the importance model on (target, df), weight
     every doc in df, Gumbel-resample k winners. Returns
     (id, logw, key) for the selected docs, deterministic tiebreak
     (key DESC, id ASC). The final top-k lowers to TakeOrdered — no full
-    sort shuffle at any corpus size."""
-    weights, consts = fit_importance_model(
-        target, df, text_col, n_buckets=n_buckets, alpha=alpha
-    )
+    sort shuffle at any corpus size.
+
+    Pass target_flag (a boolean Column over df) instead of a separate
+    target frame when the target is a subset of the corpus — one fewer
+    tokenize+hash pass over the flagged docs."""
+    if (target is None) == (target_flag is None):
+        raise ValueError("pass exactly one of target / target_flag")
+    if target_flag is not None:
+        weights, consts = fit_importance_model_flagged(
+            df, target_flag, text_col, n_buckets=n_buckets, alpha=alpha
+        )
+    else:
+        weights, consts = fit_importance_model(
+            target, df, text_col, n_buckets=n_buckets, alpha=alpha
+        )
     w = importance_weights(
         df, weights, consts, id_col, text_col, n_buckets=n_buckets
     )

@@ -701,8 +701,10 @@ def dsir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.operators.dsir import dsir_sample
 
     d = _t(spark, sf_dir, "documents")
-    target = d.filter(F.col("source") == "src0")
-    out = dsir_sample(d, target, "doc_id", "text", 100, n_buckets=65536)
+    out = dsir_sample(
+        d, None, "doc_id", "text", 100, n_buckets=65536,
+        target_flag=F.col("source") == "src0",
+    )
     return out.select(
         F.col("id").alias("doc_id"),
         F.round("logw", 6).alias("logw"),

@@ -102,6 +102,9 @@ HEADLINE = [
     "ivfpq_topk_embeddings",
     "ivfpq_residual_topk_embeddings",
     "semantic_dedup_embeddings",
+    "proto_prune_embeddings",
+    "quality_auc_docs",
+    "encoding_quality_docs",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import tokens
 
-__all__ = ["hashed_token_buckets", "fit_nb_quality_model", "score_quality_model"]
+__all__ = [
+    "hashed_token_buckets",
+    "fit_nb_quality_model",
+    "score_quality_model",
+    "binary_auc_bucketed",
+]
 
 
 def hashed_token_buckets(col: Column, n_buckets: int) -> Column:
@@ -118,4 +123,63 @@ def score_quality_model(
         )
         .groupBy("id")
         .agg((F.first("bias") + F.sum("w")).alias("score"))
+    )
+
+
+def binary_auc_bucketed(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: float = -64.0,
+    hi: float = 64.0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """ROC-AUC of a score against boolean labels, via a fixed-grid score
+    histogram — ONE row out: (auc, n_pos, n_neg).
+
+    Exact rank-based AUC needs a global sort (single-partition window at any
+    scale); the scale path is the same fixed-grid trick as the KS drift check
+    (`operators/drift.ks_statistic`): bucket scores on a FIXED grid, count
+    (pos, neg) per bucket with one map-side-combining groupBy, then compute
+    the Mann-Whitney sum over the ≤n_buckets-row histogram (the only ordered
+    window runs on that bounded relation, never on data). Within-bucket ties
+    get the standard 0.5 credit, so the result converges to exact AUC as the
+    grid refines and is DETERMINISTIC: the default grid width
+    (hi-lo)/n_buckets = 0.125 is a power of two, so bucket assignment is
+    exact IEEE arithmetic — identical in Spark and DuckDB, no transcendental
+    functions near bucket edges. Scores are clamped into [lo, hi).
+    """
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    h = (
+        scored.select(b.alias("b"), F.col(label_col).cast("boolean").alias("pos"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    terms = h.select(
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_n_below"),
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.col("p") * (F.col("cum_n_below") + F.col("n") * F.lit(0.5)))
+            / (F.sum("p") * F.sum("n")),
+            6,
+        ).alias("auc"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html"]
+__all__ = ["encoding_quality", "MOJIBAKE_MARKERS", "token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -331,4 +331,77 @@ def strip_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         cleaned.alias("text"),
         F.length(F.col(text_col)).cast("long").alias("n_before"),
         F.length(cleaned).cast("long").alias("n_after"),
+    )
+
+
+# Fixed-string mojibake markers: UTF-8 bytes of common punctuation/accents
+# re-decoded as Latin-1/cp1252 -- the classic double-encoding signature
+# (ftfy's core heuristic, reduced to the high-frequency cases so counting
+# stays a fixed-string scan both engines implement identically). Defined via
+# escapes: each marker is UTF-8(char) decoded as cp1252.
+MOJIBAKE_MARKERS = [
+    "\u00e2\u20ac\u2122",  # \u2019 right single quote re-decoded
+    "\u00e2\u20ac\u0153",  # \u201c left double quote re-decoded
+    "\u00e2\u20ac\u201c",  # \u2013 en dash re-decoded
+    "\u00c3\u00a9",          # \u00e9 e-acute re-decoded
+    "\u00c3\u00a8",          # \u00e8 e-grave re-decoded
+    "\u00c3\u00bc",          # \u00fc u-umlaut re-decoded
+    "\u00c3\u00b6",          # \u00f6 o-umlaut re-decoded
+]
+
+_REPLACEMENT = "\ufffd"
+
+
+def _count_fixed(col: Column, needle: str) -> Column:
+    """Occurrences of a fixed string:
+    (len - len(replace(s, needle, ''))) / len(needle) -- exact integer
+    arithmetic, no regex engine differences across Spark/DuckDB."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def encoding_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mojibake / encoding-damage detector: (id, n_replacement, n_mojibake,
+    n_ctrl, ascii_ratio, enc_ok) per document.
+
+    - n_replacement: U+FFFD replacement characters (a decoder already gave up)
+    - n_mojibake: occurrences of the classic UTF-8-as-Latin-1 double-encoding
+      digraphs (MOJIBAKE_MARKERS) -- fixed-string counts, no regex
+    - n_ctrl: C0 control characters other than tab/newline/carriage-return
+    - ascii_ratio: printable-ASCII chars / total chars (1.0 for empty text)
+    - enc_ok: no damage markers and ascii_ratio >= 0.6 (multilingual text is
+      legitimately non-ASCII; the low bar only catches binary-in-text)
+
+    Pure narrow projection -- fixed-string scans and one regexp_replace diff
+    per class, zero shuffle, zero Python; pipelines with downstream filters
+    at any scale.
+    """
+    t = F.col(text_col)
+    n_repl = _count_fixed(t, _REPLACEMENT)
+    n_moji = None
+    for m in MOJIBAKE_MARKERS:
+        c = _count_fixed(t, m)
+        n_moji = c if n_moji is None else (n_moji + c)
+    n_ctrl = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))
+    ).cast("long")
+    n_ascii = F.length(F.regexp_replace(t, "[^\\x20-\\x7e]", ""))
+    ascii_ratio = F.round(
+        F.when(F.length(t) > 0, n_ascii.cast("double") / F.length(t)).otherwise(
+            F.lit(1.0)
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_repl.alias("n_replacement"),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_ctrl.alias("n_ctrl"),
+        ascii_ratio.alias("ascii_ratio"),
+        (
+            (n_repl == 0) & (n_moji == 0) & (n_ctrl == 0) & (ascii_ratio >= 0.6)
+        ).alias("enc_ok"),
     )

@@ -2898,6 +2898,9 @@ def all_queries():
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "ivfpq_residual_topk_embeddings": ivfpq_residual_topk_embeddings,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "proto_prune_embeddings": proto_prune_embeddings,
+        "quality_auc_docs": quality_auc_docs,
+        "encoding_quality_docs": encoding_quality_docs,
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
@@ -2989,6 +2992,9 @@ def all_oracles():
         "ivfpq_topk_embeddings": _oracle_ivfpq_topk(),
         "ivfpq_residual_topk_embeddings": _oracle_ivfpq_residual_topk(),
         "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP,
+        "proto_prune_embeddings": ORACLE_PROTO_PRUNE,
+        "quality_auc_docs": ORACLE_QUALITY_AUC,
+        "encoding_quality_docs": _oracle_encoding_quality(),
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "containment_pairs_docs": _oracle_containment(),
         "cosine_near_dup_lsh": _oracle_cosine_lsh(),
@@ -3583,6 +3589,165 @@ nn AS (
 SELECT c.id, c.cell, nn.nn_lower_cosine,
        (nn.nn_lower_cosine IS NULL OR nn.nn_lower_cosine < 0.95) AS keep
 FROM cells c LEFT JOIN nn USING (id)
+"""
+
+
+
+def proto_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/SSL-prototypes pruning over the embeddings table: 16 deterministic
+    cells (same quantizer model as semantic_dedup_embeddings -- the fit is
+    shared via the model cache), rank within each cell by cosine-to-centroid,
+    drop the most-prototypical quarter (cnt * 1 div 4) per cell."""
+    from jsonschema_spark.operators.pruning import prototype_prune
+    from jsonschema_spark.operators.semdedup import fit_unit_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = ("semdedup", sf_dir, 16)
+    if key not in _CENTROID_MODELS:
+        _CENTROID_MODELS[key] = fit_unit_centroids(emb, 16)
+    return prototype_prune(
+        emb, n_cells=16, drop_num=1, drop_den=4, centroids=_CENTROID_MODELS[key]
+    )
+
+
+ORACLE_PROTO_PRUNE = """
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+u AS (SELECT vec_id AS id,
+             CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                  THEN [x / sqrt(list_dot_product(v, v)) FOR x IN v] ELSE v END AS uv
+      FROM e),
+cent AS (SELECT id AS cent_id, uv AS cu FROM u ORDER BY id LIMIT 16),
+cells AS (
+  SELECT id, cell, round(aff, 6) AS proto FROM (
+    SELECT u.id, cent.cent_id AS cell, list_dot_product(u.uv, cent.cu) AS aff,
+           row_number() OVER (PARTITION BY u.id ORDER BY
+             list_dot_product(u.uv, cent.cu) DESC, cent.cent_id ASC) AS rk
+    FROM u, cent) WHERE rk = 1),
+ranked AS (
+  SELECT id, cell, proto,
+         row_number() OVER (PARTITION BY cell ORDER BY proto DESC, id ASC) AS proto_rank,
+         count(*) OVER (PARTITION BY cell) AS cnt
+  FROM cells)
+SELECT id, cell, proto, CAST(proto_rank AS BIGINT) AS proto_rank,
+       proto_rank > (cnt * 1) // 4 AS kept
+FROM ranked
+"""
+
+
+def quality_auc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-AUC evaluation of the NB quality model (the calibration
+    readout a pipeline checks before trusting a classifier gate): fit on
+    lang='en' weak labels, score every doc, bucket scores on a fixed
+    power-of-two grid and compute Mann-Whitney AUC over the bounded
+    histogram. One row: (auc, n_pos, n_neg)."""
+    from jsonschema_spark.operators.quality_model import (
+        binary_auc_bucketed,
+        fit_nb_quality_model,
+        score_quality_model,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("pos", F.col("lang") == "en")
+    weights, consts = fit_nb_quality_model(d, "doc_id", "text", "pos")
+    scored = score_quality_model(d, weights, consts, "doc_id", "text")
+    labeled = scored.join(d.select(F.col("doc_id").alias("id"), "pos"), "id")
+    return binary_auc_bucketed(labeled, "score", "pos")
+
+
+ORACLE_QUALITY_AUC = """
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 262144 AS b
+  FROM (SELECT doc_id, pos, unnest(toks) AS tok FROM t)),
+cnt AS (
+  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+  FROM e GROUP BY 1),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+w AS (
+  SELECT b, ln((cp + 1.0) / (tp + 262144.0)) - ln((cn + 1.0) / (tn + 262144.0)) AS weight
+  FROM cnt, tot),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS bias
+  FROM t),
+sc AS (
+  SELECT e.doc_id, bool_or(e.pos) AS pos, bias + sum(w.weight) AS score
+  FROM e JOIN w USING (b), prior GROUP BY e.doc_id, bias),
+hb AS (
+  SELECT least(greatest(CAST(floor((score - (-64.0)) / 0.125) AS BIGINT), 0), 1023) AS b,
+         pos
+  FROM sc),
+h AS (
+  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n
+  FROM hb GROUP BY 1),
+terms AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_n_below
+  FROM h)
+SELECT round(sum(p * (cum_n_below + n * 0.5)) / (sum(p) * sum(n)), 6) AS auc,
+       CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+FROM terms
+"""
+
+
+def encoding_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detector over documents with DETERMINISTIC injected
+    damage (the synthetic corpus is clean ASCII, so the query seeds the three
+    damage classes on fixed doc_id residues to exercise every counter):
+    doc_id%13==0 gets a mojibake digraph, %17==0 a U+FFFD, %19==0 a C0
+    control byte. The operator itself (operators/text.encoding_quality) is a
+    pure narrow projection."""
+    from jsonschema_spark.operators.text import MOJIBAKE_MARKERS, encoding_quality
+
+    d = _t(spark, sf_dir, "documents")
+    damaged = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat("text", F.lit(MOJIBAKE_MARKERS[0])))
+        .when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit("\ufffd")))
+        .when(F.col("doc_id") % 19 == 0, F.concat("text", F.lit(chr(1))))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return encoding_quality(damaged, "doc_id", "text")
+
+
+def _oracle_encoding_quality() -> str:
+    from jsonschema_spark.operators.text import MOJIBAKE_MARKERS
+
+    moji = " + ".join(
+        f"(length(s) - length(replace(s, '{m}', ''))) // {len(m)}"
+        for m in MOJIBAKE_MARKERS
+    )
+    m0 = MOJIBAKE_MARKERS[0]
+    return f"""
+WITH dmg AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || '{m0}'
+              WHEN doc_id % 17 = 0 THEN text || chr(65533)
+              WHEN doc_id % 19 = 0 THEN text || chr(1)
+              ELSE text END AS s
+  FROM documents),
+c AS (
+  SELECT doc_id AS id,
+         CAST(length(s) - length(replace(s, chr(65533), '')) AS BIGINT) AS n_replacement,
+         CAST({moji} AS BIGINT) AS n_mojibake,
+         CAST(length(s) - length(regexp_replace(s,
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+         round(CASE WHEN length(s) > 0
+               THEN CAST(length(regexp_replace(s, '[^\\x20-\\x7e]', '', 'g')) AS DOUBLE)
+                    / length(s)
+               ELSE 1.0 END, 6) AS ascii_ratio
+  FROM dmg)
+SELECT id, n_replacement, n_mojibake, n_ctrl, ascii_ratio,
+       (n_replacement = 0 AND n_mojibake = 0 AND n_ctrl = 0
+        AND ascii_ratio >= 0.6) AS enc_ok
+FROM c
 """
 
 

@@ -47,6 +47,8 @@ HEADLINE = [
     "cardinality_orders",
     "ks_click_vs_view",
     "psi_lang_src",
+    "ks_span_length_drift",
+    "psi_span_kind_drift",
     "chi2_event_type_drift",
     "js_lang_docs",
     "wasserstein_value_events",

@@ -1019,6 +1019,78 @@ SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM (
 """
 
 
+
+def ks_span_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule drift check: KS on the SPAN-LENGTH distribution (spans per
+    interleaved document) between two document cohorts. Span length is one
+    map-side-combining count per doc -- the spans array itself is never
+    materialized for this check, so the plan is a groupBy + the bounded
+    1024-bucket ECDF window at any corpus size."""
+    from jsonschema_spark.operators.drift import ks_statistic
+
+    e = _t(spark, sf_dir, "events")
+    lens = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("span_len"))
+    d = lens.withColumn(
+        "grp", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+    )
+    out = ks_statistic(d, "span_len", "grp", "a", "b")
+    return out.select(F.round("ks", 9).alias("ks"))
+
+
+ORACLE_KS_SPAN_LEN = """
+WITH lens AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS v FROM events GROUP BY 1),
+d AS (
+  SELECT v, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g FROM lens),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+bucketed AS (
+  SELECT least(1023, floor((v - lo) / ((hi - lo) / 1024 + 1e-300))) AS v, g
+  FROM d, bounds),
+per_value AS (
+  SELECT v,
+         sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM bucketed GROUP BY 1),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per_value),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per_value)
+SELECT round(max(abs(cum_a / na - cum_b / nb)), 9) AS ks FROM ecdf, tot
+"""
+
+
+def psi_span_kind_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule drift check: PSI on the span KIND frequency table
+    (text vs media, the interleaved-doc mapping of event_type) between two
+    document cohorts. One map-side-combining groupBy to a 2-row frequency
+    relation; everything downstream is driver-scale."""
+    from jsonschema_spark.operators.drift import psi
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type").isin("click", "view"), F.lit("text"))
+        .otherwise(F.lit("media"))
+        .alias("kind"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+    )
+    return psi(e, "kind", "grp", "a", "b").select(F.round("psi", 6).alias("psi"))
+
+
+ORACLE_PSI_SPAN_KIND = """
+WITH base AS (
+  SELECT CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END AS cat,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+  FROM events),
+freqs AS (
+  SELECT cat, sum(CASE WHEN g='a' THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN g='b' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM freqs)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM (
+  SELECT greatest(ca / na, 1e-6) AS p, greatest(cb / nb, 1e-6) AS q FROM freqs, tot)
+"""
+
+
 def chi2_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square homogeneity test on the event_type (kind) frequency table
     between two user cohorts — the kind-frequency drift check with a known
@@ -2874,6 +2946,8 @@ def all_queries():
         "cardinality_orders": cardinality_orders,
         "ks_click_vs_view": ks_click_vs_view,
         "psi_lang_src": psi_lang_src,
+        "ks_span_length_drift": ks_span_length_drift,
+        "psi_span_kind_drift": psi_span_kind_drift,
         "chi2_event_type_drift": chi2_event_type_drift,
         "js_lang_docs": js_lang_docs,
         "wasserstein_value_events": wasserstein_value_events,
@@ -2968,6 +3042,8 @@ def all_oracles():
         "cardinality_orders": ORACLE_CARDINALITY,
         "ks_click_vs_view": ORACLE_KS,
         "psi_lang_src": ORACLE_PSI,
+        "ks_span_length_drift": ORACLE_KS_SPAN_LEN,
+        "psi_span_kind_drift": ORACLE_PSI_SPAN_KIND,
         "chi2_event_type_drift": ORACLE_CHI2,
         "js_lang_docs": ORACLE_JS,
         "wasserstein_value_events": ORACLE_W1,

@@ -33,6 +33,7 @@ __all__ = [
     "kmeans_assign",
     "two_level_assign",
     "ivf_topk",
+    "pair_set_eval",
 ]
 
 
@@ -1038,4 +1039,34 @@ def ivfpq_residual_topk(
     )
     return ranked.filter(F.col("rank") <= k).select(
         "query_id", "neighbor_id", "rank", "adc_dist"
+    )
+
+
+def pair_set_eval(truth: DataFrame, approx: DataFrame, keys=("id_a", "id_b")) -> DataFrame:
+    """ONE row: (n_truth, n_approx, n_hit, recall, precision) — the
+    self-measurement instrument for any approximate pair operator (banded
+    LSH near-dup, SimHash buckets, candidate generation) against its exact
+    counterpart on the same corpus sample. Production use: run the exact
+    side on a small deterministic sample (operators/sampling) and the
+    approximate side with production parameters — the recall estimate is
+    the banding-miss rate, measured instead of assumed from the 1-(1-p^r)^b
+    formula.
+
+    Plan: both relations are projected to bare pair keys before the single
+    full-outer join (16 B/row through the exchange at any scale), then one
+    map-side-combining aggregate."""
+    t = truth.select(*keys).withColumn("__t", F.lit(1))
+    a = approx.select(*keys).withColumn("__a", F.lit(1))
+    j = t.join(a, list(keys), "full_outer")
+    n_truth = F.count("__t")
+    n_approx = F.count("__a")
+    n_hit = F.sum(
+        F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_truth.alias("n_truth"),
+        n_approx.alias("n_approx"),
+        n_hit.alias("n_hit"),
+        F.round(n_hit.cast("double") / n_truth, 6).alias("recall"),
+        F.round(n_hit.cast("double") / n_approx, 6).alias("precision"),
     )

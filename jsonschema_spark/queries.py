@@ -2978,6 +2978,7 @@ def all_queries():
         "lsh_candidate_pairs_docs": lsh_candidate_pairs_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "cosine_near_dup_lsh": cosine_near_dup_lsh,
+        "lsh_recall_embeddings": lsh_recall_embeddings,
         "localized_violations_docs": localized_violations_docs,
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
@@ -3074,6 +3075,7 @@ def all_oracles():
         "lsh_candidate_pairs_docs": _oracle_lsh_pairs(),
         "containment_pairs_docs": _oracle_containment(),
         "cosine_near_dup_lsh": _oracle_cosine_lsh(),
+        "lsh_recall_embeddings": _oracle_lsh_recall(),
         "localized_violations_docs": ORACLE_LOCALIZED_DOCS,
         "simhash_docs": ORACLE_SIMHASH,
         "ann_topk_docs": _oracle_ann_topk(),
@@ -3824,6 +3826,40 @@ SELECT id, n_replacement, n_mojibake, n_ctrl, ascii_ratio,
        (n_replacement = 0 AND n_mojibake = 0 AND n_ctrl = 0
         AND ascii_ratio >= 0.6) AS enc_ok
 FROM c
+"""
+
+
+
+def lsh_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the banded-LSH near-dup path against the
+    exact O(n^2) verifier on the same corpus — the self-evaluation a pipeline
+    runs on a sample before trusting LSH parameters at full scale. One row:
+    (n_truth, n_approx, n_hit, recall, precision)."""
+    from jsonschema_spark.operators.simsearch import pair_set_eval
+
+    return pair_set_eval(
+        cosine_near_dup_exact(spark, sf_dir), cosine_near_dup_lsh(spark, sf_dir)
+    )
+
+
+def _oracle_lsh_recall() -> str:
+    exact = ORACLE_COSINE_NEAR_DUP.strip().rstrip(";")
+    lsh = _oracle_cosine_lsh().strip().rstrip(";")
+    return f"""
+WITH truth AS ({exact}),
+approx AS ({lsh}),
+j AS (
+  SELECT t.id_a IS NOT NULL AS in_t, a.id_a IS NOT NULL AS in_a
+  FROM truth t FULL OUTER JOIN approx a
+    ON t.id_a = a.id_a AND t.id_b = a.id_b)
+SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+       CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN in_t THEN 1 ELSE 0 END), 6) AS recall,
+       round(CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN in_a THEN 1 ELSE 0 END), 6) AS precision
+FROM j
 """
 
 

@@ -79,6 +79,7 @@ HEADLINE = [
     "url_dedup_docs",
     "domain_quota_docs",
     "pack_docs",
+    "pack_stats_docs",
     "token_count_by_lang",
     "fingerprint_docs",
     "sample_split_docs",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "pack_stats"]
 
 
 def _shard(key: Column, n_shards: int, salt: str) -> Column:
@@ -64,4 +64,46 @@ def pack_documents(
         .withColumn("pack_id", F.expr(f"__start div {int(budget)}"))
         .withColumn("tok_offset", F.col("__start") % budget)
         .drop("__start")
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    budget: int,
+    n_shards: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """ONE row of packing-efficiency metrics for a concat-then-chunk run:
+    (n_docs, n_shards_used, n_packs, total_tokens, waste_tokens, fill_rate).
+
+    Under concat-then-chunk, every pack except the last of each shard is
+    exactly full, so the whole readout reduces to per-shard token sums: one
+    map-side-combining groupBy(shard) to <= n_shards rows, then integer
+    arithmetic (packs = ceil(sum/budget) via `div`; waste = packs*budget -
+    sum; exact past 2^53). fill_rate = total_tokens / (n_packs * budget),
+    rounded to 6 — the number a batch-prep pipeline watches when tuning
+    budget and shard count."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    per_shard = (
+        df.withColumn("shard", _shard(F.col(id_col), n_shards, salt))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col(token_col).cast("bigint")).alias("toks"),
+        )
+        .withColumn("packs", F.expr(f"(toks + {budget} - 1) div {budget}"))
+    )
+    return per_shard.agg(
+        F.sum("docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_shards_used"),
+        F.sum("packs").alias("n_packs"),
+        F.sum("toks").alias("total_tokens"),
+        (F.sum("packs") * F.lit(budget) - F.sum("toks")).alias("waste_tokens"),
+        F.round(
+            F.sum("toks").cast("double") / (F.sum("packs") * F.lit(budget)), 6
+        ).alias("fill_rate"),
     )

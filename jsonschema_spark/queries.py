@@ -3001,6 +3001,7 @@ def all_queries():
         "url_dedup_docs": url_dedup_docs,
         "domain_quota_docs": domain_quota_docs,
         "pack_docs": pack_docs,
+        "pack_stats_docs": pack_stats_docs,
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
         "attribution_asof_events": attribution_asof_events,
@@ -3098,6 +3099,7 @@ def all_oracles():
         "url_dedup_docs": ORACLE_URL_DEDUP,
         "domain_quota_docs": ORACLE_DOMAIN_QUOTA,
         "pack_docs": ORACLE_PACK_DOCS,
+        "pack_stats_docs": ORACLE_PACK_STATS,
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,
         "attribution_asof_events": ORACLE_ASOF,
@@ -3860,6 +3862,40 @@ SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
        round(CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
              / sum(CASE WHEN in_a THEN 1 ELSE 0 END), 6) AS precision
 FROM j
+"""
+
+
+
+def pack_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency readout for the pack_docs configuration (budget
+    512, 8 shards): pack count, waste tokens, fill rate -- the metric a
+    batch-prep pipeline watches when tuning budget/shard count."""
+    from jsonschema_spark.operators.packing import pack_stats
+    from jsonschema_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("tokens")
+    )
+    return pack_stats(d, "doc_id", "tokens", budget=512, n_shards=8)
+
+
+ORACLE_PACK_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tokens,
+         CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents),
+per_shard AS (
+  SELECT shard, count(*) AS docs, sum(tokens) AS toks,
+         (sum(tokens) + 512 - 1) // 512 AS packs
+  FROM t GROUP BY 1)
+SELECT CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_shards_used,
+       CAST(sum(packs) AS BIGINT) AS n_packs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(packs) * 512 - sum(toks) AS BIGINT) AS waste_tokens,
+       round(CAST(sum(toks) AS DOUBLE) / (sum(packs) * 512), 6) AS fill_rate
+FROM per_shard
 """
 
 

@@ -85,6 +85,7 @@ HEADLINE = [
     "sample_split_docs",
     "stratified_sample_docs",
     "mixture_sample_docs",
+    "temperature_sample_docs",
     "dsir_sample_docs",
     "keywords_tfidf_docs",
     "clean_text_docs",

@@ -25,6 +25,7 @@ __all__ = [
     "bucket_by_thresholds",
     "group_quota",
     "mixture_sample",
+    "temperature_sample",
 ]
 
 
@@ -291,6 +292,58 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n_g"))
         .withColumn("t_g", F.coalesce(F.element_at(t_map, F.col("grp")), F.lit(0.0)))
     )
+    tot = counts.agg(F.sum("n_g").alias("n_total"), F.sum("t_g").alias("t_sum"))
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.least(
+            F.lit(1.0),
+            F.col("t_g")
+            / F.col("t_sum")
+            * (F.lit(float(out_frac)) * F.col("n_total"))
+            / F.col("n_g"),
+        ).alias("frac"),
+    )
+    kept = base.join(F.broadcast(plan), "grp").filter(
+        hash_fraction(F.col("id"), salt) < F.col("frac")
+    )
+    return kept.select("id", "grp")
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    out_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/UL2 multilingual
+    recipe): target share of group g ∝ p_g^alpha, renormalized — alpha<1
+    flattens the distribution (upweights tail groups), alpha=1 keeps natural
+    proportions, alpha=0 is uniform-over-groups. Unlike `mixture_sample`,
+    the targets come FROM the data, so no target dict is supplied.
+
+    frac_g = least(1, (n_g^alpha / Σ_h n_h^alpha) · out_frac · N / n_g)
+    (p_g^alpha renormalized equals n_g^alpha renormalized — the N^alpha
+    factor cancels). Same scale shape as mixture_sample: one
+    map-side-combining groupBy to the per-group plan, broadcast back, md5
+    hash-range membership — no RNG, no payload shuffle, a doc's fate
+    depends only on its own group's count.
+
+    Cross-engine determinism: alpha=0.5 is evaluated as sqrt (correctly
+    rounded in IEEE-754, bit-identical in every engine); other alphas go
+    through pow, where engines may differ in the last ulp — with the md5
+    fraction's 2^-60 granularity a membership flip needs a doc's hash
+    within ~2^-53 of the threshold (probability ~1e-12 per million docs),
+    the same documented tolerance as mixture_sample's non-dyadic case."""
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    if alpha == 0.5:
+        pw = F.sqrt(F.col("n_g").cast("double"))
+    else:
+        pw = F.pow(F.col("n_g").cast("double"), F.lit(float(alpha)))
+    counts = counts.withColumn("t_g", pw)
     tot = counts.agg(F.sum("n_g").alias("n_total"), F.sum("t_g").alias("t_sum"))
     plan = counts.crossJoin(F.broadcast(tot)).select(
         "grp",

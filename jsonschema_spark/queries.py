@@ -2986,6 +2986,7 @@ def all_queries():
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "mixture_sample_docs": mixture_sample_docs,
+        "temperature_sample_docs": temperature_sample_docs,
         "keywords_tfidf_docs": keywords_tfidf_docs,
         "clean_text_docs": clean_text_docs,
         "c4_filter_docs": c4_filter_docs,
@@ -3084,6 +3085,7 @@ def all_oracles():
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "mixture_sample_docs": _oracle_mixture_sample(),
+        "temperature_sample_docs": ORACLE_TEMPERATURE_SAMPLE,
         "keywords_tfidf_docs": ORACLE_KEYWORDS_TFIDF,
         "clean_text_docs": _oracle_clean_text(),
         "c4_filter_docs": _oracle_c4_filter(),
@@ -3896,6 +3898,35 @@ SELECT CAST(sum(docs) AS BIGINT) AS n_docs,
        CAST(sum(packs) * 512 - sum(toks) AS BIGINT) AS waste_tokens,
        round(CAST(sum(toks) AS DOUBLE) / (sum(packs) * 512), 6) AS fill_rate
 FROM per_shard
+"""
+
+
+
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/UL2-style temperature resampling on language (alpha=0.5,
+    out_frac=0.5): tail languages are upweighted toward sqrt-proportional
+    shares; targets derived from the data, no target dict."""
+    from jsonschema_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", alpha=0.5, out_frac=0.5
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = """
+WITH t AS (SELECT doc_id AS id, lang AS grp FROM documents),
+c AS (SELECT grp, count(*) AS n_g, sqrt(CAST(count(*) AS DOUBLE)) AS t_g
+      FROM t GROUP BY 1),
+tot AS (SELECT sum(n_g) AS n_total, sum(t_g) AS t_sum FROM c),
+plan AS (
+  SELECT grp,
+         least(CAST(1.0 AS DOUBLE),
+               t_g / t_sum * (CAST(0.5 AS DOUBLE) * n_total) / n_g) AS frac
+  FROM c, tot)
+SELECT t.id, t.grp FROM t JOIN plan USING (grp)
+WHERE CAST(('0x' || substr(md5('temp' || CAST(t.id AS VARCHAR)), 1, 15)) AS BIGINT)
+        / POWER(2, 60)
+      < plan.frac
 """
 
 

@@ -201,3 +201,53 @@ def test_kmeans_assignment_is_single_projection(spark):
     p = _plan(kmeans_assign(emb, model))
     assert "Join" not in p and "Exchange" not in p and "Window" not in p, p[:800]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_proto_prune_no_crossjoin_no_python(spark):
+    """Prototypicality pruning: assignment is a literal-fold projection (no
+    centroid join), the only exchange is the per-cell rank window."""
+    from jsonschema_spark.queries import proto_prune_embeddings
+
+    p = _plan(proto_prune_embeddings(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_auc_window_runs_on_bounded_histogram(spark):
+    """Bucketed AUC: the global-order window must consume the aggregated
+    histogram (post-groupBy), never the raw scored rows — visible as the
+    Window sitting above a HashAggregate, with no Python anywhere."""
+    from jsonschema_spark.queries import quality_auc_docs
+
+    df = quality_auc_docs(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    w = p.index("Window")
+    assert "HashAggregate" in p[w:], "Window must sit on the bucket histogram"
+
+
+def test_temperature_sample_broadcasts_plan_no_payload_shuffle(spark):
+    from jsonschema_spark.queries import temperature_sample_docs
+
+    p = _plan(temperature_sample_docs(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p[:500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pack_stats_single_exchange_integer_arith(spark):
+    """pack_stats: one shuffle (the shard groupBy) and everything after it
+    operates on <= n_shards rows."""
+    from jsonschema_spark.queries import pack_stats_docs
+
+    p = _plan(pack_stats_docs(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # shard groupBy + the final single-row agg: at most 2 exchanges
+    assert p.count("Exchange") <= 3, f"too many exchanges:\n{p[:800]}"
+
+
+def test_encoding_quality_is_pure_projection(spark):
+    from jsonschema_spark.queries import encoding_quality_docs
+
+    p = _plan(encoding_quality_docs(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p, "encoding_quality must not shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -47,8 +47,17 @@ def prototypicality(
     centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """(id, cell, proto) — cell is the argmax-cosine centroid id, proto the
-    cosine to that centroid rounded to 6 decimals (rounded BEFORE any
-    ranking so cross-engine float jitter cannot reorder ties)."""
+    cosine to that centroid snapped to a 1e-6 grid via nudge-then-floor
+    (floor(x·1e6 + 1e-6)/1e6, applied BEFORE any ranking so cross-engine
+    float jitter cannot reorder ties). Not round(): Spark's round()
+    decimal-rounds the double's SHORTEST decimal representation (Java
+    BigDecimal.valueOf) while DuckDB rounds the exact binary value — on a
+    decimal tie like 0.21903249999…→"0.2190325" the engines disagree by
+    1e-6. Not bare floor() either: self-cosines sit exactly ON the 1.0 grid
+    line, and ~1e-16 engine jitter in the dot product splits them across it
+    (0.999999 vs 1.0). The +1e-6 nudge (1e-12 in x-units scaled to the 1e6
+    grid — far above the ~1e-9 jitter, far below the grid spacing) pushes
+    every mathematically-on-grid value safely past its own line."""
     unit = _unit(emb, id_col, vec_col)
     if centroids is None:
         centroids = fit_unit_centroids(emb, n_cells, id_col=id_col, vec_col=vec_col)
@@ -62,7 +71,10 @@ def prototypicality(
         F.element_at(
             id_lit, F.array_position(F.col("__affs"), F.array_max("__affs")).cast("int")
         ).alias("cell"),
-        F.round(F.array_max("__affs"), 6).alias("proto"),
+        (
+            F.floor(F.array_max("__affs") * F.lit(1000000.0) + F.lit(0.000001))
+            / F.lit(1000000.0)
+        ).alias("proto"),
     )
 
 

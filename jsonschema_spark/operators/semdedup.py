@@ -43,7 +43,16 @@ __all__ = ["semantic_dedup", "fit_unit_centroids", "fit_spherical_kmeans_centroi
 
 
 def _unit(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Cast float32 storage to double BEFORE any arithmetic: Spark's `x*x`
+    # inside the norm fold is float×float→float when elements are float32,
+    # rounding each square to 24-bit precision (~1e-8 relative error per
+    # term, ~5e-9 in the norm) — while every DuckDB oracle casts to DOUBLE
+    # up front. Without the cast, self-cosines land ~2e-9 under 1.0 on the
+    # Spark side only, splitting across the 6-decimal grid the oracles
+    # compare on.
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
     # norm staged in its own projection — HOF lambdas have no CSE
     return base.withColumn("__n", _norm(F.col("vec"))).select(
         "id",

@@ -3700,7 +3700,7 @@ u AS (SELECT vec_id AS id,
       FROM e),
 cent AS (SELECT id AS cent_id, uv AS cu FROM u ORDER BY id LIMIT 16),
 cells AS (
-  SELECT id, cell, round(aff, 6) AS proto FROM (
+  SELECT id, cell, floor(aff * 1000000.0 + 0.000001) / 1000000.0 AS proto FROM (
     SELECT u.id, cent.cent_id AS cell, list_dot_product(u.uv, cent.cu) AS aff,
            row_number() OVER (PARTITION BY u.id ORDER BY
              list_dot_product(u.uv, cent.cu) DESC, cent.cent_id ASC) AS rk

@@ -58,6 +58,8 @@ HEADLINE = [
     "lsh_candidate_pairs_docs",
     "containment_pairs_docs",
     "dup_clusters_docs",
+    "dedup_best_docs",
+    "shard_order_docs",
     "dedup_corpus_docs",
     "dedup_incremental_docs",
     "bloom_dedup_docs",
@@ -72,6 +74,7 @@ HEADLINE = [
     "winnow_dup_docs",
     "contamination_docs",
     "perplexity_docs",
+    "bigram_perplexity_docs",
     "ppl_buckets_docs",
     "quality_model_docs",
     "redact_pii_docs",

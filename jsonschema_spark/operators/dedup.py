@@ -30,6 +30,7 @@ __all__ = [
     "md5_hash60",
     "simhash_near_pairs",
     "duplicate_clusters",
+    "select_representatives",
     "dedup_corpus",
     "dedup_against",
     "window_hashes",
@@ -489,6 +490,56 @@ def duplicate_clusters(
         )
     finally:
         sym.unpersist()
+
+
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(cluster_id, rep_id, size) — the member each duplicate cluster KEEPS,
+    chosen by highest score with ties broken to the lowest id.
+
+    Production pipelines keep the BEST version of a near-duplicate group
+    (longest text, highest quality score), not the lowest-id one —
+    `dedup_corpus`'s min-id rule is the deterministic default; this is the
+    quality-aware alternative. `scores` is any (id, score) relation
+    (`quality_features`, `perplexity`, `length(text)`), joined id-keyed so
+    only (id, cluster, score) triples move — never payloads.
+
+    Scale shape: one exchange on cluster_id; both window functions
+    (row_number for the argmax, count for the size) share that partitioning
+    and its sort, and cluster sizes are duplicate-group sizes — bounded and
+    tiny relative to the corpus. Clusters only contain pair-involved ids,
+    so the windowed relation is bounded by the duplicate count.
+    """
+    from pyspark.sql import Window
+
+    scored = clusters.select(
+        F.col(id_col).alias("__id"), F.col(cluster_col).alias("__cl")
+    ).join(
+        scores.select(F.col(id_col).alias("__id"), F.col(score_col).alias("__sc")),
+        "__id",
+    )
+    w = Window.partitionBy("__cl")
+    wr = w.orderBy(F.col("__sc").desc(), F.col("__id").asc())
+    return (
+        scored.select(
+            "__cl",
+            "__id",
+            F.row_number().over(wr).alias("__rk"),
+            F.count(F.lit(1)).over(w).alias("size"),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("__cl").alias(cluster_col),
+            F.col("__id").alias("rep_id"),
+            "size",
+        )
+    )
 
 
 def dedup_corpus(

@@ -21,6 +21,7 @@ __all__ = [
     "split_thresholds",
     "stratified_sample",
     "deterministic_sample_n",
+    "shard_order",
     "quantile_buckets",
     "bucket_by_thresholds",
     "group_quota",
@@ -121,6 +122,43 @@ def deterministic_sample_n(df: DataFrame, key: str, n: int, *, salt: str = "") -
         .limit(n)
         .drop("__hf")
     )
+
+
+def shard_order(
+    df: DataFrame,
+    key: str,
+    *,
+    n_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training output: every row gets a
+    shard in [0, n_shards) and a position within its shard, both derived
+    ONLY from md5(salt || key) — so the training order is reproducible
+    across runs, engines, cluster sizes, and input partitionings, and can
+    be re-derived for any row without re-running the job (the property
+    `orderBy(rand())` cannot give). Writing the result partitioned by
+    `shard` and sorted by `pos` yields the shuffled corpus the trainer
+    streams shard-by-shard.
+
+    Shard = 60-bit md5 integer mod n_shards (exact integer arithmetic, no
+    doubles); position = row_number over (shard, ordered by the full md5
+    hex — lowercase-hex string order is engine-portable — with the key as
+    tiebreak for md5-collision determinism). Scale shape: one exchange on
+    shard; each shard sorts corpus/n_shards rows, which is the inherent
+    cost of materializing an explicit order — pick n_shards so a shard fits
+    the executor sort budget (10^12 docs / 10^5 shards = 10^7 rows/shard).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    staged = df.withColumn("__h", h).withColumn(
+        shard_col,
+        F.pmod(F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("bigint"), F.lit(n_shards)),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key))
+    return staged.withColumn(pos_col, F.row_number().over(w)).drop("__h")
 
 
 def quantile_buckets(

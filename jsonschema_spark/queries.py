@@ -781,6 +781,65 @@ SELECT id, n_tokens, n_oov, round(exp(-ll / n_tokens), 6) AS perplexity FROM s
 """
 
 
+def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style order-2 quality signal: a Jelinek-Mercer interpolated
+    bigram LM (λ=0.75 on the ML bigram conditional, 0.25 on the smoothed
+    unigram) fit on the doc_id%5==0 reference split, scoring every other
+    doc. Sharper than the unigram signal on word-order-scrambled text."""
+    from jsonschema_spark.operators.lm_quality import (
+        bigram_perplexity_scores,
+        fit_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi = fit_bigram_lm(
+        d.filter(F.col("doc_id") % 5 == 0), "text", vocab_size=4096, bigram_size=8192
+    )
+    return bigram_perplexity_scores(
+        d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", uni, bi, interp=0.75
+    )
+
+
+ORACLE_BIGRAM_PERPLEXITY = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+c AS (SELECT token, count(*) AS cnt FROM e WHERE doc_id % 5 = 0 GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 4096),
+k AS (SELECT count(*) AS kept FROM v),
+m AS (SELECT v.token, ln((v.cnt + 1.0) / (tot.total + k.kept + 1)) AS logp
+      FROM v, tot, k),
+o AS (SELECT ln(1.0 / (tot.total + k.kept + 1)) AS oov_logp FROM tot, k),
+bpairs AS (
+  SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} FOR i IN range(1, len(toks))]) AS p
+  FROM tok),
+bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+       FROM bpairs WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+bt AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 8192),
+bm AS (SELECT bt.w1, bt.w2, CAST(bt.c12 AS DOUBLE) / ctx.c1 AS pml
+       FROM bt JOIN ctx USING (w1)),
+r AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, toks[1] AS w2
+  FROM tok WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id, p.w1, p.w2 FROM bpairs WHERE doc_id % 5 <> 0),
+s AS (
+  SELECT r.doc_id AS id, count(*) AS n_tokens,
+         CAST(sum(CAST(bm.pml IS NOT NULL AS INT)) AS BIGINT) AS n_hits,
+         sum(CASE WHEN r.w1 IS NULL THEN ln(exp(coalesce(m.logp, o.oov_logp)))
+                  ELSE ln(0.75 * coalesce(bm.pml, 0.0)
+                          + 0.25 * exp(coalesce(m.logp, o.oov_logp))) END) AS ll
+  FROM r LEFT JOIN bm ON bm.w1 = r.w1 AND bm.w2 = r.w2
+         LEFT JOIN m ON m.token = r.w2, o
+  GROUP BY 1)
+SELECT id, n_tokens, n_hits, round(exp(-ll / n_tokens), 6) AS perplexity FROM s
+"""
+
+
 def ppl_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's actual selection step: per-LANGUAGE perplexity terciles
     (head/middle/tail) over the scored crawl docs — head is kept outright,
@@ -2299,6 +2358,76 @@ SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def dedup_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution: LSH pairs → connected components →
+    keep the LONGEST member per cluster (ties → lowest doc id) — production
+    pipelines keep the best version of a near-dup group, not the lowest-id
+    one. Returns (cluster_id, rep_id, size) per duplicate group."""
+    from jsonschema_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+        select_representatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = duplicate_clusters(pairs)
+    scores = docs.select(F.col("doc_id").alias("id"), F.length("text").alias("score"))
+    return select_representatives(clusters, scores)
+
+
+def _oracle_dedup_best(threshold: float = 0.5) -> str:
+    """The dup_clusters recursive-CTE chain plus a score join and per-cluster
+    argmax (score DESC, id ASC) — replays select_representatives exactly."""
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_lsh_pairs()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= {threshold}),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
+clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT c.id, c.cluster_id, length(d.text) AS score
+  FROM clusters c JOIN documents d ON d.doc_id = c.id)
+SELECT cluster_id, id AS rep_id, size FROM (
+  SELECT cluster_id, id,
+         count(*) OVER (PARTITION BY cluster_id) AS size,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, id ASC) AS rk
+  FROM scored) WHERE rk = 1
+"""
+
+
+def shard_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into 8 training shards:
+    (doc_id, shard, pos) derived only from md5 — the reproducible training
+    order a trainer streams shard-by-shard (write partitioned by shard,
+    sorted by pos)."""
+    from jsonschema_spark.operators.sampling import shard_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shard_order(docs, "doc_id", n_shards=8).select("doc_id", "shard", "pos")
+
+
+ORACLE_SHARD_ORDER = """
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+FROM (
+  SELECT doc_id,
+         md5('shard' || CAST(doc_id AS VARCHAR)) AS h,
+         CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents)
+"""
+
+
 def dedup_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full corpus dedup (exact pass then LSH near-dup clusters): the
     retained doc_ids a training pipeline would keep."""
@@ -2938,6 +3067,7 @@ def all_queries():
         "substring_dup_docs": substring_dup_docs,
         "winnow_dup_docs": winnow_dup_docs,
         "perplexity_docs": perplexity_docs,
+        "bigram_perplexity_docs": bigram_perplexity_docs,
         "quality_model_docs": quality_model_docs,
         "dsir_sample_docs": dsir_sample_docs,
         "dup_keys_lineitem": dup_keys_lineitem,
@@ -2983,6 +3113,8 @@ def all_queries():
         "simhash_docs": simhash_docs,
         "ann_topk_docs": ann_topk_docs,
         "dup_clusters_docs": dup_clusters_docs,
+        "dedup_best_docs": dedup_best_docs,
+        "shard_order_docs": shard_order_docs,
         "sample_split_docs": sample_split_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "mixture_sample_docs": mixture_sample_docs,
@@ -3037,6 +3169,7 @@ def all_oracles():
         "substring_dup_docs": ORACLE_SUBSTRING_DUP,
         "winnow_dup_docs": ORACLE_WINNOW_DUP,
         "perplexity_docs": ORACLE_PERPLEXITY,
+        "bigram_perplexity_docs": ORACLE_BIGRAM_PERPLEXITY,
         "quality_model_docs": ORACLE_QUALITY_MODEL,
         "dsir_sample_docs": ORACLE_DSIR_SAMPLE,
         "dup_keys_lineitem": ORACLE_DUP_KEYS,
@@ -3082,6 +3215,8 @@ def all_oracles():
         "simhash_docs": ORACLE_SIMHASH,
         "ann_topk_docs": _oracle_ann_topk(),
         "dup_clusters_docs": _oracle_dup_clusters(),
+        "dedup_best_docs": _oracle_dedup_best(),
+        "shard_order_docs": ORACLE_SHARD_ORDER,
         "sample_split_docs": _oracle_sample_split(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "mixture_sample_docs": _oracle_mixture_sample(),

@@ -128,3 +128,39 @@ def test_containment_catches_subset_docs_jaccard_misses(spark):
     assert not jac or jac[0]["jaccard"] < 0.5
     # the unrelated pair is filtered out entirely
     assert (1, 3) not in out
+
+
+class TestSelectRepresentatives:
+    def _clusters(self, spark):
+        # two clusters {1,2,3} and {10,11}, one singleton {20}
+        return spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+            "id long, cluster_id long",
+        )
+
+    def test_argmax_score_with_id_tiebreak(self, spark):
+        from jsonschema_spark.operators.dedup import select_representatives
+
+        scores = spark.createDataFrame(
+            # cluster 1: 2 wins on score; cluster 10: tie -> lowest id 10
+            [(1, 5.0), (2, 9.0), (3, 7.0), (10, 4.0), (11, 4.0), (20, 1.0)],
+            "id long, score double",
+        )
+        out = {r["cluster_id"]: (r["rep_id"], r["size"])
+               for r in select_representatives(self._clusters(spark), scores).collect()}
+        assert out == {1: (2, 3), 10: (10, 2), 20: (20, 1)}
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.dedup import select_representatives
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        clusters = docs.select(F.col("doc_id").alias("id"), (F.col("doc_id") % 10).alias("cluster_id"))
+        scores = docs.select(F.col("doc_id").alias("id"), F.length("text").alias("score"))
+        p = select_representatives(clusters, scores)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        # text payloads never enter an exchange: only id/cluster/score move
+        for seg in p.split("Exchange")[1:]:
+            assert "text#" not in seg.splitlines()[0]

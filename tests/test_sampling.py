@@ -246,3 +246,41 @@ class TestMixtureSample:
         assert "BroadcastHashJoin" in p
         for seg in p.split("Exchange")[1:]:
             assert "text#" not in seg.splitlines()[0]
+
+
+class TestShardOrder:
+    def test_positions_dense_and_deterministic(self, spark):
+        from jsonschema_spark.operators.sampling import shard_order
+
+        df = _docs(spark, 300)
+        out = shard_order(df, "doc_id", n_shards=4)
+        rows = out.collect()
+        assert len(rows) == 300
+        by_shard = {}
+        for r in rows:
+            assert 0 <= r["shard"] < 4
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        # positions within each shard are a dense 1..n_s permutation
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        # fully deterministic across runs
+        again = {(r["doc_id"]): (r["shard"], r["pos"]) for r in shard_order(df, "doc_id", n_shards=4).collect()}
+        first = {(r["doc_id"]): (r["shard"], r["pos"]) for r in rows}
+        assert first == again
+
+    def test_order_independent_of_input_partitioning(self, spark):
+        from jsonschema_spark.operators.sampling import shard_order
+
+        df = _docs(spark, 300)
+        a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_order(df, "doc_id", n_shards=4).collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_order(df.repartition(13), "doc_id", n_shards=4).collect()}
+        assert a == b
+
+    def test_no_python_one_exchange_on_shard(self, spark):
+        from jsonschema_spark.operators.sampling import shard_order
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = shard_order(docs.select("doc_id"), "doc_id", n_shards=8)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert p.count("Exchange") == 1  # the shard hash partitioning only

@@ -84,6 +84,7 @@ HEADLINE = [
     "pack_docs",
     "pack_stats_docs",
     "token_count_by_lang",
+    "bpe_token_stats_docs",
     "fingerprint_docs",
     "sample_split_docs",
     "stratified_sample_docs",

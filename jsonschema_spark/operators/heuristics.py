@@ -18,6 +18,7 @@ backreferences) so the exact rule chain replays in any oracle engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +27,7 @@ __all__ = [
     "GOPHER_REQUIRED_WORDS",
     "c4_line_filter",
     "gopher_quality",
+    "compression_ratio",
 ]
 
 # A line survives C4 iff it ends in terminal punctuation (., !, ?, or a
@@ -255,3 +257,48 @@ def gopher_quality(
         *([t.alias("text")] if keep_text else []),
     )
     return sig
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, *, level: int = 6
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio) — zlib DEFLATE compressibility of
+    the UTF-8 text. Highly repetitive/boilerplate documents compress far
+    below natural prose (~0.3-0.5), so a low ratio is a drop signal in the
+    Gopher/RedPajama-v2 signal family, complementary to the exact n-gram
+    repetition fractions in operators/repetition.py (DEFLATE catches long-
+    range and approximate repetition those miss).
+
+    This is the one deliberately-Python operator in the text surface:
+    DEFLATE is not expressible in SQL/Column algebra, so it runs as an
+    Arrow-batched pandas_udf (one Python call per ~10k-row batch, zero
+    per-row overhead) — the same honest fallback tier the multimodal
+    decoders use, except the codec here is stdlib so nothing is stubbed.
+    Narrow projection: no shuffle, scales embarrassingly. Deterministic for
+    a fixed zlib level (output LENGTH is stable across zlib builds in
+    practice; pin level, don't compare across zlib majors).
+    """
+    @F.pandas_udf("int")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    # stage the UDF result once — Python UDF calls are not CSE'd, so
+    # referencing _clen(...) twice would compress every doc twice
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        _clen(F.col(text_col)).alias("n_compressed"),
+    )
+    return staged.select(
+        "id",
+        "n_bytes",
+        "n_compressed",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed").cast("double") / F.col("n_bytes"), 6),
+        ).otherwise(F.lit(None).cast("double")).alias("ratio"),
+    )

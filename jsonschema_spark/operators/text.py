@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["encoding_quality", "MOJIBAKE_MARKERS", "token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html"]
+__all__ = ["encoding_quality", "MOJIBAKE_MARKERS", "token_count", "BPE_PRETOKEN_RE", "bpe_token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -26,6 +26,27 @@ def token_count(col: Column) -> Column:
     """Whitespace token count (0 for empty)."""
     t = F.trim(col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+# GPT-2-style pretokenizer in the Java∩RE2 subset: English contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. The original
+# GPT-2 pattern's trailing-whitespace branches (`\s+(?!\S)|\s+`) need
+# lookahead RE2 lacks — dropping them only removes whitespace pretokens,
+# which a TOKEN count excludes anyway. Both engines use leftmost-first
+# alternation, so the contraction branch wins over the punct branch at an
+# apostrophe in both.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: the number of GPT-2 pretokenizer segments.
+
+    A byte-pair encoder splits text at exactly these boundaries before
+    merging, so the pretoken count is a cheap, model-free lower bound on the
+    true BPE token count — the right granularity for packing budgets,
+    per-source token accounting, and length filters when the real tokenizer
+    is too expensive to run in the scan. Pure JVM regexp_count projection."""
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_RE))
 
 
 def quality_features(

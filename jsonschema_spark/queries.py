@@ -1431,6 +1431,39 @@ def token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE-ish token accounting: GPT-2 pretokenizer segment
+    counts (the model-free lower bound on true BPE tokens) summed per lang,
+    next to the whitespace count — the per-source token budget readout a
+    data-mixing plan is written against."""
+    from jsonschema_spark.operators.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            bpe_token_count(F.col("text")).alias("bc"),
+            token_count(F.col("text")).alias("wc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("bc").alias("total_pretokens"),
+            F.sum("wc").alias("total_ws_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+# the pretokenizer regex inlined with SQL quote-doubling ('' for ')
+ORACLE_BPE_TOKEN_STATS = """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))) AS BIGINT) AS total_pretokens,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_ws_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
 ORACLE_TOKEN_COUNT = """
 SELECT lang, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens, count(*) AS n_docs
 FROM documents GROUP BY 1
@@ -3088,6 +3121,7 @@ def all_queries():
         "text_quality_docs": text_quality_docs,
         "lang_id_docs": lang_id_docs,
         "token_count_by_lang": token_count_by_lang,
+        "bpe_token_stats_docs": bpe_token_stats_docs,
         "fingerprint_docs": fingerprint_docs,
         "simsearch_topk": simsearch_topk,
         "span_mismatch_events": span_mismatch_events,
@@ -3190,6 +3224,7 @@ def all_oracles():
         "text_quality_docs": ORACLE_TEXT_QUALITY,
         "lang_id_docs": _oracle_lang_id(),
         "token_count_by_lang": ORACLE_TOKEN_COUNT,
+        "bpe_token_stats_docs": ORACLE_BPE_TOKEN_STATS,
         "fingerprint_docs": ORACLE_FINGERPRINT,
         "simsearch_topk": ORACLE_SIMSEARCH,
         "span_mismatch_events": ORACLE_SPAN_MISMATCH,

@@ -125,3 +125,31 @@ class TestStripHtml:
         p = _plan(strip_html(_docs(spark, [(1, "x")]), "id", "text"))
         assert "Exchange" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_below_prose(self, spark):
+        import zlib
+
+        from jsonschema_spark.operators.heuristics import compression_ratio
+
+        prose = "The quick brown fox jumps over the lazy dog near the riverbank today."
+        boiler = "click here to subscribe " * 40
+        df = spark.createDataFrame([(1, prose), (2, boiler), (3, ""), (4, None)],
+                                   "id int, text string")
+        out = {r["id"]: r for r in compression_ratio(df, "id", "text").collect()}
+        # exact parity with local zlib at the same level
+        assert out[1]["n_compressed"] == len(zlib.compress(prose.encode(), 6))
+        assert out[2]["n_compressed"] == len(zlib.compress(boiler.encode(), 6))
+        assert out[2]["ratio"] < 0.2 < out[1]["ratio"]
+        assert out[3]["ratio"] is None and out[3]["n_bytes"] == 0
+        assert out[4]["ratio"] is None  # null text -> compresses empty
+
+    def test_single_arrow_udf_no_shuffle(self, spark):
+        from jsonschema_spark.operators.heuristics import compression_ratio
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = compression_ratio(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        # exactly ONE Arrow-batched python eval (the staged UDF), none duplicated
+        assert p.count("ArrowEvalPython") == 1

@@ -116,3 +116,33 @@ class TestCleanText:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         p = clean_text(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestBpeTokenCount:
+    def test_gpt2_pretoken_boundaries(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.text import bpe_token_count
+
+        cases = [
+            # "Hello" ", world" "!" " It" "'s" " " -> wait: segments below
+            (0, "Hello, world! It's 2026.", 8),  # Hello|,| world|!| It|'s| 2026|.
+            (1, "don't stop", 3),                # don|'t| stop
+            (2, "", 0),
+            (3, "bar42", 2),                     # bar|42 (letter run, digit run)
+            (4, "--", 1),                        # one punct run
+        ]
+        df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id int, text string")
+        out = {r["id"]: r["c"] for r in df.select("id", bpe_token_count(F.col("text")).alias("c")).collect()}
+        for i, _, want in cases:
+            assert out[i] == want, (i, out[i], want)
+
+    def test_pure_projection_no_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.text import bpe_token_count
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = docs.select(bpe_token_count(F.col("text")).alias("c"))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -130,3 +130,68 @@ def test_temperature_sample_membership_matches_python(spark, sizes, out_frac):
     }
     want = {i for i, (did, grp) in enumerate(rows) if _hash_frac(did, "temp") < fracs[grp]}
     assert kept == want
+
+
+# ----------------------- shard_order / representatives ----------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    n_shards=st.integers(min_value=1, max_value=9),
+    extra=st.integers(min_value=0, max_value=40),
+)
+@settings(**_SETTINGS)
+def test_shard_order_partition_laws(spark, n, n_shards, extra):
+    """Laws: (a) every row appears exactly once with a dense 1..n_s position
+    per shard; (b) a row's SHARD never changes when the corpus grows (only
+    positions within a shard may shift); (c) shard agrees with the md5 rule."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.sampling import shard_order
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = shard_order(df, "doc_id", n_shards=n_shards).collect()
+    assert len(out) == n
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    for r in out:
+        h = hashlib.md5(f"shard{r['doc_id']}".encode()).hexdigest()
+        assert r["shard"] == int(h[:15], 16) % n_shards
+    if extra:
+        grown = spark.range(n + extra).select(F.col("id").alias("doc_id"))
+        g = {r["doc_id"]: r["shard"] for r in shard_order(grown, "doc_id", n_shards=n_shards).collect()}
+        for r in out:
+            assert g[r["doc_id"]] == r["shard"]
+
+
+@given(
+    n=st.integers(min_value=2, max_value=60),
+    n_clusters=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_select_representatives_laws(spark, n, n_clusters, seed):
+    """Laws: one rep per cluster; the rep is a member; size counts members;
+    the rep maximizes (score, -id) within its cluster."""
+    from jsonschema_spark.operators.dedup import select_representatives
+
+    members = [(i, i % n_clusters) for i in range(n)]
+    scores = [(i, float((seed + 7 * i) % 5)) for i in range(n)]
+    clusters = spark.createDataFrame(members, "id long, cluster_id long")
+    sc = spark.createDataFrame(scores, "id long, score double")
+    out = select_representatives(clusters, sc).collect()
+    got = {r["cluster_id"]: (r["rep_id"], r["size"]) for r in out}
+    score_of = dict(scores)
+    expect = {}
+    for i, c in members:
+        cur = expect.get(c)
+        cand = (score_of[i], -i)
+        if cur is None or cand > (score_of[cur], -cur):
+            expect[c] = i
+    sizes = {}
+    for _, c in members:
+        sizes[c] = sizes.get(c, 0) + 1
+    assert got == {c: (rep, sizes[c]) for c, rep in expect.items()}

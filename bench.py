@@ -83,6 +83,9 @@ HEADLINE = [
     "domain_quota_docs",
     "pack_docs",
     "pack_stats_docs",
+    "pack_interleaved_events",
+    "span_interleave_events",
+    "source_overlap_docs",
     "token_count_by_lang",
     "bpe_token_stats_docs",
     "fingerprint_docs",

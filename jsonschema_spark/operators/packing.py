@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_documents", "pack_stats"]
+__all__ = ["pack_documents", "pack_stats", "interleaved_token_cost"]
 
 
 def _shard(key: Column, n_shards: int, salt: str) -> Column:
@@ -64,6 +64,30 @@ def pack_documents(
         .withColumn("pack_id", F.expr(f"__start div {int(budget)}"))
         .withColumn("tok_offset", F.col("__start") % budget)
         .drop("__start")
+    )
+
+
+def interleaved_token_cost(spans_col, *, media_token_cost: int = 64):
+    """Token-budget cost of an interleaved text+media span sequence: the
+    whitespace token count of every text span plus a fixed
+    ``media_token_cost`` per media span (vision-token placeholder
+    accounting — the packer needs the budget arithmetic, not the codec; a
+    tokenizer- or resolution-aware cost drops in by swapping this Column).
+
+    ONE ``aggregate`` fold over the spans array — row-local, no explode, no
+    shuffle — so costing a 10^12-doc corpus is a projection riding the scan.
+    A NULL text span costs 0 (``token_count`` of NULL is NULL → coalesced).
+    """
+    from jsonschema_spark.operators.text import token_count
+
+    col = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    return F.aggregate(
+        col,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.when(
+            x["kind"] == F.lit("media"), F.lit(int(media_token_cost)).cast("bigint")
+        ).otherwise(F.coalesce(token_count(x["text"]).cast("bigint"), F.lit(0))),
     )
 
 

@@ -19,6 +19,8 @@ __all__ = [
     "span_sequence_mismatches",
     "explode_spans",
     "span_length_stats",
+    "span_interleave_stats",
+    "span_transition_matrix",
 ]
 
 
@@ -134,3 +136,85 @@ def span_sequence_mismatches(
 def span_length_stats(docs: DataFrame) -> DataFrame:
     """Per-doc span-count distribution inputs for the KS drift check."""
     return docs.select("doc_id", F.size("spans").alias("span_count"))
+
+
+def _kind_transitions(kinds: Column) -> Column:
+    """array<struct<from_kind,to_kind>> of adjacent kind pairs, via the
+    zip_with shifted-view single pass (zip_with pads the shorter side with
+    NULL, so the tail pair carries to_kind=NULL and is filtered out)."""
+    shifted = F.slice(kinds, 2, F.greatest(F.size(kinds) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        kinds,
+        shifted,
+        lambda a, b: F.struct(a.alias("from_kind"), b.alias("to_kind")),
+    )
+    return F.filter(pairs, lambda p: p["to_kind"].isNotNull())
+
+
+def span_interleave_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-doc interleaving shape of a text+media span sequence: span counts
+    by kind, the number of maximal same-kind runs, and the media fraction.
+
+    The run count is the canonical "how interleaved is this document"
+    signal for multimodal batch prep — a doc whose 40 media spans sit in
+    one contiguous block packs (and resamples) very differently from 40
+    singleton images threaded through text, yet both have the same
+    media_frac. Everything is ONE narrow projection over the spans array
+    (the kind array is staged once, then reused by every signal — HOF
+    lambda bodies defeat CSE, the repo-wide staging rule): no explode, no
+    shuffle, no Python, so the operator rides the same scan as validation
+    at any corpus size.
+
+    media_frac uses the engine-portable nudge-then-floor 1e-6 snap
+    (``round()`` has engine-divergent decimal-tie semantics).
+    """
+    staged = docs.withColumn(
+        "__kinds", F.transform(F.col(spans_col), lambda x: x["kind"])
+    )
+    n = F.size("__kinds")
+    n_media = F.size(F.filter(F.col("__kinds"), lambda k: k == F.lit("media")))
+    changes = F.size(
+        F.filter(
+            _kind_transitions(F.col("__kinds")),
+            lambda p: p["from_kind"] != p["to_kind"],
+        )
+    )
+    n_runs = F.when(n == 0, F.lit(0)).otherwise(changes + 1)
+    media_frac = F.when(
+        n > 0,
+        F.floor(n_media.cast("double") / n.cast("double") * F.lit(1e6) + F.lit(1e-6))
+        / F.lit(1e6),
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_spans"),
+        (n - n_media).cast("bigint").alias("n_text"),
+        n_media.cast("bigint").alias("n_media"),
+        n_runs.cast("bigint").alias("n_runs"),
+        media_frac.alias("media_frac"),
+    )
+
+
+def span_transition_matrix(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Corpus-level (from_kind, to_kind, cnt) counts of adjacent span-kind
+    pairs — the transition table behind interleaving drift checks (a corpus
+    whose text→media rate shifts between snapshots changed its layout even
+    if per-kind totals held, which PSI on kind frequencies cannot see).
+
+    Plan: per-doc transition pairs are built row-locally (zip_with shifted
+    views — no per-doc window, no posexplode of raw spans), then ONE
+    explode feeds ONE map-side-combining groupBy whose output is bounded by
+    |kinds|² rows regardless of corpus size."""
+    staged = docs.select(
+        _kind_transitions(
+            F.transform(F.col(spans_col), lambda x: x["kind"])
+        ).alias("__trans")
+    )
+    return (
+        staged.select(F.explode("__trans").alias("p"))
+        .groupBy(
+            F.col("p.from_kind").alias("from_kind"),
+            F.col("p.to_kind").alias("to_kind"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

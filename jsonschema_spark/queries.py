@@ -3169,6 +3169,10 @@ def all_queries():
         "domain_quota_docs": domain_quota_docs,
         "pack_docs": pack_docs,
         "pack_stats_docs": pack_stats_docs,
+        "pack_interleaved_events": pack_interleaved_events,
+        "span_interleave_events": span_interleave_events,
+        "span_transitions_events": span_transitions_events,
+        "source_overlap_docs": source_overlap_docs,
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
         "attribution_asof_events": attribution_asof_events,
@@ -3272,6 +3276,10 @@ def all_oracles():
         "domain_quota_docs": ORACLE_DOMAIN_QUOTA,
         "pack_docs": ORACLE_PACK_DOCS,
         "pack_stats_docs": ORACLE_PACK_STATS,
+        "pack_interleaved_events": ORACLE_PACK_INTERLEAVED,
+        "span_interleave_events": ORACLE_SPAN_INTERLEAVE,
+        "span_transitions_events": ORACLE_SPAN_TRANSITIONS,
+        "source_overlap_docs": ORACLE_SOURCE_OVERLAP,
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,
         "attribution_asof_events": ORACLE_ASOF,
@@ -4070,6 +4078,151 @@ SELECT CAST(sum(docs) AS BIGINT) AS n_docs,
 FROM per_shard
 """
 
+
+
+def span_interleave_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc interleaving shape of the interleaved text+media docs: span
+    counts by kind, maximal same-kind run count, media fraction — the
+    multimodal layout signals batch prep filters and resamples on."""
+    from jsonschema_spark.operators.spans import span_interleave_stats
+
+    return span_interleave_stats(_events_as_spans(spark, sf_dir))
+
+
+ORACLE_SPAN_INTERLEAVE = """
+WITH k AS (
+  SELECT user_id AS doc_id,
+         CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END AS kind,
+         lag(CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND kind <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+       floor(CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 1e-6) / 1e6 AS media_frac
+FROM k GROUP BY doc_id
+"""
+
+
+def span_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span-kind transition matrix over the interleaved docs —
+    the layout-drift table (a shifted text→media rate changes interleaving
+    even when per-kind totals hold)."""
+    from jsonschema_spark.operators.spans import span_transition_matrix
+
+    out = span_transition_matrix(_events_as_spans(spark, sf_dir))
+    return out.select("from_kind", "to_kind", F.col("cnt").cast("bigint").alias("cnt"))
+
+
+ORACLE_SPAN_TRANSITIONS = """
+WITH k AS (
+  SELECT user_id,
+         CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END AS kind,
+         lag(CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_kind, kind AS to_kind, CAST(count(*) AS BIGINT) AS cnt
+FROM k WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def pack_interleaved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-aware packing: per-doc budget cost = whitespace tokens of
+    text spans + 64 tokens per media span (vision-token placeholder), then
+    concat-then-chunk pack assignment (budget 2048, 8 shards) — the
+    multimodal batch-prep step the plain token packer can't cost."""
+    from jsonschema_spark.operators.packing import (
+        interleaved_token_cost,
+        pack_documents,
+    )
+
+    d = _events_as_spans(spark, sf_dir).select(
+        "doc_id",
+        interleaved_token_cost("spans", media_token_cost=64).alias("tokens"),
+    )
+    return pack_documents(d, "doc_id", "tokens", budget=2048, n_shards=8, salt="packi")
+
+
+ORACLE_PACK_INTERLEAVED = r"""
+WITH t AS (
+  SELECT user_id AS doc_id,
+         CAST(sum(CASE WHEN event_type IN ('click','view')
+                       THEN COALESCE(CASE WHEN len(trim(props)) = 0 THEN 0
+                                          ELSE len(string_split_regex(trim(props), '\s+')) END, 0)
+                       ELSE 64 END) AS BIGINT) AS tokens
+  FROM events GROUP BY 1),
+s AS (
+  SELECT doc_id, tokens,
+         CAST(('0x' || substr(md5('packi' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM t),
+c AS (
+  SELECT doc_id, tokens, shard,
+         sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start
+  FROM s)
+SELECT doc_id, tokens, shard,
+       start // 2048 AS pack_id,
+       start % 2048 AS tok_offset
+FROM c
+"""
+
+
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source shingle-overlap estimates via bottom-k (KMV)
+    sketches (k=64): the mixture-design / snapshot-contamination audit.
+    Groups are three doc_id-derived cohorts (the documents table's shared
+    vocabulary gives them genuine, non-vacuous shingle overlap)."""
+    from jsonschema_spark.operators.overlap import source_overlap
+
+    d = _t(spark, sf_dir, "documents", hot=True).select(
+        F.concat(F.lit("g"), (F.col("doc_id") % 3).cast("string")).alias("grp"),
+        "text",
+    )
+    return source_overlap(d, "grp", "text", k=64, shingle_n=3, buckets=8)
+
+
+ORACLE_SOURCE_OVERLAP = r"""
+WITH d AS (
+  SELECT 'g' || CAST(doc_id % 3 AS VARCHAR) AS grp,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT grp,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+              ELSE [array_to_string(t, ' ')] END AS s
+  FROM d),
+hx AS (
+  SELECT DISTINCT grp, CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+  FROM sh, unnest(s) AS u(x)),
+sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM hx)
+  WHERE r <= 64),
+pairs AS (
+  SELECT a.grp AS src_a, b.grp AS src_b
+  FROM (SELECT DISTINCT grp FROM sk) a
+  JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+m AS (
+  SELECT p.src_a, p.src_b, s.h,
+         max(CASE WHEN s.grp = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.grp = p.src_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.grp = p.src_a OR s.grp = p.src_b
+  GROUP BY 1, 2, 3),
+bottom AS (
+  SELECT * FROM (
+    SELECT src_a, src_b, h, in_a, in_b,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+    FROM m) WHERE r <= 64)
+SELECT src_a, src_b,
+       CAST(count(*) AS BIGINT) AS n_union,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       floor(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 1e-6) / 1e6 AS jaccard_est
+FROM bottom GROUP BY 1, 2
+"""
 
 
 def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,205 @@
+"""Span-interleaving stats, interleaved-aware packing cost, and KMV
+cross-source overlap: semantics on crafted inputs + plan-shape gates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+DOCS = StructType(
+    [StructField("doc_id", LongType()), StructField("spans", ArrayType(SPAN))]
+)
+
+
+def _span(kind, text=None, ref=None, off=0):
+    return (kind, text, ref, off)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestSpanInterleaveStats:
+    def test_runs_and_counts(self, spark):
+        from jsonschema_spark.operators.spans import span_interleave_stats
+
+        rows = [
+            # t m t m  -> 4 runs, 2 media
+            (1, [_span("text", "a"), _span("media", None, "m1"),
+                 _span("text", "b"), _span("media", None, "m2")]),
+            # t t t -> 1 run, 0 media
+            (2, [_span("text", "a"), _span("text", "b"), _span("text", "c")]),
+            # m m t t -> 2 runs (block layout), same media_frac as doc 1
+            (3, [_span("media", None, "m1"), _span("media", None, "m2"),
+                 _span("text", "a"), _span("text", "b")]),
+            # single span
+            (4, [_span("media", None, "m1")]),
+            # empty spans array
+            (5, []),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in span_interleave_stats(
+                spark.createDataFrame(rows, DOCS)
+            ).collect()
+        }
+        assert (out[1]["n_spans"], out[1]["n_media"], out[1]["n_runs"]) == (4, 2, 4)
+        assert out[1]["media_frac"] == 0.5
+        assert (out[2]["n_runs"], out[2]["n_media"], out[2]["media_frac"]) == (1, 0, 0.0)
+        # same composition, different layout: media_frac ties, n_runs separates
+        assert out[3]["media_frac"] == out[1]["media_frac"]
+        assert out[3]["n_runs"] == 2
+        assert (out[4]["n_spans"], out[4]["n_runs"], out[4]["media_frac"]) == (1, 1, 1.0)
+        assert (out[5]["n_spans"], out[5]["n_runs"]) == (0, 0)
+        assert out[5]["media_frac"] is None
+
+    def test_single_projection_no_shuffle_no_python(self, spark):
+        from jsonschema_spark.operators.spans import span_interleave_stats
+
+        df = spark.createDataFrame([(1, [_span("text", "a")])], DOCS)
+        p = _plan(span_interleave_stats(df))
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestSpanTransitionMatrix:
+    def test_counts(self, spark):
+        from jsonschema_spark.operators.spans import span_transition_matrix
+
+        rows = [
+            (1, [_span("text", "a"), _span("media", None, "m"), _span("text", "b")]),
+            (2, [_span("text", "a"), _span("text", "b")]),
+            (3, [_span("media", None, "m")]),  # no transitions
+        ]
+        out = {
+            (r["from_kind"], r["to_kind"]): r["cnt"]
+            for r in span_transition_matrix(
+                spark.createDataFrame(rows, DOCS)
+            ).collect()
+        }
+        assert out == {("text", "media"): 1, ("media", "text"): 1, ("text", "text"): 1}
+
+    def test_one_aggregate_no_python(self, spark):
+        from jsonschema_spark.operators.spans import span_transition_matrix
+
+        df = spark.createDataFrame([(1, [_span("text", "a")])], DOCS)
+        p = _plan(span_transition_matrix(df))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # one shuffle: the bounded (from,to) groupBy
+        assert p.count("Exchange") <= 1
+
+
+class TestInterleavedTokenCost:
+    def test_cost_arithmetic(self, spark):
+        from jsonschema_spark.operators.packing import interleaved_token_cost
+
+        rows = [
+            (1, [_span("text", "one two three"), _span("media", None, "m")]),
+            (2, [_span("media", None, "a"), _span("media", None, "b")]),
+            (3, [_span("text", None)]),  # NULL text costs 0
+            (4, [_span("text", "   ")]),  # whitespace-only costs 0
+            (5, []),
+        ]
+        df = spark.createDataFrame(rows, DOCS)
+        out = {
+            r["doc_id"]: r["tokens"]
+            for r in df.select(
+                "doc_id",
+                interleaved_token_cost("spans", media_token_cost=10).alias("tokens"),
+            ).collect()
+        }
+        assert out == {1: 13, 2: 20, 3: 0, 4: 0, 5: 0}
+
+    def test_row_local_no_shuffle(self, spark):
+        from jsonschema_spark.operators.packing import interleaved_token_cost
+
+        df = spark.createDataFrame([(1, [_span("text", "a")])], DOCS)
+        p = _plan(df.select(interleaved_token_cost("spans").alias("t")))
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestSourceOverlap:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["grp", "text"])
+
+    def test_identical_corpora_estimate_one(self, spark):
+        from jsonschema_spark.operators.overlap import source_overlap
+
+        texts = [f"alpha beta gamma delta {i} epsilon zeta" for i in range(20)]
+        rows = [("a", t) for t in texts] + [("b", t) for t in texts]
+        out = source_overlap(
+            self._docs(spark, rows), "grp", "text", k=32, shingle_n=3, buckets=4
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["src_a"], r["src_b"]) == ("a", "b")
+        assert r["jaccard_est"] == 1.0
+        assert r["n_union"] == r["n_both"] <= 32
+
+    def test_disjoint_corpora_estimate_zero(self, spark):
+        from jsonschema_spark.operators.overlap import source_overlap
+
+        rows = [("a", f"red{i} green{i} blue{i} cyan{i}") for i in range(10)] + [
+            ("b", f"one{i} two{i} three{i} four{i}") for i in range(10)
+        ]
+        r = source_overlap(
+            self._docs(spark, rows), "grp", "text", k=32, shingle_n=3, buckets=4
+        ).collect()[0]
+        assert r["jaccard_est"] == 0.0 and r["n_both"] == 0
+
+    def test_half_overlap_within_sketch_error(self, spark):
+        from jsonschema_spark.operators.overlap import source_overlap
+
+        shared = [f"common{i} word{i} here{i} now{i} ok{i}" for i in range(30)]
+        only_a = [f"left{i} side{i} text{i} extra{i} pad{i}" for i in range(30)]
+        only_b = [f"right{i} wing{i} prose{i} more{i} fill{i}" for i in range(30)]
+        rows = [("a", t) for t in shared + only_a] + [("b", t) for t in shared + only_b]
+        r = source_overlap(
+            self._docs(spark, rows), "grp", "text", k=64, shingle_n=3, buckets=4
+        ).collect()[0]
+        # true Jaccard = |shared| / |union| = 1/3; KMV stderr ~ 1/sqrt(64)
+        assert 0.33 - 0.25 <= r["jaccard_est"] <= 0.33 + 0.25
+
+    def test_sketch_bounded_and_pairwise_complete(self, spark):
+        from jsonschema_spark.operators.overlap import (
+            source_overlap,
+            source_sketches,
+        )
+
+        rows = [
+            (f"g{g}", f"tok{g}a{i} tok{g}b{i} tok{g}c{i} shared{i} common{i}")
+            for g in range(3)
+            for i in range(15)
+        ]
+        df = self._docs(spark, rows)
+        sk = source_sketches(df, "grp", "text", k=8, shingle_n=3, buckets=4)
+        sizes = {r["grp"]: r["n"] for r in sk.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert all(v <= 8 for v in sizes.values())
+        out = source_overlap(df, "grp", "text", k=8, shingle_n=3, buckets=4)
+        assert out.count() == 3  # C(3,2) pairs
+
+    def test_no_python_and_pairs_broadcast(self, spark):
+        from jsonschema_spark.operators.overlap import source_overlap
+
+        df = self._docs(spark, [("a", "x y z w"), ("b", "x y z w")])
+        p = _plan(source_overlap(df, "grp", "text", k=8, shingle_n=3, buckets=2))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # the OR-membership pair join must broadcast the tiny pair relation,
+        # never a shuffled product of sketch x sketch
+        assert "CartesianProduct" not in p

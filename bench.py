@@ -86,6 +86,7 @@ HEADLINE = [
     "pack_interleaved_events",
     "span_interleave_events",
     "source_overlap_docs",
+    "multimodal_near_dup_docs",
     "token_count_by_lang",
     "bpe_token_stats_docs",
     "fingerprint_docs",

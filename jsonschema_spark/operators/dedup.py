@@ -24,6 +24,7 @@ __all__ = [
     "exact_duplicate_groups",
     "shingles",
     "minhash_signature",
+    "minhash_fold",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
@@ -108,9 +109,19 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, 
     shingle pipeline is evaluated once, not k times — measured 6× over the
     per-seed array_min form at k=8."""
     sh = shingles(F.col(text_col), shingle_n)
+    return df.select(F.col(id_col).alias("id"), minhash_fold(sh, k).alias("sig"))
+
+
+def minhash_fold(token_set: Column, k: int) -> Column:
+    """MinHash signature (array<string> length k) of an ARBITRARY string-set
+    column — the same md5("seed:token") single-traversal fold
+    `minhash_signature` uses, factored out so non-text token universes
+    (interleaved span sets, URL sets, feature bags) reuse the identical
+    engine-portable hash family. An empty set folds to the k-sentinel
+    signature (U+FFFF), which never collides with a real md5 band bucket."""
     zero = F.array(*[F.lit("￿") for _ in range(k)])
-    sig = F.aggregate(
-        sh,
+    return F.aggregate(
+        token_set,
         zero,
         lambda acc, x: F.zip_with(
             acc,
@@ -118,7 +129,6 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, *, k: int = 8, 
             lambda a, b: F.least(a, b),
         ),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def _band_buckets(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

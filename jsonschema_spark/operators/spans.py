@@ -21,6 +21,7 @@ __all__ = [
     "span_length_stats",
     "span_interleave_stats",
     "span_transition_matrix",
+    "interleaved_token_set",
 ]
 
 
@@ -218,3 +219,41 @@ def span_transition_matrix(docs: DataFrame, spans_col: str = "spans") -> DataFra
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def interleaved_token_set(spans_col, *, shingle_n: int = 3) -> Column:
+    """Distinct MULTIMODAL token set of an interleaved span sequence: every
+    text span contributes its word ``shingle_n``-gram shingles (prefixed
+    ``t:``), every media span contributes its reference (prefixed ``m:``) —
+    the set a MinHash/LSH near-dup pass should hash when "the same document"
+    means same prose AND same attached media, not just same flat text (two
+    docs with identical captions around different images are different
+    training examples; flat-text dedup collapses them).
+
+    The prefixes keep the two modalities from colliding in hash space; the
+    whole construction is row-local (transform → flatten → array_distinct,
+    shingles via the zip_with shifted-view single pass) so it rides the scan
+    with no explode, no shuffle, no Python. Feed the result to
+    ``dedup.minhash_fold`` + ``dedup.lsh_candidate_pairs`` for the bucketed
+    scale path. NULL/empty text spans and NULL media refs contribute
+    nothing.
+    """
+    from jsonschema_spark.operators.dedup import shingles
+
+    col = F.col(spans_col) if isinstance(spans_col, str) else spans_col
+    empty = F.array().cast("array<string>")
+    per_span = F.transform(
+        col,
+        lambda x: F.when(
+            (x["kind"] == F.lit("text")) & (F.length(F.trim(x["text"])) > 0),
+            F.transform(
+                shingles(x["text"], shingle_n), lambda s: F.concat(F.lit("t:"), s)
+            ),
+        )
+        .when(
+            (x["kind"] == F.lit("media")) & x["media_ref"].isNotNull(),
+            F.array(F.concat(F.lit("m:"), x["media_ref"])),
+        )
+        .otherwise(empty),
+    )
+    return F.array_distinct(F.flatten(per_span))

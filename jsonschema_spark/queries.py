@@ -1573,12 +1573,19 @@ FROM scored WHERE greatest(containment_a, containment_b) >= {threshold}
 
 
 def _oracle_lsh_pairs(
-    k: int = 8, bands: int = 4, rows_per_band: int = 2, source: str = "documents"
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    source: str = "documents",
+    sh_sql: str | None = None,
 ) -> str:
     """DuckDB oracle for the full MinHash→band→bucket→pair pipeline. The md5
     hash family was chosen precisely so this is expressible in any engine
     (operators/dedup.py module docstring); the banding arithmetic is
-    generated from the same parameters the Spark query uses."""
+    generated from the same parameters the Spark query uses. ``sh_sql``
+    overrides the default flat-text shingle construction with caller CTEs
+    that must end in ``sh(id, s)`` — the multimodal token-set variant swaps
+    in its own set builder while reusing the signature/band/pair replay."""
     sig_items = ",\n         ".join(
         f"list_min([md5('{s}:' || x) FOR x IN s])" for s in range(k)
     )
@@ -1591,8 +1598,8 @@ def _oracle_lsh_pairs(
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (
+    if sh_sql is None:
+        sh_sql = f"""toks AS (
   SELECT doc_id AS id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
   FROM {source}),
@@ -1601,7 +1608,9 @@ sh AS (
          CASE WHEN len(t) >= 3
               THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
               ELSE [array_to_string(t, ' ')] END AS s
-  FROM toks),
+  FROM toks)"""
+    return f"""
+WITH {sh_sql},
 sig AS (
   SELECT id, [{sig_items}] AS sig
   FROM sh),
@@ -3173,6 +3182,7 @@ def all_queries():
         "span_interleave_events": span_interleave_events,
         "span_transitions_events": span_transitions_events,
         "source_overlap_docs": source_overlap_docs,
+        "multimodal_near_dup_docs": multimodal_near_dup_docs,
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
         "attribution_asof_events": attribution_asof_events,
@@ -3280,6 +3290,7 @@ def all_oracles():
         "span_interleave_events": ORACLE_SPAN_INTERLEAVE,
         "span_transitions_events": ORACLE_SPAN_TRANSITIONS,
         "source_overlap_docs": ORACLE_SOURCE_OVERLAP,
+        "multimodal_near_dup_docs": _oracle_multimodal_near_dup(),
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,
         "attribution_asof_events": ORACLE_ASOF,
@@ -4223,6 +4234,99 @@ SELECT src_a, src_b,
        floor(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 1e-6) / 1e6 AS jaccard_est
 FROM bottom GROUP BY 1, 2
 """
+
+
+def _documents_as_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+media docs derived deterministically from documents:
+    the text token-split at its midpoint into two text spans, threaded with
+    two media spans whose refs are doc_id-keyed catalog entries (mod 50 /
+    mod 29 — genuine cross-doc media reuse). Gives the multimodal near-dup
+    operator a fixture whose TEXT similarity structure is the documents
+    table's real near-dup structure."""
+    from jsonschema_spark.operators.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents", hot=True).withColumn(
+        "__toks", tokens(F.col("text"))
+    )
+    n = F.size("__toks")
+    h = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+    t1 = F.concat_ws(" ", F.slice(F.col("__toks"), F.lit(1), h))
+    t2 = F.concat_ws(
+        " ", F.slice(F.col("__toks"), h + F.lit(1), F.greatest(n - h, F.lit(0)))
+    )
+    snull = F.lit(None).cast("string")
+
+    def _span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    img = F.concat(F.lit("media://img-"), (F.col("doc_id") % 50).cast("string"))
+    vid = F.concat(F.lit("media://vid-"), (F.col("doc_id") % 29).cast("string"))
+    spans = F.array(
+        _span("text", t1, snull, F.lit(0)),
+        _span("media", snull, img, h),
+        _span("text", t2, snull, h),
+        _span("media", snull, vid, n),
+    )
+    return d.select("doc_id", spans.alias("spans"))
+
+
+def multimodal_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup candidates over INTERLEAVED docs: MinHash+LSH on
+    the combined token set (t:-prefixed text shingles ∪ m:-prefixed media
+    refs), so "duplicate" means same prose AND same attached media — two
+    docs with identical captions around different images stay distinct,
+    which flat-text dedup cannot express. Same banded bucket-join scale
+    path as the flat-text LSH (no all-pairs product anywhere)."""
+    from jsonschema_spark.operators.dedup import lsh_candidate_pairs, minhash_fold
+    from jsonschema_spark.operators.spans import interleaved_token_set
+
+    docs = _documents_as_interleaved(spark, sf_dir)
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        minhash_fold(interleaved_token_set("spans", shingle_n=3), 8).alias("sig"),
+    )
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+def _oracle_multimodal_near_dup() -> str:
+    """Replays the interleaved fixture (token-midpoint split + mod-keyed
+    media refs), the per-span t:/m: token-set build, then the shared
+    signature/band/pair pipeline via _oracle_lsh_pairs(sh_sql=...)."""
+    sh_sql = r"""t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+halves AS (
+  SELECT id, t, (len(t) + 1) // 2 AS h FROM t),
+sp AS (
+  SELECT id, 'text' AS kind, array_to_string(t[1:h], ' ') AS text, NULL AS media_ref FROM halves
+  UNION ALL
+  SELECT id, 'media', NULL, 'media://img-' || CAST(id % 50 AS VARCHAR) FROM halves
+  UNION ALL
+  SELECT id, 'text',
+         CASE WHEN len(t) > h THEN array_to_string(t[h+1:len(t)], ' ') ELSE '' END,
+         NULL
+  FROM halves
+  UNION ALL
+  SELECT id, 'media', NULL, 'media://vid-' || CAST(id % 29 AS VARCHAR) FROM halves),
+tok AS (
+  SELECT id,
+         CASE WHEN kind = 'text' AND len(trim(text)) > 0 THEN
+              CASE WHEN len(string_split(text, ' ')) >= 3
+                   THEN list_distinct(['t:' || array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                       FOR i IN range(1, len(string_split(text, ' ')) - 1)])
+                   ELSE ['t:' || text] END
+              WHEN kind = 'media' AND media_ref IS NOT NULL THEN ['m:' || media_ref]
+              ELSE [] END AS ts
+  FROM sp),
+sh AS (
+  SELECT id, list_distinct(flatten(list(ts))) AS s FROM tok GROUP BY id)"""
+    return _oracle_lsh_pairs(k=8, bands=4, rows_per_band=2, sh_sql=sh_sql)
 
 
 def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

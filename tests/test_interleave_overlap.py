@@ -203,3 +203,75 @@ class TestSourceOverlap:
         # the OR-membership pair join must broadcast the tiny pair relation,
         # never a shuffled product of sketch x sketch
         assert "CartesianProduct" not in p
+
+
+class TestInterleavedTokenSet:
+    def test_token_set_semantics(self, spark):
+        from jsonschema_spark.operators.spans import interleaved_token_set
+
+        rows = [
+            (1, [_span("text", "a b c d"), _span("media", None, "img-1")]),
+            # NULL text / NULL ref spans contribute nothing; duplicates collapse
+            (2, [_span("text", None), _span("media", None, None),
+                 _span("media", None, "img-1"), _span("media", None, "img-1")]),
+            # short text (< n tokens) -> single joined shingle
+            (3, [_span("text", "a b")]),
+            (4, []),
+        ]
+        out = {
+            r["doc_id"]: set(r["s"])
+            for r in spark.createDataFrame(rows, DOCS)
+            .select("doc_id", interleaved_token_set("spans").alias("s"))
+            .collect()
+        }
+        assert out[1] == {"t:a b c", "t:b c d", "m:img-1"}
+        assert out[2] == {"m:img-1"}
+        assert out[3] == {"t:a b"}
+        assert out[4] == set()
+
+    def test_media_distinguishes_docs(self, spark):
+        """Same prose, different attached media -> different signatures and
+        sub-1.0 estimated Jaccard; identical interleaved docs -> a 1.0 pair."""
+        from jsonschema_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_fold,
+        )
+        from jsonschema_spark.operators.spans import interleaved_token_set
+
+        rows = [
+            (1, [_span("text", "x"), _span("media", None, "a")]),
+            (2, [_span("text", "x"), _span("media", None, "a")]),
+            (3, [_span("text", "x"), _span("media", None, "b")]),
+        ]
+        sig = (
+            spark.createDataFrame(rows, DOCS)
+            .select(
+                F.col("doc_id").alias("id"),
+                minhash_fold(interleaved_token_set("spans"), 8).alias("sig"),
+            )
+        )
+        sigs = {r["id"]: tuple(r["sig"]) for r in sig.collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in lsh_candidate_pairs(sig, bands=4, rows_per_band=2).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        for (a, b), est in pairs.items():
+            if (a, b) != (1, 2):
+                assert est < 1.0
+
+    def test_plan_projection_only(self, spark):
+        """Token set + signature is a pure projection: zero Exchange, no
+        Python eval anywhere in the plan."""
+        from jsonschema_spark.operators.dedup import minhash_fold
+        from jsonschema_spark.operators.spans import interleaved_token_set
+
+        rows = [(1, [_span("text", "a b c d"), _span("media", None, "m")])]
+        df = spark.createDataFrame(rows, DOCS).select(
+            "doc_id", minhash_fold(interleaved_token_set("spans"), 8).alias("sig")
+        )
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "Python" not in plan

@@ -85,6 +85,9 @@ HEADLINE = [
     "pack_stats_docs",
     "pack_interleaved_events",
     "span_interleave_events",
+    "canonical_spans_events",
+    "incremental_validate_events",
+    "skew_buckets_events",
     "source_overlap_docs",
     "multimodal_near_dup_docs",
     "token_count_by_lang",

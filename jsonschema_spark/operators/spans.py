@@ -22,6 +22,7 @@ __all__ = [
     "span_interleave_stats",
     "span_transition_matrix",
     "interleaved_token_set",
+    "canonicalize_spans",
 ]
 
 
@@ -257,3 +258,111 @@ def interleaved_token_set(spans_col, *, shingle_n: int = 3) -> Column:
         .otherwise(empty),
     )
     return F.array_distinct(F.flatten(per_span))
+
+
+def canonicalize_spans(
+    docs: DataFrame,
+    *,
+    spans_col: str = "spans",
+    joiner: str = " ",
+) -> DataFrame:
+    """Canonical interleaved layout: merge maximal runs of adjacent text
+    spans, keep media spans atomic, rebuild offsets as the linearized
+    character position.
+
+    Interleaved docs accumulate fragmentation upstream (HTML extraction
+    emits one text span per DOM node; OCR emits one per line): 40 adjacent
+    text spans around one image is the same TRAINING example as one merged
+    span, but it defeats span-count drift baselines, inflates packing cost
+    models, and makes span-sequence equality vs a cleanly-extracted
+    reference fail spuriously. Canonicalization is the fix the rest of the
+    suite assumes: after it, two extractions of the same document agree
+    span-for-span.
+
+    Rules: adjacent ``kind='text'`` spans merge into one span whose text is
+    the run's texts joined by `joiner`; ``media`` spans never merge (two
+    identical images side by side are two images); offsets are rebuilt as
+    the running linearized cost — a text span costs ``length(text)+1``
+    (payload + separator), a media span costs 1 (one placeholder token) —
+    so offset is where the span starts if you rendered the doc as one
+    stream. First span is at offset 0.
+
+    Entirely row-local (one projection: head detection via shifted-view
+    lookups, run extents via array_position on slices, offsets via
+    aggregate over a prefix slice) — no explode, no shuffle, no Python.
+    Per-doc compute is O(S^2) on S = spans-per-doc with small constants
+    (slice+fold of pointer arrays), the right trade at any corpus size
+    because S is bounded by document structure (hundreds), not corpus
+    size; rows stay narrow and the plan stays a scan.
+
+    Returns the input frame with `spans_col` replaced by the canonical
+    array (same span struct shape: kind, text, media_ref, offset:int);
+    all other columns pass through.
+    """
+    col = F.col(spans_col)
+    n = F.size(col)
+    kinds = F.transform(col, lambda s: s["kind"])
+    texts = F.transform(col, lambda s: F.coalesce(s["text"], F.lit("")))
+    refs = F.transform(col, lambda s: s["media_ref"])
+
+    # 1-based head indices: a span starts a canonical run iff it is media,
+    # first, or follows a non-text span (only text merges).
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    heads = F.filter(
+        idx,
+        lambda i: (F.element_at(kinds, i) == F.lit("media"))
+        | (i == F.lit(1))
+        | (F.element_at(kinds, i - 1) != F.lit("text")),
+    )
+
+    def _run_len(i):
+        # distance from head i to the next non-text span (kinds are binary
+        # here; array_position finds the first 'media' after i).
+        nxt = F.array_position(F.slice(kinds, i + 1, F.greatest(n - i, F.lit(0))), "media")
+        return F.when(nxt == 0, n - i + 1).otherwise(nxt)
+
+    merged = F.transform(
+        heads,
+        lambda i: F.when(
+            F.element_at(kinds, i) == F.lit("media"),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.element_at(refs, i).alias("media_ref"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.array_join(
+                    F.slice(texts, i, _run_len(i).cast("int")), joiner
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+            )
+        ),
+    )
+
+    costs = F.transform(
+        merged,
+        lambda m: F.when(m["kind"] == "media", F.lit(1)).otherwise(
+            F.length(m["text"]) + F.lit(1)
+        ),
+    )
+    with_offsets = F.zip_with(
+        merged,
+        F.when(F.size(costs) >= 1, F.sequence(F.lit(1), F.size(costs))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda m, j: F.struct(
+            m["kind"].alias("kind"),
+            m["text"].alias("text"),
+            m["media_ref"].alias("media_ref"),
+            F.aggregate(
+                F.slice(costs, 1, (j - 1).cast("int")),
+                F.lit(0),
+                lambda acc, c: acc + c,
+            ).cast("int").alias("offset"),
+        ),
+    )
+    return docs.withColumn(spans_col, with_offsets)

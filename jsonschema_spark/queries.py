@@ -3181,6 +3181,9 @@ def all_queries():
         "pack_interleaved_events": pack_interleaved_events,
         "span_interleave_events": span_interleave_events,
         "span_transitions_events": span_transitions_events,
+        "canonical_spans_events": canonical_spans_events,
+        "incremental_validate_events": incremental_validate_events,
+        "skew_buckets_events": skew_buckets_events,
         "source_overlap_docs": source_overlap_docs,
         "multimodal_near_dup_docs": multimodal_near_dup_docs,
         "curate_corpus_docs": curate_corpus_docs,
@@ -3289,6 +3292,9 @@ def all_oracles():
         "pack_interleaved_events": ORACLE_PACK_INTERLEAVED,
         "span_interleave_events": ORACLE_SPAN_INTERLEAVE,
         "span_transitions_events": ORACLE_SPAN_TRANSITIONS,
+        "canonical_spans_events": ORACLE_CANONICAL_SPANS,
+        "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
+        "skew_buckets_events": ORACLE_SKEW_BUCKETS,
         "source_overlap_docs": ORACLE_SOURCE_OVERLAP,
         "multimodal_near_dup_docs": _oracle_multimodal_near_dup(),
         "curate_corpus_docs": _oracle_curate_corpus(),
@@ -4560,4 +4566,186 @@ carried AS (
 )
 SELECT user_id, event_id AS left_id, right_id, us - right_us AS gap_us
 FROM carried WHERE is_left = 1
+"""
+
+
+# ----- interleaved-layout canonicalization, snapshot-diff incremental
+# validation, and partition-skew diagnostics (operators/spans.py
+# canonicalize_spans, operators/snapshot.py) --------------------------------
+
+# Shared DuckDB CTE: the events-derived interleaved docs exploded to one
+# row per span with the SAME canonical per-span encoding content_digest()
+# uses (US/RS separators, DC1 NULL sentinel).
+_SPAN_CANON_SQL = """
+  SELECT user_id AS doc_id, ts, event_id,
+         CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END AS kind,
+         CASE WHEN event_type IN ('click','view') THEN props END AS text,
+         CASE WHEN event_type NOT IN ('click','view')
+              THEN 'media://' || CAST(event_id AS VARCHAR) END AS media_ref,
+         CAST(FLOOR(value) AS INT) AS off
+  FROM events
+"""
+
+_HF_SQL = (
+    "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / POWER(2, 60)"
+)
+
+
+def canonical_spans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical interleaved layout: merge adjacent text-span runs, keep
+    media spans atomic, rebuild offsets as the linearized position — the
+    normalization two different extractions of the same doc must agree
+    under before span-sequence equality means anything. The md5 canonical
+    digest pins the ENTIRE rebuilt sequence (kinds, merged texts, refs,
+    offsets, order) cross-engine."""
+    from jsonschema_spark.operators.snapshot import content_digest
+    from jsonschema_spark.operators.spans import canonicalize_spans
+
+    cur = _events_as_spans(spark, sf_dir)
+    pre = cur.select("doc_id", F.size("spans").alias("n_before"), "spans")
+    canon = canonicalize_spans(pre)
+    return canon.select(
+        "doc_id",
+        "n_before",
+        F.size("spans").alias("n_after"),
+        content_digest("spans").alias("canon_digest"),
+    )
+
+
+ORACLE_CANONICAL_SPANS = f"""
+WITH s AS ({_SPAN_CANON_SQL}),
+w AS (
+  SELECT *, lag(kind) OVER (PARTITION BY doc_id ORDER BY ts, event_id) AS prev
+  FROM s),
+r AS (
+  SELECT *, sum(CASE WHEN kind = 'media' OR prev IS NULL OR prev = 'media'
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM w),
+runs AS (
+  SELECT doc_id, run_id, max(kind) AS kind,
+         CASE WHEN max(kind) = 'text'
+              THEN string_agg(text, ' ' ORDER BY ts, event_id) END AS text,
+         CASE WHEN max(kind) = 'media' THEN max(media_ref) END AS media_ref
+  FROM r GROUP BY doc_id, run_id),
+costs AS (
+  SELECT *, CASE WHEN kind = 'media' THEN 1 ELSE length(text) + 1 END AS cost
+  FROM runs),
+offs AS (
+  SELECT *, CAST(COALESCE(sum(cost) OVER (PARTITION BY doc_id ORDER BY run_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS off
+  FROM costs),
+canon AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_after,
+         md5(string_agg(
+           coalesce(kind, chr(17)) || chr(31) || coalesce(text, chr(17)) || chr(31)
+           || coalesce(media_ref, chr(17)) || chr(31) || CAST(off AS VARCHAR),
+           chr(30) ORDER BY run_id)) AS canon_digest
+  FROM offs GROUP BY doc_id),
+pre AS (SELECT user_id AS doc_id, CAST(count(*) AS INT) AS n_before
+        FROM events GROUP BY user_id)
+SELECT p.doc_id, p.n_before, c.n_after, c.canon_digest
+FROM pre p JOIN canon c USING (doc_id)
+"""
+
+
+def incremental_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff incremental validation: only docs that are new or whose
+    content digest changed since the base manifest re-run the constraint
+    plan; unchanged docs reuse the STORED verdict (proven by the oracle:
+    the stored bit is an arbitrary hash fraction, not the recomputable
+    predicate). The base manifest is derived deterministically from the
+    same corpus — 90% of docs are 'already seen', 15% of those have a
+    perturbed stored digest (simulating rewritten content)."""
+    from jsonschema_spark.operators.sampling import hash_fraction
+    from jsonschema_spark.operators.snapshot import (
+        content_digest,
+        snapshot_diff_validate,
+    )
+
+    cur = _events_as_spans(spark, sf_dir)
+    dig = content_digest(F.col("spans"))
+    base = cur.filter(hash_fraction(F.col("doc_id"), "snap") < 0.9).select(
+        "doc_id",
+        F.when(
+            hash_fraction(F.col("doc_id"), "mod") < 0.15,
+            F.md5(F.concat(dig, F.lit("stale"))),
+        )
+        .otherwise(dig)
+        .alias("digest"),
+        (hash_fraction(F.col("doc_id"), "v") < 0.5).alias("valid"),
+    )
+    offs = F.transform("spans", lambda s: s["offset"])
+    # non-decreasing offsets <=> equal to the ascending sorted copy
+    # (total-ordered non-null ints) — the re-validation predicate.
+    mono = offs == F.array_sort(offs)
+    return snapshot_diff_validate(cur, base, mono)
+
+
+ORACLE_INCREMENTAL_VALIDATE = f"""
+WITH s AS ({_SPAN_CANON_SQL}),
+w AS (
+  SELECT *, lag(off) OVER (PARTITION BY doc_id ORDER BY ts, event_id) AS prev_off
+  FROM s),
+docs AS (
+  SELECT doc_id,
+         md5(string_agg(
+           coalesce(kind, chr(17)) || chr(31) || coalesce(text, chr(17)) || chr(31)
+           || coalesce(media_ref, chr(17)) || chr(31) || CAST(off AS VARCHAR),
+           chr(30) ORDER BY ts, event_id)) AS digest,
+         bool_and(coalesce(off >= prev_off, TRUE)) AS mono
+  FROM w GROUP BY doc_id),
+hf AS (
+  SELECT doc_id, digest, mono,
+         {_HF_SQL.format(salt='snap')} AS hf_snap,
+         {_HF_SQL.format(salt='mod')} AS hf_mod,
+         {_HF_SQL.format(salt='v')} AS hf_v
+  FROM docs)
+SELECT doc_id, digest,
+       CASE WHEN hf_snap >= 0.9 THEN 'new'
+            WHEN hf_mod >= 0.15 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CASE WHEN hf_snap >= 0.9 THEN mono
+            WHEN hf_mod >= 0.15 THEN (hf_v < 0.5)
+            ELSE mono END AS valid
+FROM hf
+"""
+
+
+def skew_buckets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hash-bucket load report over the interleaved docs — the
+    measurement behind the north rule's 'salted repartition to defuse
+    media-heavy skew': doc counts, span counts, and text payload bytes per
+    bucket diverge exactly when media-heavy docs cluster."""
+    from jsonschema_spark.operators.snapshot import bucket_skew_stats
+
+    return bucket_skew_stats(_events_as_spans(spark, sf_dir), n_buckets=32)
+
+
+ORACLE_SKEW_BUCKETS = """
+WITH d AS (
+  SELECT user_id AS doc_id, count(*) AS n_spans,
+         sum(CASE WHEN event_type IN ('click','view')
+                  THEN length(props) ELSE 0 END) AS text_bytes
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 32 AS INT) AS bucket,
+         count(*) AS n_docs, sum(n_spans) AS n_spans, sum(text_bytes) AS text_bytes
+  FROM d GROUP BY 1),
+all_b AS (SELECT CAST(range AS INT) AS bucket FROM range(32)),
+f AS (
+  SELECT a.bucket, coalesce(b.n_docs, 0) AS n_docs,
+         coalesce(b.n_spans, 0) AS n_spans,
+         coalesce(b.text_bytes, 0) AS text_bytes
+  FROM all_b a LEFT JOIN b USING (bucket)),
+t AS (SELECT sum(n_docs) AS td, sum(n_spans) AS tsp FROM f)
+SELECT f.bucket, CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST(f.n_spans AS BIGINT) AS n_spans,
+       CAST(f.text_bytes AS BIGINT) AS text_bytes,
+       floor(CAST(f.n_docs AS DOUBLE) / greatest(t.td, 1) * 1e6 + 1e-6) / 1e6 AS doc_share,
+       floor(CAST(f.n_spans AS DOUBLE) / greatest(t.tsp, 1) * 1e6 + 1e-6) / 1e6 AS span_share
+FROM f, t
 """

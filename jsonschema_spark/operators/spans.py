@@ -287,82 +287,110 @@ def canonicalize_spans(
     so offset is where the span starts if you rendered the doc as one
     stream. First span is at offset 0.
 
-    Entirely row-local (one projection: head detection via shifted-view
-    lookups, run extents via array_position on slices, offsets via
-    aggregate over a prefix slice) — no explode, no shuffle, no Python.
-    Per-doc compute is O(S^2) on S = spans-per-doc with small constants
-    (slice+fold of pointer arrays), the right trade at any corpus size
-    because S is bounded by document structure (hundreds), not corpus
-    size; rows stay narrow and the plan stays a scan.
+    Entirely row-local — no explode, no shuffle, no Python. Every
+    intermediate array (kinds/texts/refs, head indices, merged runs, costs)
+    is STAGED as its own column before the lambda that consumes it: HOF
+    lambda bodies get no CSE, so the inline form re-evaluates the whole
+    upstream tree per element per fold step (the `costs`-inside-`merged`-
+    inside-offset-fold nesting measured 20× slower than everything else in
+    the bench before staging — the multiplicative re-evaluation trap
+    documented at operators/repetition.py:54). CollapseProject keeps
+    non-cheap aliases referenced more than once, so the staging survives
+    optimization. Offsets are a single running-sum fold (O(S) passes;
+    per-step array append keeps it O(S²) worst-case on S = spans-per-doc,
+    which is bounded by document structure, not corpus size).
 
     Returns the input frame with `spans_col` replaced by the canonical
     array (same span struct shape: kind, text, media_ref, offset:int);
     all other columns pass through.
     """
     col = F.col(spans_col)
-    n = F.size(col)
-    kinds = F.transform(col, lambda s: s["kind"])
-    texts = F.transform(col, lambda s: F.coalesce(s["text"], F.lit("")))
-    refs = F.transform(col, lambda s: s["media_ref"])
+    tmp = [f"__cs_{x}" for x in ("k", "t", "r", "h", "m", "c")]
+    k_c, t_c, r_c, h_c, m_c, c_c = tmp
+    st = (
+        docs.withColumn(k_c, F.transform(col, lambda s: s["kind"]))
+        .withColumn(t_c, F.transform(col, lambda s: F.coalesce(s["text"], F.lit(""))))
+        .withColumn(r_c, F.transform(col, lambda s: s["media_ref"]))
+    )
+    kinds, texts, refs = F.col(k_c), F.col(t_c), F.col(r_c)
+    n = F.size(kinds)
 
     # 1-based head indices: a span starts a canonical run iff it is media,
     # first, or follows a non-text span (only text merges).
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
     )
-    heads = F.filter(
-        idx,
-        lambda i: (F.element_at(kinds, i) == F.lit("media"))
-        | (i == F.lit(1))
-        | (F.element_at(kinds, i - 1) != F.lit("text")),
+    st = st.withColumn(
+        h_c,
+        F.filter(
+            idx,
+            lambda i: (F.element_at(kinds, i) == F.lit("media"))
+            | (i == F.lit(1))
+            | (F.element_at(kinds, i - 1) != F.lit("text")),
+        ),
     )
 
     def _run_len(i):
         # distance from head i to the next non-text span (kinds are binary
         # here; array_position finds the first 'media' after i).
-        nxt = F.array_position(F.slice(kinds, i + 1, F.greatest(n - i, F.lit(0))), "media")
+        nxt = F.array_position(
+            F.slice(kinds, i + 1, F.greatest(n - i, F.lit(0))), "media"
+        )
         return F.when(nxt == 0, n - i + 1).otherwise(nxt)
 
-    merged = F.transform(
-        heads,
-        lambda i: F.when(
-            F.element_at(kinds, i) == F.lit("media"),
-            F.struct(
-                F.lit("media").alias("kind"),
-                F.lit(None).cast("string").alias("text"),
-                F.element_at(refs, i).alias("media_ref"),
+    st = st.withColumn(
+        m_c,
+        F.transform(
+            F.col(h_c),
+            lambda i: F.when(
+                F.element_at(kinds, i) == F.lit("media"),
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.element_at(refs, i).alias("media_ref"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.array_join(
+                        F.slice(texts, i, _run_len(i).cast("int")), joiner
+                    ).alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                )
             ),
-        ).otherwise(
-            F.struct(
-                F.lit("text").alias("kind"),
-                F.array_join(
-                    F.slice(texts, i, _run_len(i).cast("int")), joiner
-                ).alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-            )
         ),
     )
-
-    costs = F.transform(
-        merged,
-        lambda m: F.when(m["kind"] == "media", F.lit(1)).otherwise(
-            F.length(m["text"]) + F.lit(1)
+    st = st.withColumn(
+        c_c,
+        F.transform(
+            F.col(m_c),
+            lambda m: F.when(m["kind"] == "media", F.lit(1)).otherwise(
+                F.length(m["text"]) + F.lit(1)
+            ),
         ),
+    )
+    # offsets: one running-sum fold over the staged costs — acc carries
+    # (offsets-so-far, running total); offset of span j is the total of
+    # costs[0..j-1].
+    offsets = F.aggregate(
+        F.col(c_c),
+        F.struct(
+            F.array().cast("array<int>").alias("a"), F.lit(0).alias("s")
+        ),
+        lambda acc, c: F.struct(
+            F.concat(acc["a"], F.array(acc["s"].cast("int"))).alias("a"),
+            (acc["s"] + c).alias("s"),
+        ),
+        lambda acc: acc["a"],
     )
     with_offsets = F.zip_with(
-        merged,
-        F.when(F.size(costs) >= 1, F.sequence(F.lit(1), F.size(costs))).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda m, j: F.struct(
+        F.col(m_c),
+        offsets,
+        lambda m, o: F.struct(
             m["kind"].alias("kind"),
             m["text"].alias("text"),
             m["media_ref"].alias("media_ref"),
-            F.aggregate(
-                F.slice(costs, 1, (j - 1).cast("int")),
-                F.lit(0),
-                lambda acc, c: acc + c,
-            ).cast("int").alias("offset"),
+            o.alias("offset"),
         ),
     )
-    return docs.withColumn(spans_col, with_offsets)
+    return st.withColumn(spans_col, with_offsets).drop(*tmp)

@@ -94,6 +94,8 @@ HEADLINE = [
     "bpe_token_stats_docs",
     "fingerprint_docs",
     "sample_split_docs",
+    "leakage_split_docs",
+    "outliers_robust_lineitem",
     "stratified_sample_docs",
     "mixture_sample_docs",
     "temperature_sample_docs",

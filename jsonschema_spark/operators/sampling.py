@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_fraction",
     "hash_split",
+    "leakage_safe_split",
     "split_thresholds",
     "stratified_sample",
     "deterministic_sample_n",
@@ -397,3 +398,46 @@ def temperature_sample(
         hash_fraction(F.col("id"), salt) < F.col("frac")
     )
     return kept.select("id", "grp")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    cluster_id_col: str = "cluster_id",
+    salt: str = "split",
+    split_col: str = "split",
+    key_col: str = "split_key",
+) -> DataFrame:
+    """Group-disjoint train/val/test: every member of a near-duplicate
+    cluster gets the split of its CLUSTER id, so near-dups never straddle
+    train and test — the eval-leakage failure mode a per-doc hash_split
+    cannot prevent (a test doc whose near-copy sits in train leaks the
+    answer; Lee et al. 2022 measure the inflation this causes).
+
+    `clusters` is the (id, cluster_id) relation from
+    ``dedup.duplicate_clusters`` (only docs that ARE in some duplicate
+    cluster appear); docs absent from it key on their own id. The split
+    key is exposed as `key_col` so downstream audits can verify
+    group-coherence directly.
+
+    Plan: one left join on the doc id (clusters carries two bare-id
+    columns — key-partitioned at scale, broadcastable when the dup set is
+    small) followed by the same pure-projection md5 hash-range assignment
+    as hash_split: no RNG, no extra shuffle, membership stable under
+    corpus growth.
+    """
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col(cluster_id_col).alias("__lss_c")
+    )
+    keyed = (
+        docs.join(cl, id_col, "left")
+        .withColumn(
+            key_col,
+            F.coalesce(F.col("__lss_c").cast("string"), F.col(id_col).cast("string")),
+        )
+        .drop("__lss_c")
+    )
+    return hash_split(keyed, key_col, fractions, salt=salt, split_col=split_col)

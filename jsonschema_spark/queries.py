@@ -1925,6 +1925,117 @@ SELECT doc_id, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
 """
 
 
+def leakage_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-disjoint (leakage-safe) train/val/test: near-dup clusters
+    (MinHash-LSH pairs -> connected components) key the split, so a test
+    doc can never have a near-copy sitting in train — the contamination
+    channel a per-doc hash split leaves open (Lee et al. 2022 measure the
+    eval inflation it causes). split_key is exposed so the group-coherence
+    property is auditable downstream."""
+    from jsonschema_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from jsonschema_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", k=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = duplicate_clusters(pairs)
+    return leakage_safe_split(docs, clusters, _SPLIT_FRACTIONS).select(
+        "doc_id", "split_key", "split"
+    )
+
+
+def _oracle_leakage_split(threshold: float = 0.5) -> str:
+    """The dup_clusters recursive-CTE chain + coalesce key + the exact
+    hash_split md5 CASE thresholds (same doubles via split_thresholds)."""
+    from jsonschema_spark.operators.sampling import split_thresholds
+
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    case = " ".join(f"WHEN hf < {t!r} THEN '{n}'" for n, t in ths[:-1])
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_lsh_pairs()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= {threshold}),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
+clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR) AS split_key
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+f AS (
+  SELECT doc_id, split_key,
+         CAST(('0x' || substr(md5('split' || split_key), 1, 15)) AS BIGINT)
+           / POWER(2, 60) AS hf
+  FROM keyed)
+SELECT doc_id, split_key, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
+"""
+
+
+_OUTLIER_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def outliers_robust_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen (Iglewicz-Hoaglin family) over the
+    lineitem numerics: per column (n_present, med, mad, n_outliers) with
+    outlier = |x - med| > 3.5 * mad. Robust location/scale has 50%%
+    breakdown, so a corrupted tail that drags mean/stddev past usefulness
+    leaves this screen intact."""
+    from jsonschema_spark.operators.stats import robust_outliers
+
+    return robust_outliers(_t(spark, sf_dir, "lineitem"), _OUTLIER_COLS, k=3.5)
+
+
+def _oracle_robust_outliers(k: float = 3.5) -> str:
+    """Replays the three chained aggregation passes: snapped median, snapped
+    MAD given the snapped median, then the count pass against k*mad — the
+    1e-6 nudge-then-floor snap keeps the decision boundary the same IEEE
+    double in both engines."""
+    cols = _OUTLIER_COLS
+    snap = "floor({x} * 1000000.0 + 0.000001) / 1000000.0"
+    med_items = ",\n         ".join(
+        snap.format(x=f"quantile_cont({c}, 0.5)") + f" AS md_{i}"
+        for i, c in enumerate(cols)
+    )
+    mad_items = ",\n         ".join(
+        snap.format(x=f"quantile_cont(abs(l.{c} - m.md_{i}), 0.5)") + f" AS ma_{i},\n         min(m.md_{i}) AS md_{i}"
+        for i, c in enumerate(cols)
+    )
+    agg_items = ",\n         ".join(
+        f"count(l.{c}) AS np_{i},\n         "
+        f"CAST(sum(CASE WHEN abs(l.{c} - s.md_{i}) > {k!r} * s.ma_{i} THEN 1 ELSE 0 END) AS BIGINT) AS no_{i},\n         "
+        f"min(s.md_{i}) AS md_{i}, min(s.ma_{i}) AS ma_{i}"
+        for i, c in enumerate(cols)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", np_{i} AS n_present, md_{i} AS med, ma_{i} AS mad, no_{i} AS n_outliers FROM agg"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+WITH med AS (
+  SELECT {med_items}
+  FROM lineitem),
+stats AS (
+  SELECT {mad_items}
+  FROM lineitem l, med m),
+agg AS (
+  SELECT {agg_items}
+  FROM lineitem l, stats s)
+{selects}
+"""
+
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic subsample (en 50%, de 25%, others dropped)."""
     from jsonschema_spark.operators.sampling import stratified_sample
@@ -3159,6 +3270,8 @@ def all_queries():
         "dedup_best_docs": dedup_best_docs,
         "shard_order_docs": shard_order_docs,
         "sample_split_docs": sample_split_docs,
+        "leakage_split_docs": leakage_split_docs,
+        "outliers_robust_lineitem": outliers_robust_lineitem,
         "stratified_sample_docs": stratified_sample_docs,
         "mixture_sample_docs": mixture_sample_docs,
         "temperature_sample_docs": temperature_sample_docs,
@@ -3270,6 +3383,8 @@ def all_oracles():
         "dedup_best_docs": _oracle_dedup_best(),
         "shard_order_docs": ORACLE_SHARD_ORDER,
         "sample_split_docs": _oracle_sample_split(),
+        "leakage_split_docs": _oracle_leakage_split(),
+        "outliers_robust_lineitem": _oracle_robust_outliers(),
         "stratified_sample_docs": _oracle_stratified_sample(),
         "mixture_sample_docs": _oracle_mixture_sample(),
         "temperature_sample_docs": ORACLE_TEMPERATURE_SAMPLE,

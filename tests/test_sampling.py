@@ -284,3 +284,68 @@ class TestShardOrder:
         p = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert p.count("Exchange") == 1  # the shard hash partitioning only
+
+
+class TestLeakageSafeSplit:
+    def _clustered(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(1, 101)], "doc_id long, text string"
+        )
+        # clusters: {1..5} -> 1, {50,51} -> 50; everything else singleton
+        clusters = spark.createDataFrame(
+            [(i, 1) for i in range(1, 6)] + [(50, 50), (51, 50)],
+            "id long, cluster_id long",
+        )
+        return docs, clusters
+
+    def test_cluster_members_share_a_split(self, spark):
+        from jsonschema_spark.operators.sampling import leakage_safe_split
+
+        docs, clusters = self._clustered(spark)
+        out = leakage_safe_split(
+            docs, clusters, {"train": 0.6, "val": 0.2, "test": 0.2}
+        )
+        rows = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+        assert len(rows) == 100
+        assert len({rows[i] for i in range(1, 6)}) == 1  # one (key, split)
+        assert rows[50] == rows[51]
+
+    def test_singletons_match_plain_hash_split(self, spark):
+        from jsonschema_spark.operators.sampling import hash_split, leakage_safe_split
+
+        docs, clusters = self._clustered(spark)
+        fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+        out = {r["doc_id"]: r["split"] for r in
+               leakage_safe_split(docs, clusters, fr).collect()}
+        plain = {r["doc_id"]: r["split"] for r in
+                 hash_split(docs, "doc_id", fr).collect()}
+        grouped = set(range(1, 6)) | {50, 51}
+        for i in set(out) - grouped:
+            assert out[i] == plain[i]
+        # non-min members follow their cluster key, not their own hash
+        assert all(out[i] == out[1] for i in range(2, 6))
+
+
+class TestRobustOutliers:
+    def test_injected_tail_is_flagged_and_median_immune(self, spark):
+        from jsonschema_spark.operators.stats import robust_outliers
+
+        # 97 inliers in [100, 102], 3 wild outliers — mean/stddev would be
+        # dragged; median/MAD must hold and flag exactly the 3
+        vals = [100.0 + (i % 3) for i in range(97)] + [1e6, -1e6, 5e5]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        row = robust_outliers(df, ["x"], k=3.5).collect()[0]
+        assert row["column"] == "x" and row["n_present"] == 100
+        assert 100.0 <= row["med"] <= 102.0
+        assert row["n_outliers"] == 3
+
+    def test_nulls_excluded_and_zero_mad_degenerate(self, spark):
+        from jsonschema_spark.operators.stats import robust_outliers
+
+        df = spark.createDataFrame(
+            [(1.0,), (1.0,), (1.0,), (None,), (9.0,)], "x double"
+        )
+        row = robust_outliers(df, ["x"], k=3.5).collect()[0]
+        assert row["n_present"] == 4
+        # med=1, mad=0: any deviation at all is an outlier (strict >)
+        assert row["mad"] == 0.0 and row["n_outliers"] == 1

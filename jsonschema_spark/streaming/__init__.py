@@ -1,4 +1,8 @@
 from jsonschema_spark.streaming.drift_stream import stream_js, stream_ks, stream_psi
+from jsonschema_spark.streaming.referential_stream import (
+    stream_referential_metrics,
+    stream_referential_violations,
+)
 from jsonschema_spark.streaming.sessions_stream import stream_sessionize
 from jsonschema_spark.streaming.validate_stream import (
     stream_keyword_metrics,
@@ -14,4 +18,6 @@ __all__ = [
     "stream_ks",
     "stream_js",
     "stream_sessionize",
+    "stream_referential_violations",
+    "stream_referential_metrics",
 ]

@@ -251,3 +251,34 @@ def test_encoding_quality_is_pure_projection(spark):
     p = _plan(encoding_quality_docs(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in p, "encoding_quality must not shuffle"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_robust_outliers_broadcast_one_row_stats_no_python(spark):
+    """The three chained passes must stitch via broadcast one-row joins
+    (BroadcastNestedLoopJoin over a single-row relation is constant work),
+    never a shuffled join, and stay JVM-side."""
+    from jsonschema_spark.queries import outliers_robust_lineitem
+
+    p = _plan(outliers_robust_lineitem(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p, "one-row stats must broadcast, not SMJ"
+
+
+def test_leakage_split_assignment_is_projection_after_one_join(spark):
+    """Past the cluster computation, the split itself must add NO shuffle:
+    keying + hash-range assignment are a projection on top of the id join."""
+    from jsonschema_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "id long, cluster_id long")
+    out = leakage_safe_split(docs, clusters, {"train": 0.9, "test": 0.1})
+    p = _plan(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly the join's exchanges; the split adds none (projection only)
+    joined = docs.join(
+        clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    assert p.count("Exchange") <= _plan(joined).count("Exchange")

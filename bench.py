@@ -86,6 +86,8 @@ HEADLINE = [
     "pack_interleaved_events",
     "span_interleave_events",
     "canonical_spans_events",
+    "media_context_events",
+    "media_usage_events",
     "incremental_validate_events",
     "skew_buckets_events",
     "source_overlap_docs",

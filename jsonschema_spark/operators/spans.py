@@ -23,6 +23,8 @@ __all__ = [
     "span_transition_matrix",
     "interleaved_token_set",
     "canonicalize_spans",
+    "media_context_pairs",
+    "media_ref_stats",
 ]
 
 
@@ -394,3 +396,109 @@ def canonicalize_spans(
         ),
     )
     return st.withColumn(spans_col, with_offsets).drop(*tmp)
+
+
+def media_context_pairs(
+    docs: DataFrame, *, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, media_ref, pos, text_before, text_after) — one row per media
+    span, paired with the nearest NON-NULL text span on each side.
+
+    This is the interleaved-docs operation multimodal pipelines are built
+    on (MMC4/OBELICS-style image-text pairing): an image's training caption
+    is the prose around it in document order, which only the interleaved
+    layout preserves — a flat (images, text) table can't reconstruct it.
+    `pos` is the 1-based span index so downstream joins can recover layout.
+
+    Row-local construction: staged kinds/context arrays (HOF lambda bodies
+    get no CSE — see canonicalize_spans), per-media lookup via
+    filter-first-non-null over prefix/suffix slices (O(S) per media span,
+    S bounded by document structure), then ONE explode into the pair rows.
+    Docs with no media spans emit nothing.
+    """
+    col = F.col(spans_col)
+    st = (
+        docs.withColumn("__mc_k", F.transform(col, lambda s: s["kind"]))
+        .withColumn(
+            "__mc_t",
+            F.transform(
+                col,
+                lambda s: F.when(s["kind"] == F.lit("text"), s["text"]),
+            ),
+        )
+        .withColumn("__mc_r", F.transform(col, lambda s: s["media_ref"]))
+    )
+    kinds, tk, refs = F.col("__mc_k"), F.col("__mc_t"), F.col("__mc_r")
+    n = F.size(kinds)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    mpos = F.filter(idx, lambda i: F.element_at(kinds, i) == F.lit("media"))
+
+    def _first_nonnull(arr):
+        return F.get(F.filter(arr, lambda x: x.isNotNull()), 0)
+
+    pairs = F.transform(
+        mpos,
+        lambda i: F.struct(
+            F.element_at(refs, i).alias("media_ref"),
+            i.alias("pos"),
+            _first_nonnull(F.reverse(F.slice(tk, 1, (i - 1).cast("int")))).alias(
+                "text_before"
+            ),
+            _first_nonnull(
+                F.slice(tk, i + 1, F.greatest(n - i, F.lit(0)).cast("int"))
+            ).alias("text_after"),
+        ),
+    )
+    return (
+        st.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(
+            id_col,
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.pos").alias("pos"),
+            F.col("p.text_before").alias("text_before"),
+            F.col("p.text_after").alias("text_after"),
+        )
+    )
+
+
+def media_ref_stats(
+    docs: DataFrame,
+    *,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    max_docs: int = 10,
+) -> DataFrame:
+    """(media_ref, n_docs, n_occurrences, flagged) — corpus-wide media
+    usage; `flagged` marks refs appearing in more than `max_docs` distinct
+    documents (the OBELICS rule: an image recurring across many documents
+    is a logo / banner / tracking pixel, not content — drop it from every
+    doc rather than pairing it with captions).
+
+    Scale shape: one explode of the (tiny) per-doc media-ref list, then a
+    two-level exact aggregation — groupBy (ref, doc) with map-side partial
+    counting, then groupBy ref — so the distinct-doc count never builds a
+    per-ref set; both exchanges carry bare (ref, doc | ref) keys + counts.
+    """
+    col = F.col(spans_col)
+    refs = F.filter(
+        F.transform(
+            col,
+            lambda s: F.when(s["kind"] == F.lit("media"), s["media_ref"]),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    per_doc = (
+        docs.select(F.col(id_col).alias("__doc"), F.explode(refs).alias("media_ref"))
+        .groupBy("media_ref", "__doc")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+    )
+    return (
+        per_doc.groupBy("media_ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__occ").alias("n_occurrences"),
+        )
+        .withColumn("flagged", F.col("n_docs") > F.lit(int(max_docs)))
+    )

@@ -3295,6 +3295,8 @@ def all_queries():
         "span_interleave_events": span_interleave_events,
         "span_transitions_events": span_transitions_events,
         "canonical_spans_events": canonical_spans_events,
+        "media_context_events": media_context_events,
+        "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
         "source_overlap_docs": source_overlap_docs,
@@ -3408,6 +3410,8 @@ def all_oracles():
         "span_interleave_events": ORACLE_SPAN_INTERLEAVE,
         "span_transitions_events": ORACLE_SPAN_TRANSITIONS,
         "canonical_spans_events": ORACLE_CANONICAL_SPANS,
+        "media_context_events": ORACLE_MEDIA_CONTEXT,
+        "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
         "source_overlap_docs": ORACLE_SOURCE_OVERLAP,
@@ -4705,6 +4709,82 @@ _HF_SQL = (
     "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / POWER(2, 60)"
 )
+
+
+def media_context_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMC4/OBELICS-style image-text pairing over the interleaved layout:
+    one row per media span with the nearest non-null text span on each
+    side — the caption-mining primitive a flat (images, text) table cannot
+    express because it loses document order."""
+    from jsonschema_spark.operators.spans import media_context_pairs
+
+    return media_context_pairs(_events_as_spans(spark, sf_dir))
+
+
+ORACLE_MEDIA_CONTEXT = f"""
+WITH s AS ({_SPAN_CANON_SQL}),
+o AS (
+  SELECT doc_id, kind, media_ref,
+         CAST(row_number() OVER w_ord AS INT) AS pos,
+         last_value(CASE WHEN kind = 'text' AND text IS NOT NULL THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS text_before,
+         first_value(CASE WHEN kind = 'text' AND text IS NOT NULL THEN text END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS text_after
+  FROM s
+  WINDOW w_ord AS (PARTITION BY doc_id ORDER BY ts, event_id))
+SELECT doc_id, media_ref, pos, text_before, text_after FROM o WHERE kind = 'media'
+"""
+
+
+def media_usage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide media usage + over-use flags (the OBELICS rule: an image
+    recurring across many documents is a logo/banner, not content). The
+    events-derived refs are unique by construction, so the fixture folds
+    them onto 211 recurring refs (event_id % 211) — deterministically, in
+    both engines — so the distinct-doc counting is non-vacuous."""
+    from jsonschema_spark.operators.spans import media_ref_stats
+
+    docs = _events_as_spans(spark, sf_dir)
+    folded = docs.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda sp: F.struct(
+                sp["kind"].alias("kind"),
+                sp["text"].alias("text"),
+                F.when(
+                    sp["kind"] == F.lit("media"),
+                    F.concat(
+                        F.lit("media://"),
+                        (
+                            F.substring_index(sp["media_ref"], "//", -1).cast("bigint")
+                            % F.lit(211)
+                        ).cast("string"),
+                    ),
+                ).alias("media_ref"),
+                sp["offset"].alias("offset"),
+            ),
+        ),
+    )
+    return media_ref_stats(folded, max_docs=3)
+
+
+ORACLE_MEDIA_USAGE = """
+WITH m AS (
+  SELECT user_id AS doc_id,
+         'media://' || CAST(event_id % 211 AS VARCHAR) AS media_ref
+  FROM events WHERE event_type NOT IN ('click','view')),
+per_doc AS (
+  SELECT media_ref, doc_id, count(*) AS occ FROM m GROUP BY media_ref, doc_id)
+SELECT media_ref,
+       count(*) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences,
+       count(*) > 3 AS flagged
+FROM per_doc GROUP BY media_ref
+"""
+
 
 
 def canonical_spans_events(spark: SparkSession, sf_dir: str) -> DataFrame:

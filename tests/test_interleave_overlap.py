@@ -275,3 +275,81 @@ class TestInterleavedTokenSet:
         plan = _plan(df)
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestMediaContextPairs:
+    def _doc(self, spark, spans):
+        from pyspark.sql.types import (
+            ArrayType, IntegerType, StringType, StructField, StructType,
+        )
+        schema = StructType([
+            StructField("doc_id", StringType()),
+            StructField("spans", ArrayType(StructType([
+                StructField("kind", StringType()),
+                StructField("text", StringType()),
+                StructField("media_ref", StringType()),
+                StructField("offset", IntegerType()),
+            ]))),
+        ])
+        return spark.createDataFrame([("d", spans)], schema)
+
+    def test_nearest_nonnull_text_each_side(self, spark):
+        from jsonschema_spark.operators.spans import media_context_pairs
+
+        spans = [
+            ("media", None, "m0", 0),           # media-first: no before
+            ("text", "alpha", None, 1),
+            ("text", None, None, 2),            # null text is skipped over
+            ("media", None, "m1", 3),
+            ("media", None, "m2", 4),           # consecutive media share context
+            ("text", "omega", None, 5),
+        ]
+        rows = {r["media_ref"]: r for r in
+                media_context_pairs(self._doc(spark, spans)).collect()}
+        assert rows["m0"]["text_before"] is None
+        assert rows["m0"]["text_after"] == "alpha"
+        assert rows["m1"]["text_before"] == "alpha"   # skips the null text span
+        assert rows["m1"]["text_after"] == "omega"
+        assert rows["m2"]["text_before"] == "alpha"
+        assert rows["m2"]["text_after"] == "omega"
+        assert [rows[m]["pos"] for m in ("m0", "m1", "m2")] == [1, 4, 5]
+
+    def test_no_media_emits_nothing_and_plan_stays_jvm(self, spark):
+        from jsonschema_spark.operators.spans import media_context_pairs
+
+        out = media_context_pairs(
+            self._doc(spark, [("text", "only prose", None, 0)])
+        )
+        assert out.count() == 0
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Exchange" not in p  # row-local + explode: no shuffle at all
+
+
+class TestMediaRefStats:
+    def test_counts_and_flag(self, spark):
+        from jsonschema_spark.operators.spans import media_ref_stats
+        from pyspark.sql import functions as F
+
+        # logo appears in 3 docs (twice in d1), content once
+        rows = [
+            ("d1", ["logo", "logo", "pic1"]),
+            ("d2", ["logo"]),
+            ("d3", ["logo", "pic2"]),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, refs array<string>").select(
+            "doc_id",
+            F.transform(
+                "refs",
+                lambda r: F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    r.alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+        got = {r["media_ref"]: r for r in media_ref_stats(docs, max_docs=2).collect()}
+        assert got["logo"]["n_docs"] == 3 and got["logo"]["n_occurrences"] == 4
+        assert got["logo"]["flagged"] is True
+        assert got["pic1"]["n_docs"] == 1 and got["pic1"]["flagged"] is False

@@ -253,16 +253,18 @@ def test_encoding_quality_is_pure_projection(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_robust_outliers_broadcast_one_row_stats_no_python(spark):
-    """The three chained passes must stitch via broadcast one-row joins
-    (BroadcastNestedLoopJoin over a single-row relation is constant work),
-    never a shuffled join, and stay JVM-side."""
+def test_robust_outliers_single_scan_histogram_no_python(spark):
+    """Everything past the one long-form histogram scan must run over the
+    bounded distinct-value relation: tiny stats relations broadcast-join
+    back (never SMJ), no Python, and the final plan reads the persisted
+    histogram (InMemoryTableScan), not the parquet table again."""
     from jsonschema_spark.queries import outliers_robust_lineitem
 
-    p = _plan(outliers_robust_lineitem(spark, "/root/testdata/sf0.001"))
+    df = outliers_robust_lineitem(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "BroadcastNestedLoopJoin" in p
-    assert "SortMergeJoin" not in p, "one-row stats must broadcast, not SMJ"
+    assert "SortMergeJoin" not in p, "stats relations must broadcast, not SMJ"
+    assert "InMemoryTableScan" in p or "Scan parquet" not in p
 
 
 def test_leakage_split_assignment_is_projection_after_one_join(spark):

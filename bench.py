@@ -103,6 +103,7 @@ HEADLINE = [
     "temperature_sample_docs",
     "dsir_sample_docs",
     "keywords_tfidf_docs",
+    "pmi_collocations_docs",
     "clean_text_docs",
     "c4_filter_docs",
     "gopher_quality_docs",

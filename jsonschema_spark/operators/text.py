@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.dedup import normalize_text, shingles, tokens
 
-__all__ = ["encoding_quality", "MOJIBAKE_MARKERS", "token_count", "BPE_PRETOKEN_RE", "bpe_token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html"]
+__all__ = ["encoding_quality", "MOJIBAKE_MARKERS", "token_count", "BPE_PRETOKEN_RE", "bpe_token_count", "quality_features", "lang_id", "fingerprint", "STOPWORDS", "PII_PATTERNS", "redact_pii", "domain_stats", "canonicalize_url", "url_dedup", "tfidf_keywords", "CLEAN_RULES", "clean_text", "HTML_RULES", "strip_html", "pmi_collocations"]
 
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
@@ -425,4 +425,89 @@ def encoding_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (
             (n_repl == 0) & (n_moji == 0) & (n_ctrl == 0) & (ascii_ratio >= 0.6)
         ).alias("enc_ok"),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: (w1, w2, c_pair,
+    c_w1, c_w2, pmi_ratio) for adjacent token pairs whose co-occurrence
+    beats independence — the corpus-analytics primitive behind phrase
+    detection (word2vec phrase pass), tokenizer-merge candidates, and
+    boilerplate phrase mining.
+
+    ``pmi_ratio`` is the LIKELIHOOD RATIO p(ab)/(p(a)p(b)) =
+    c_ab·N_uni²/(c_a·c_b·N_bi) rather than its log: monotone in PMI, but
+    free of the cross-engine libm divergence a ln() would add to the
+    oracle contract; snapped to the 1e-6 grid, with (w1, w2) tiebreak so
+    the top-k cut is deterministic in every engine.
+
+    Scale shape: token arrays staged once per doc; ONE explode feeds the
+    unigram counts, one zip_with-shifted explode feeds the bigram counts
+    (both map-side-combining groupBys on the token key); the two
+    unigram-attach joins are key-partitioned on bare tokens + counts; the
+    corpus totals ride in as broadcast one-row relations; top-k is a
+    TakeOrdered (per-partition heads + driver merge of k·P candidates),
+    never a global sort. ``min_count`` prunes the hapax tail BEFORE the
+    joins, which is what keeps the bigram relation bounded in practice.
+    """
+    from jsonschema_spark.operators.dedup import tokens
+
+    staged = docs.select(tokens(F.col(text_col)).alias("__toks"))
+    uni = (
+        staged.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    shifted = F.slice(
+        F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))
+    )
+    bi = (
+        staged.select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        F.col("__toks"),
+                        shifted,
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    lambda p: p["w2"].isNotNull(),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= F.lit(int(min_count)))
+    )
+    n_uni = uni.agg(F.sum("c_w").alias("__nu"))
+    n_bi_src = staged.select(
+        F.greatest(F.size("__toks") - 1, F.lit(0)).alias("__nb_doc")
+    )
+    n_bi = n_bi_src.agg(F.sum("__nb_doc").alias("__nb"))
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    ratio = (
+        F.col("c_pair").cast("double")
+        * F.col("__nu").cast("double")
+        * F.col("__nu").cast("double")
+        / (
+            F.col("c_w1").cast("double")
+            * F.col("c_w2").cast("double")
+            * F.col("__nb").cast("double")
+        )
+    )
+    snapped = F.floor(ratio * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)
+    return (
+        joined.select("w1", "w2", "c_pair", "c_w1", "c_w2", snapped.alias("pmi_ratio"))
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(int(top_k))
     )

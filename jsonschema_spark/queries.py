@@ -3296,6 +3296,7 @@ def all_queries():
         "span_transitions_events": span_transitions_events,
         "canonical_spans_events": canonical_spans_events,
         "media_context_events": media_context_events,
+        "pmi_collocations_docs": pmi_collocations_docs,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3411,6 +3412,7 @@ def all_oracles():
         "span_transitions_events": ORACLE_SPAN_TRANSITIONS,
         "canonical_spans_events": ORACLE_CANONICAL_SPANS,
         "media_context_events": ORACLE_MEDIA_CONTEXT,
+        "pmi_collocations_docs": ORACLE_PMI_COLLOCATIONS,
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4709,6 +4711,41 @@ _HF_SQL = (
     "CAST(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     " / POWER(2, 60)"
 )
+
+
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-token collocations by PMI likelihood ratio — phrase
+    detection / tokenizer-merge mining over the documents corpus. The ratio
+    (not its log) is emitted so the oracle contract has no libm ln()
+    divergence; deterministic (ratio DESC, w1, w2) cut."""
+    from jsonschema_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=5, top_k=50
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+uni AS (
+  SELECT w, count(*) AS c_w FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+bi AS (
+  SELECT w1, w2, count(*) AS c_pair FROM (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i))
+  GROUP BY w1, w2 HAVING count(*) >= 5),
+nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS nu FROM uni),
+nb AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS nb FROM toks)
+SELECT w1, w2, c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+       floor(CAST(c_pair AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE)
+             / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE) * CAST(nb AS DOUBLE))
+             * 1000000.0 + 0.000001) / 1000000.0 AS pmi_ratio
+FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2, nu, nb
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+"""
+
 
 
 def media_context_events(spark: SparkSession, sf_dir: str) -> DataFrame:

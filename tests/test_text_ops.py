@@ -146,3 +146,37 @@ class TestBpeTokenCount:
         p = docs.select(bpe_token_count(F.col("text")).alias("c"))._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestPmiCollocations:
+    def test_collocation_beats_frequent_nonphrase(self, spark):
+        from jsonschema_spark.operators.text import pmi_collocations
+
+        # "new york" always adjacent; "the" frequent everywhere (high count,
+        # low association); pmi must rank the phrase first
+        docs = spark.createDataFrame(
+            [(f"d{i}", "visit new york the city the people the bridge") for i in range(6)]
+            + [(f"e{i}", "the weather the news the coffee") for i in range(6)],
+            "doc_id string, text string",
+        )
+        rows = pmi_collocations(docs, "text", min_count=5, top_k=10).collect()
+        assert rows, "no collocations found"
+        pair = {(r["w1"], r["w2"]): r for r in rows}
+        assert ("new", "york") in pair
+        ny = pair[("new", "york")]
+        assert ny["c_pair"] == 6 and ny["c_w1"] == 6 and ny["c_w2"] == 6
+        # a perfectly-associated pair must outrank any 'the'-pair
+        the_pairs = [r for r in rows if r["w1"] == "the" or r["w2"] == "the"]
+        assert all(ny["pmi_ratio"] > t["pmi_ratio"] for t in the_pairs)
+
+    def test_min_count_prunes_and_determinism(self, spark):
+        from jsonschema_spark.operators.text import pmi_collocations
+
+        docs = spark.createDataFrame(
+            [("d1", "alpha beta gamma"), ("d2", "alpha beta delta")],
+            "doc_id string, text string",
+        )
+        out = pmi_collocations(docs, "text", min_count=2, top_k=5)
+        rows = [(r["w1"], r["w2"]) for r in out.collect()]
+        assert rows == [("alpha", "beta")]  # only pair reaching min_count
+        assert rows == [(r["w1"], r["w2"]) for r in out.collect()]  # stable

@@ -125,6 +125,7 @@ HEADLINE = [
     "proto_prune_embeddings",
     "quality_auc_docs",
     "encoding_quality_docs",
+    "corpus_health_docs",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

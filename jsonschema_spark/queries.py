@@ -3297,6 +3297,7 @@ def all_queries():
         "canonical_spans_events": canonical_spans_events,
         "media_context_events": media_context_events,
         "pmi_collocations_docs": pmi_collocations_docs,
+        "corpus_health_docs": corpus_health_docs,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3413,6 +3414,7 @@ def all_oracles():
         "canonical_spans_events": ORACLE_CANONICAL_SPANS,
         "media_context_events": ORACLE_MEDIA_CONTEXT,
         "pmi_collocations_docs": ORACLE_PMI_COLLOCATIONS,
+        "corpus_health_docs": _oracle_corpus_health(),
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4745,6 +4747,119 @@ SELECT w1, w2, c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
 FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2, nu, nb
 ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
 """
+
+
+
+def corpus_health_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus health report: a tall (metric, value) relation
+    combining the screens a pipeline gate reads before training — volume,
+    exact-dup rate, empty-text rate, token volume, language concentration,
+    Gopher keep rate. Each metric reuses the corresponding operator's
+    machinery (normalize_text dup keys, tokens(), gopher_quality) so this
+    is a composition, not a re-implementation; every rate is snapped to
+    the 1e-6 grid. Four bounded aggregations over the docs table -> six
+    rows."""
+    from jsonschema_spark.operators.dedup import normalize_text, tokens
+    from jsonschema_spark.operators.heuristics import gopher_quality
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)
+
+    base = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.md5(normalize_text(F.col("text")))).alias("nd"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
+            ).otherwise(0)
+        ).alias("ne"),
+        F.sum(F.size(tokens(F.col("text")))).alias("toks"),
+    )
+    m_base = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("n_docs").alias("metric"), F.col("n").cast("double").alias("value")),
+                F.struct(F.lit("dup_rate").alias("metric"),
+                         snap(F.lit(1.0) - F.col("nd").cast("double") / F.col("n")).alias("value")),
+                F.struct(F.lit("empty_text_rate").alias("metric"),
+                         snap(F.col("ne").cast("double") / F.col("n")).alias("value")),
+                F.struct(F.lit("avg_tokens_per_doc").alias("metric"),
+                         snap(F.col("toks").cast("double") / F.col("n")).alias("value")),
+            )
+        ).alias("m")
+    ).select("m.metric", "m.value")
+
+    lang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("tot"))
+        .select(
+            F.lit("lang_top_share").alias("metric"),
+            snap(F.col("mc").cast("double") / F.col("tot")).alias("value"),
+        )
+    )
+    gk = (
+        gopher_quality(d, "doc_id", "text")
+        .agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("k"),
+            F.sum(
+                F.when(
+                    (F.col("n_words") >= 50) & (F.col("n_words") <= 100000), 1
+                ).otherwise(0)
+            ).alias("wc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("gopher_keep_rate").alias("metric"),
+                        snap(F.col("k").cast("double") / F.col("n")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("wordcount_pass_rate").alias("metric"),
+                        snap(F.col("wc").cast("double") / F.col("n")).alias("value"),
+                    ),
+                )
+            ).alias("m")
+        )
+        .select("m.metric", "m.value")
+    )
+    return m_base.unionByName(lang).unionByName(gk)
+
+
+def _oracle_corpus_health() -> str:
+    return f"""
+WITH base AS (
+  SELECT count(*) AS n,
+         count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS nd,
+         sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 1 ELSE 0 END) AS ne,
+         sum(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS toks
+  FROM documents),
+lang AS (
+  SELECT max(c) AS mc, sum(c) AS tot
+  FROM (SELECT count(*) AS c FROM documents GROUP BY lang)),
+raw AS (SELECT doc_id AS id, text FROM documents),
+{{gopher_chain}}
+gk AS (
+  SELECT sum(CASE WHEN keep THEN 1 ELSE 0 END) AS k,
+         sum(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END) AS wc,
+         count(*) AS n
+  FROM gop_m)
+SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT 'dup_rate', floor((1.0 - CAST(nd AS DOUBLE) / n) * 1000000.0 + 0.000001) / 1000000.0 FROM base
+UNION ALL
+SELECT 'empty_text_rate', floor(CAST(ne AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 FROM base
+UNION ALL
+SELECT 'avg_tokens_per_doc', floor(CAST(toks AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 FROM base
+UNION ALL
+SELECT 'lang_top_share', floor(CAST(mc AS DOUBLE) / tot * 1000000.0 + 0.000001) / 1000000.0 FROM lang
+UNION ALL
+SELECT 'gopher_keep_rate', floor(CAST(k AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 FROM gk
+UNION ALL
+SELECT 'wordcount_pass_rate', floor(CAST(wc AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 FROM gk
+""".format(gopher_chain=_gopher_sql_chain('raw') + ',')
 
 
 

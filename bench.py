@@ -52,6 +52,7 @@ HEADLINE = [
     "chi2_event_type_drift",
     "js_lang_docs",
     "wasserstein_value_events",
+    "centroid_drift_embeddings",
     "dedup_exact_text_docs",
     "ngram_jaccard_docs",
     "minhash_signatures_docs",

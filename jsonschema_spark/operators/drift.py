@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "chi2_statistic", "js_divergence", "wasserstein_1"]
+__all__ = ["ks_statistic", "psi", "chi2_statistic", "js_divergence", "wasserstein_1", "embedding_centroid_drift"]
 
 _EPS = 1e-6
 
@@ -250,4 +250,57 @@ def wasserstein_1(
             ).alias("term")
         )
         .agg(F.sum("term").alias("w1"))
+    )
+
+
+def embedding_centroid_drift(
+    df: DataFrame, emb_col: str, cohort_col: str
+) -> DataFrame:
+    """Pairwise cohort centroid cosine — distribution drift in EMBEDDING
+    space, which the scalar drift family (KS/PSI/JS/W1 over lengths and
+    kinds) cannot see: a corpus whose topic mix shifts between sources or
+    snapshots moves its mean vector long before any length histogram moves.
+    Returns (cohort_a, cohort_b, n_a, n_b, centroid_cosine) for every
+    unordered cohort pair; a cosine well under 1 flags the pair.
+
+    Scale shape: one posexplode feeds a map-side-combining groupBy whose
+    output is |cohorts|·d rows — the explode amplifies rows d× but the
+    shuffle carries only the tiny (cohort, dim) sums. Mean vectors are
+    reassembled as ORDERED arrays (array_sort on the dim index) so the
+    final dot products are row-local left-to-right folds with identical
+    evaluation order in every engine (same convention as the cosine
+    near-dup family); elements cast to double BEFORE any arithmetic
+    (float32 folds diverge from double-first oracles — repo-wide rule).
+    The pair join runs over the |cohorts|-row centroid relation. Snapped
+    1e-6 nudge-then-floor.
+    """
+    from jsonschema_spark.operators.simsearch import _dot
+
+    ex = df.select(
+        F.col(cohort_col).alias("cohort"),
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "v"),
+    )
+    sums = ex.groupBy("cohort", "i").agg(
+        F.sum("v").alias("s"), F.count("v").alias("c")
+    )
+    means = sums.groupBy("cohort").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s", "c"))),
+            lambda x: x["s"] / x["c"],
+        ).alias("m"),
+        F.max("c").alias("n"),
+    )
+    a = means.select(
+        F.col("cohort").alias("cohort_a"), F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = means.select(
+        F.col("cohort").alias("cohort_b"), F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, F.col("cohort_a") < F.col("cohort_b"))
+    cos = _dot(F.col("ma"), F.col("mb")) / (
+        F.sqrt(_dot(F.col("ma"), F.col("ma"))) * F.sqrt(_dot(F.col("mb"), F.col("mb")))
+    )
+    snapped = F.floor(cos * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)
+    return pairs.select(
+        "cohort_a", "cohort_b", "n_a", "n_b", snapped.alias("centroid_cosine")
     )

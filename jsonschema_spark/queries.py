@@ -3298,6 +3298,7 @@ def all_queries():
         "media_context_events": media_context_events,
         "pmi_collocations_docs": pmi_collocations_docs,
         "corpus_health_docs": corpus_health_docs,
+        "centroid_drift_embeddings": centroid_drift_embeddings,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3415,6 +3416,7 @@ def all_oracles():
         "media_context_events": ORACLE_MEDIA_CONTEXT,
         "pmi_collocations_docs": ORACLE_PMI_COLLOCATIONS,
         "corpus_health_docs": _oracle_corpus_health(),
+        "centroid_drift_embeddings": ORACLE_CENTROID_DRIFT,
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4860,6 +4862,36 @@ SELECT 'gopher_keep_rate', floor(CAST(k AS DOUBLE) / n * 1000000.0 + 0.000001) /
 UNION ALL
 SELECT 'wordcount_pass_rate', floor(CAST(wc AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 FROM gk
 """.format(gopher_chain=_gopher_sql_chain('raw') + ',')
+
+
+
+def centroid_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between label cohorts: pairwise centroid
+    cosine — catches topic-mix shift the scalar drift family (KS/PSI on
+    lengths and kinds) cannot see."""
+    from jsonschema_spark.operators.drift import embedding_centroid_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(emb, "embedding", "label")
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH ex AS (
+  SELECT label AS cohort,
+         generate_subscripts(e, 1) AS i,
+         CAST(unnest(e) AS DOUBLE) AS v
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+sums AS (
+  SELECT cohort, i, sum(v) AS s, count(v) AS c FROM ex GROUP BY cohort, i),
+means AS (
+  SELECT cohort, list(s / c ORDER BY i) AS m, max(c) AS n
+  FROM sums GROUP BY cohort)
+SELECT a.cohort AS cohort_a, b.cohort AS cohort_b, a.n AS n_a, b.n AS n_b,
+       floor(list_dot_product(a.m, b.m)
+             / (sqrt(list_dot_product(a.m, a.m)) * sqrt(list_dot_product(b.m, b.m)))
+             * 1000000.0 + 0.000001) / 1000000.0 AS centroid_cosine
+FROM means a JOIN means b ON a.cohort < b.cohort
+"""
 
 
 

@@ -65,3 +65,37 @@ def test_wasserstein_identical_is_zero(spark):
     df = spark.createDataFrame(rows, "value double, g string")
     out = wasserstein_1(df, "value", "g", "a", "b").collect()[0]
     assert out["w1"] == pytest.approx(0.0, abs=1e-12)
+
+
+class TestEmbeddingCentroidDrift:
+    def test_identical_cohorts_cosine_one_shifted_lower(self, spark):
+        from jsonschema_spark.operators.drift import embedding_centroid_drift
+        from pyspark.sql import functions as F
+
+        rows = []
+        for i in range(40):
+            base = [1.0, 0.0, 0.5, 0.25]
+            rows.append(("a", [v + (i % 3) * 0.01 for v in base]))
+            rows.append(("b", [v + (i % 3) * 0.01 for v in base]))  # same dist
+            rows.append(("c", [-v for v in base]))                   # opposite
+        df = spark.createDataFrame(rows, "label string, embedding array<float>")
+        out = {(r["cohort_a"], r["cohort_b"]): r["centroid_cosine"]
+               for r in embedding_centroid_drift(df, "embedding", "label").collect()}
+        assert out[("a", "b")] > 0.999999  # identical distributions
+        assert out[("a", "c")] < -0.999    # flipped centroid
+        assert len(out) == 3
+
+    def test_shuffle_carries_only_cohort_dim_sums(self, spark):
+        from jsonschema_spark.operators.drift import embedding_centroid_drift
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a", [1.0, 2.0]), ("b", [3.0, 4.0])],
+            "label string, embedding array<float>",
+        )
+        p = (
+            embedding_centroid_drift(df, "embedding", "label")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "partial" in p.lower() or "HashAggregate" in p  # map-side combine

@@ -99,6 +99,7 @@ HEADLINE = [
     "sample_split_docs",
     "leakage_split_docs",
     "outliers_robust_lineitem",
+    "consistency_docs",
     "stratified_sample_docs",
     "mixture_sample_docs",
     "temperature_sample_docs",

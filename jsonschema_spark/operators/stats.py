@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_stats", "column_cardinality", "robust_outliers"]
+__all__ = ["column_stats", "column_cardinality", "robust_outliers", "derived_column_violations"]
 
 
 def column_stats(
@@ -187,3 +187,45 @@ def robust_outliers(
     out.count()  # materialize the n_cols-row result, then release the histogram
     cnt.unpersist()
     return out
+
+
+def derived_column_violations(
+    df: DataFrame,
+    rules: dict,
+    *,
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Stored-vs-recomputed consistency: for each rule ``column -> expr``
+    (the expression that SHOULD reproduce the stored column), emit one
+    violation row (ids..., column, stored, recomputed) wherever they
+    differ (null-safe: a null stored vs non-null recomputed IS a
+    violation, two nulls are not).
+
+    Derived columns (char counts, token counts, digests, offsets) go stale
+    when upstream rewrites payloads without re-deriving — the corruption
+    class schema validation can't catch because both values are
+    individually valid. This is the dataset-level analogue of the span
+    offset re-validation in the north rule.
+
+    One narrow projection per row: every rule is checked in a single pass
+    (array of violation structs -> filter non-null -> ONE explode), values
+    stringified so heterogeneous columns share the violation relation —
+    same convention as column_stats. No shuffle, no Python; rides the scan.
+    """
+    checks = F.array(
+        *[
+            F.when(
+                ~F.col(col).eqNullSafe(expr),
+                F.struct(
+                    F.lit(col).alias("column"),
+                    F.col(col).cast("string").alias("stored"),
+                    expr.cast("string").alias("recomputed"),
+                ),
+            )
+            for col, expr in rules.items()
+        ]
+    )
+    return (
+        df.select(*id_cols, F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"))
+        .select(*id_cols, "v.column", "v.stored", "v.recomputed")
+    )

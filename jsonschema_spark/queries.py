@@ -3299,6 +3299,7 @@ def all_queries():
         "pmi_collocations_docs": pmi_collocations_docs,
         "corpus_health_docs": corpus_health_docs,
         "centroid_drift_embeddings": centroid_drift_embeddings,
+        "consistency_docs": consistency_docs,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3417,6 +3418,7 @@ def all_oracles():
         "pmi_collocations_docs": ORACLE_PMI_COLLOCATIONS,
         "corpus_health_docs": _oracle_corpus_health(),
         "centroid_drift_embeddings": ORACLE_CENTROID_DRIFT,
+        "consistency_docs": ORACLE_CONSISTENCY,
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4891,6 +4893,40 @@ SELECT a.cohort AS cohort_a, b.cohort AS cohort_b, a.n AS n_a, b.n AS n_b,
              / (sqrt(list_dot_product(a.m, a.m)) * sqrt(list_dot_product(b.m, b.m)))
              * 1000000.0 + 0.000001) / 1000000.0 AS centroid_cosine
 FROM means a JOIN means b ON a.cohort < b.cohort
+"""
+
+
+
+def consistency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-vs-recomputed derived-column check: documents.n_chars must
+    equal length(text). The fixture stales 1-in-7 stored counts (+1) so
+    the check is non-vacuous; output is the violation relation
+    (doc_id, column, stored, recomputed)."""
+    from jsonschema_spark.operators.stats import derived_column_violations
+
+    d = _t(spark, sf_dir, "documents")
+    staled = d.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return derived_column_violations(
+        staled, {"n_chars": F.length("text").cast("bigint")}
+    )
+
+
+ORACLE_CONSISTENCY = """
+WITH staled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+         length(text) AS actual
+  FROM documents)
+SELECT doc_id, 'n_chars' AS "column",
+       CAST(n_chars AS VARCHAR) AS stored,
+       CAST(actual AS VARCHAR) AS recomputed
+FROM staled
+WHERE n_chars IS DISTINCT FROM actual
 """
 
 

@@ -99,3 +99,36 @@ class TestEmbeddingCentroidDrift:
         )
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "partial" in p.lower() or "HashAggregate" in p  # map-side combine
+
+
+class TestDerivedColumnViolations:
+    def test_nullsafe_and_multirule_single_pass(self, spark):
+        from jsonschema_spark.operators.stats import derived_column_violations
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                ("d1", "abc", 3, 1),     # consistent
+                ("d2", "abcd", 3, 1),    # stale n_chars
+                ("d3", None, None, 1),   # null text, null count: consistent
+                ("d4", "xy", None, 9),   # null stored vs 2: violation (+tok rule)
+            ],
+            "doc_id string, text string, n_chars int, n_toks int",
+        )
+        out = derived_column_violations(
+            df,
+            {
+                "n_chars": F.length("text").cast("int"),
+                "n_toks": F.when(
+                    F.col("text").isNotNull(), F.size(F.split("text", " "))
+                ).cast("int"),
+            },
+        )
+        rows = {(r["doc_id"], r["column"]): (r["stored"], r["recomputed"])
+                for r in out.collect()}
+        assert rows[("d2", "n_chars")] == ("3", "4")
+        assert rows[("d4", "n_chars")] == (None, "2")
+        assert rows[("d4", "n_toks")] == ("9", "1")
+        assert ("d1", "n_chars") not in rows and ("d3", "n_chars") not in rows
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p and "ArrowEvalPython" not in p

@@ -90,6 +90,7 @@ HEADLINE = [
     "media_context_events",
     "media_usage_events",
     "incremental_validate_events",
+    "snapshot_churn_events",
     "skew_buckets_events",
     "source_overlap_docs",
     "multimodal_near_dup_docs",

@@ -43,6 +43,7 @@ __all__ = [
     "content_digest",
     "snapshot_diff_validate",
     "bucket_skew_stats",
+    "snapshot_churn_stats",
 ]
 
 # ASCII unit/record separators: cannot appear in the synthetic corpus and
@@ -206,4 +207,51 @@ def bucket_skew_stats(
             ).alias("span_share"),
         )
         .orderBy("bucket")
+    )
+
+
+def snapshot_churn_stats(
+    current: DataFrame,
+    base: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """One-row churn summary between two snapshots: (n_added, n_removed,
+    n_changed, n_unchanged) — the table-history readout an Iceberg-style
+    snapshot log surfaces per commit, computed from content digests so a
+    rewritten doc with identical content does NOT count as churn.
+
+    `current` is the live table (doc_id, spans, ...); `base` is the prior
+    manifest (doc_id, digest) — the same manifest snapshot_diff_validate
+    consumes and emits, so the two operators share one stored artifact.
+
+    Plan: digests reduce each side to ~50 B/row BEFORE the full-outer
+    doc_id join (same exchange discipline as span_sequence_mismatches);
+    one count-only aggregation after. At scale the join co-locates when
+    both sides are bucketed on doc_id.
+    """
+    cur = current.select(
+        F.col(doc_id_col).alias("__id"),
+        content_digest(F.col(spans_col)).alias("__cur_dig"),
+    )
+    prev = base.select(
+        F.col(doc_id_col).alias("__id"), F.col(digest_col).alias("__base_dig")
+    )
+    j = cur.join(prev, "__id", "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__base_dig").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("__cur_dig").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("__cur_dig").isNotNull()
+                & F.col("__base_dig").isNotNull()
+                & (F.col("__cur_dig") != F.col("__base_dig")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changed"),
+        F.sum(
+            F.when(F.col("__cur_dig") == F.col("__base_dig"), 1).otherwise(0)
+        ).alias("n_unchanged"),
     )

@@ -3300,6 +3300,7 @@ def all_queries():
         "corpus_health_docs": corpus_health_docs,
         "centroid_drift_embeddings": centroid_drift_embeddings,
         "consistency_docs": consistency_docs,
+        "snapshot_churn_events": snapshot_churn_events,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3419,6 +3420,7 @@ def all_oracles():
         "corpus_health_docs": _oracle_corpus_health(),
         "centroid_drift_embeddings": ORACLE_CENTROID_DRIFT,
         "consistency_docs": ORACLE_CONSISTENCY,
+        "snapshot_churn_events": ORACLE_SNAPSHOT_CHURN,
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4931,6 +4933,42 @@ WHERE n_chars IS DISTINCT FROM actual
 
 
 
+def snapshot_churn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot churn: (n_added, n_removed, n_changed,
+    n_unchanged) from content digests — the per-commit table-history
+    readout; shares its manifest artifact with incremental validation.
+    Base manifest derived deterministically: 60% of docs 'already seen',
+    15% of those with a perturbed stored digest, plus 20% phantom ids
+    (docs since deleted) so every counter is non-vacuous at sf0.001's
+    15-doc events corpus."""
+    from jsonschema_spark.operators.sampling import hash_fraction
+    from jsonschema_spark.operators.snapshot import (
+        content_digest,
+        snapshot_churn_stats,
+    )
+
+    cur = _events_as_spans(spark, sf_dir)
+    dig = content_digest(F.col("spans"))
+    seen = cur.filter(hash_fraction(F.col("doc_id"), "snap") < 0.6).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            hash_fraction(F.col("doc_id"), "mod") < 0.15,
+            F.md5(F.concat(dig, F.lit("stale"))),
+        )
+        .otherwise(dig)
+        .alias("digest"),
+    )
+    phantoms = cur.filter(hash_fraction(F.col("doc_id"), "gone") < 0.2).select(
+        F.concat(F.lit("gone-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    )
+    base = seen.unionByName(phantoms)
+    return snapshot_churn_stats(
+        cur.withColumn("doc_id", F.col("doc_id").cast("string")), base
+    )
+
+
+
 def media_context_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMC4/OBELICS-style image-text pairing over the interleaved layout:
     one row per media span with the nearest non-null text span on each
@@ -5097,6 +5135,44 @@ def incremental_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (total-ordered non-null ints) — the re-validation predicate.
     mono = offs == F.array_sort(offs)
     return snapshot_diff_validate(cur, base, mono)
+
+
+ORACLE_SNAPSHOT_CHURN = f"""
+WITH s AS ({_SPAN_CANON_SQL}),
+docs AS (
+  SELECT doc_id,
+         md5(string_agg(
+           coalesce(kind, chr(17)) || chr(31) || coalesce(text, chr(17)) || chr(31)
+           || coalesce(media_ref, chr(17)) || chr(31) || CAST(off AS VARCHAR),
+           chr(30) ORDER BY ts, event_id)) AS digest
+  FROM s GROUP BY doc_id),
+hf AS (
+  SELECT doc_id, digest,
+         {_HF_SQL.format(salt='snap')} AS hf_snap,
+         {_HF_SQL.format(salt='mod')} AS hf_mod,
+         {_HF_SQL.format(salt='gone')} AS hf_gone
+  FROM docs),
+seen AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN hf_mod < 0.15 THEN md5(digest || 'stale') ELSE digest END AS base_dig
+  FROM hf WHERE hf_snap < 0.6),
+phantoms AS (
+  SELECT 'gone-' || CAST(doc_id AS VARCHAR) AS doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS base_dig
+  FROM hf WHERE hf_gone < 0.2),
+base AS (SELECT * FROM seen UNION ALL SELECT * FROM phantoms),
+cur AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, digest AS cur_dig FROM docs),
+j AS (
+  SELECT cur.cur_dig, base.base_dig
+  FROM cur FULL OUTER JOIN base ON base.doc_id = cur.doc_id)
+SELECT
+  CAST(sum(CASE WHEN base_dig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN cur_dig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN cur_dig IS NOT NULL AND base_dig IS NOT NULL
+                 AND cur_dig <> base_dig THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN cur_dig = base_dig THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j
+"""
 
 
 ORACLE_INCREMENTAL_VALIDATE = f"""

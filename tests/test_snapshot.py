@@ -256,3 +256,51 @@ class TestBucketSkewStats:
         assert sum(r.n_docs for r in out) == 1
         zeros = [r for r in out if r.n_docs == 0]
         assert all(r.n_spans == 0 and r.text_bytes == 0 and r.doc_share == 0.0 for r in zeros)
+
+
+class TestSnapshotChurn:
+    def test_all_four_counters(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.snapshot import (
+            content_digest,
+            snapshot_churn_stats,
+        )
+
+        def doc(i, txt):
+            return (f"d{i}", [{"kind": "text", "text": txt, "media_ref": None, "offset": 0}])
+
+        schema = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+        cur = spark.createDataFrame(
+            [doc(1, "same"), doc(2, "rewritten"), doc(3, "brand new")], schema
+        )
+        # base manifest: d1 unchanged, d2 with the OLD digest, d4 removed
+        old = spark.createDataFrame(
+            [doc(1, "same"), doc(2, "original"), doc(4, "gone")], schema
+        )
+        base = old.select("doc_id", content_digest(F.col("spans")).alias("digest"))
+        row = snapshot_churn_stats(cur, base).collect()[0]
+        assert (row["n_added"], row["n_removed"], row["n_changed"], row["n_unchanged"]) == (1, 1, 1, 1)
+
+    def test_manifest_fixpoint_zero_churn(self, spark):
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.snapshot import (
+            content_digest,
+            snapshot_churn_stats,
+        )
+
+        schema = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+        cur = spark.createDataFrame(
+            [("a", [{"kind": "media", "text": None, "media_ref": "m1", "offset": 0}])],
+            schema,
+        )
+        base = cur.select("doc_id", content_digest(F.col("spans")).alias("digest"))
+        row = snapshot_churn_stats(cur, base).collect()[0]
+        assert (row["n_added"], row["n_removed"], row["n_changed"], row["n_unchanged"]) == (0, 0, 0, 1)

@@ -86,6 +86,7 @@ HEADLINE = [
     "pack_stats_docs",
     "pack_interleaved_events",
     "span_interleave_events",
+    "interleaved_filter_events",
     "canonical_spans_events",
     "media_context_events",
     "media_usage_events",

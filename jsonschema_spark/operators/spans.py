@@ -25,6 +25,7 @@ __all__ = [
     "canonicalize_spans",
     "media_context_pairs",
     "media_ref_stats",
+    "interleaved_doc_filter",
 ]
 
 
@@ -501,4 +502,65 @@ def media_ref_stats(
             F.sum("__occ").alias("n_occurrences"),
         )
         .withColumn("flagged", F.col("n_docs") > F.lit(int(max_docs)))
+    )
+
+
+def interleaved_doc_filter(
+    docs: DataFrame,
+    *,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    max_media: int = 30,
+    max_media_frac: float = 0.5,
+    min_text_chars: int = 200,
+) -> DataFrame:
+    """OBELICS-style document rules for interleaved corpora: per-doc signal
+    columns plus a composite ``keep`` — (id, n_spans, n_media, text_chars,
+    media_frac, r_too_many_media, r_media_heavy, r_too_little_text, keep).
+
+    Interleaved curation needs layout rules the flat-text heuristics (C4/
+    Gopher) can't express: a gallery page with 80 images and one caption,
+    or a media-dominated doc with almost no prose, trains nothing useful —
+    OBELICS bounds images per doc and the image/text balance before the
+    quality pass. Every rule keeps its own column (same convention as
+    gopher_quality) so per-rule ablations are a groupBy away.
+
+    One narrow projection: the kind array and per-span text lengths are
+    STAGED before the fold lambdas (repo-wide no-CSE rule), media_frac
+    uses the engine-portable nudge-then-floor 1e-6 snap. No explode, no
+    shuffle, no Python — rides the scan.
+    """
+    col = F.col(spans_col)
+    st = docs.withColumn(
+        "__if_k", F.transform(col, lambda x: x["kind"])
+    ).withColumn(
+        "__if_tl",
+        F.transform(
+            col,
+            lambda x: F.when(
+                x["kind"] == F.lit("text"), F.length(F.coalesce(x["text"], F.lit("")))
+            ).otherwise(F.lit(0)),
+        ),
+    )
+    n = F.size("__if_k")
+    n_media = F.size(F.filter(F.col("__if_k"), lambda k: k == F.lit("media")))
+    text_chars = F.aggregate(F.col("__if_tl"), F.lit(0), lambda a, x: a + x)
+    media_frac = F.when(
+        n > 0,
+        F.floor(n_media.cast("double") / n.cast("double") * F.lit(1e6) + F.lit(1e-6))
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    r_many = n_media > F.lit(int(max_media))
+    r_heavy = media_frac > F.lit(float(max_media_frac))
+    r_text = text_chars < F.lit(int(min_text_chars))
+    return st.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_spans"),
+        n_media.cast("bigint").alias("n_media"),
+        text_chars.cast("bigint").alias("text_chars"),
+        media_frac.alias("media_frac"),
+        r_many.alias("r_too_many_media"),
+        r_heavy.alias("r_media_heavy"),
+        r_text.alias("r_too_little_text"),
+        (~r_many & ~r_heavy & ~r_text).alias("keep"),
     )

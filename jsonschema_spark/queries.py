@@ -3301,6 +3301,7 @@ def all_queries():
         "centroid_drift_embeddings": centroid_drift_embeddings,
         "consistency_docs": consistency_docs,
         "snapshot_churn_events": snapshot_churn_events,
+        "interleaved_filter_events": interleaved_filter_events,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3421,6 +3422,7 @@ def all_oracles():
         "centroid_drift_embeddings": ORACLE_CENTROID_DRIFT,
         "consistency_docs": ORACLE_CONSISTENCY,
         "snapshot_churn_events": ORACLE_SNAPSHOT_CHURN,
+        "interleaved_filter_events": ORACLE_INTERLEAVED_FILTER,
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4966,6 +4968,49 @@ def snapshot_churn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_churn_stats(
         cur.withColumn("doc_id", F.col("doc_id").cast("string")), base
     )
+
+
+
+def interleaved_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBELICS-style layout rules over the interleaved docs: bound media
+    count, media fraction, and minimum prose volume; per-rule columns +
+    composite keep (thresholds 40 / 0.6 / 250 straddle the corpus ranges,
+    so every rule and both keep outcomes occur)."""
+    from jsonschema_spark.operators.spans import interleaved_doc_filter
+
+    return interleaved_doc_filter(
+        _events_as_spans(spark, sf_dir),
+        max_media=40,
+        max_media_frac=0.6,
+        min_text_chars=250,
+    )
+
+
+ORACLE_INTERLEAVED_FILTER = """
+WITH d AS (
+  SELECT user_id AS doc_id,
+         count(*) AS n_spans,
+         sum(CASE WHEN event_type NOT IN ('click','view') THEN 1 ELSE 0 END) AS n_media,
+         sum(CASE WHEN event_type IN ('click','view')
+                  THEN length(coalesce(props, '')) ELSE 0 END) AS text_chars
+  FROM events GROUP BY user_id),
+f AS (
+  SELECT doc_id, n_spans, n_media, text_chars,
+         CASE WHEN n_spans > 0
+              THEN floor(CAST(n_media AS DOUBLE) / n_spans * 1e6 + 1e-6) / 1e6
+              ELSE 0.0 END AS media_frac
+  FROM d)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_media AS BIGINT) AS n_media,
+       CAST(text_chars AS BIGINT) AS text_chars,
+       media_frac,
+       n_media > 40 AS r_too_many_media,
+       media_frac > 0.6 AS r_media_heavy,
+       text_chars < 250 AS r_too_little_text,
+       (NOT n_media > 40 AND NOT media_frac > 0.6 AND NOT text_chars < 250) AS keep
+FROM f
+"""
 
 
 

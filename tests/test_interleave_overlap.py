@@ -353,3 +353,42 @@ class TestMediaRefStats:
         assert got["logo"]["n_docs"] == 3 and got["logo"]["n_occurrences"] == 4
         assert got["logo"]["flagged"] is True
         assert got["pic1"]["n_docs"] == 1 and got["pic1"]["flagged"] is False
+
+
+class TestInterleavedDocFilter:
+    def test_rules_and_keep(self, spark):
+        from jsonschema_spark.operators.spans import interleaved_doc_filter
+        from pyspark.sql import functions as F
+
+        def doc(i, n_text, n_media, text):
+            spans = [
+                {"kind": "text", "text": text, "media_ref": None, "offset": j}
+                for j in range(n_text)
+            ] + [
+                {"kind": "media", "text": None, "media_ref": f"m{j}", "offset": 100 + j}
+                for j in range(n_media)
+            ]
+            return (f"d{i}", spans)
+
+        schema = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+        df = spark.createDataFrame(
+            [
+                doc(1, 8, 2, "x" * 50),    # keep: 400 chars, 0.2 frac, 2 media
+                doc(2, 2, 8, "x" * 200),   # media-heavy (0.8) but enough text
+                doc(3, 8, 2, "x" * 10),    # too little text (80 chars)
+                doc(4, 40, 35, "x" * 20),  # too many media (35 > 30)
+            ],
+            schema,
+        )
+        rows = {r["doc_id"]: r for r in interleaved_doc_filter(
+            df, max_media=30, max_media_frac=0.5, min_text_chars=200
+        ).collect()}
+        assert rows["d1"]["keep"] is True
+        assert rows["d2"]["r_media_heavy"] is True and rows["d2"]["keep"] is False
+        assert rows["d3"]["r_too_little_text"] is True
+        assert rows["d4"]["r_too_many_media"] is True
+        p = interleaved_doc_filter(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p and "ArrowEvalPython" not in p

@@ -240,18 +240,20 @@ def snapshot_churn_stats(
         F.col(doc_id_col).alias("__id"), F.col(digest_col).alias("__base_dig")
     )
     j = cur.join(prev, "__id", "full_outer")
+
+    def _n(cond, name):
+        # coalesce so an EMPTY diff reports zeros, not NULLs (sum over zero
+        # rows is NULL in SQL semantics)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(name)
+
     return j.agg(
-        F.sum(F.when(F.col("__base_dig").isNull(), 1).otherwise(0)).alias("n_added"),
-        F.sum(F.when(F.col("__cur_dig").isNull(), 1).otherwise(0)).alias("n_removed"),
-        F.sum(
-            F.when(
-                F.col("__cur_dig").isNotNull()
-                & F.col("__base_dig").isNotNull()
-                & (F.col("__cur_dig") != F.col("__base_dig")),
-                1,
-            ).otherwise(0)
-        ).alias("n_changed"),
-        F.sum(
-            F.when(F.col("__cur_dig") == F.col("__base_dig"), 1).otherwise(0)
-        ).alias("n_unchanged"),
+        _n(F.col("__base_dig").isNull(), "n_added"),
+        _n(F.col("__cur_dig").isNull(), "n_removed"),
+        _n(
+            F.col("__cur_dig").isNotNull()
+            & F.col("__base_dig").isNotNull()
+            & (F.col("__cur_dig") != F.col("__base_dig")),
+            "n_changed",
+        ),
+        _n(F.col("__cur_dig") == F.col("__base_dig"), "n_unchanged"),
     )

@@ -5211,11 +5211,11 @@ j AS (
   SELECT cur.cur_dig, base.base_dig
   FROM cur FULL OUTER JOIN base ON base.doc_id = cur.doc_id)
 SELECT
-  CAST(sum(CASE WHEN base_dig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
-  CAST(sum(CASE WHEN cur_dig IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-  CAST(sum(CASE WHEN cur_dig IS NOT NULL AND base_dig IS NOT NULL
-                 AND cur_dig <> base_dig THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-  CAST(sum(CASE WHEN cur_dig = base_dig THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  CAST(coalesce(sum(CASE WHEN base_dig IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_added,
+  CAST(coalesce(sum(CASE WHEN cur_dig IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+  CAST(coalesce(sum(CASE WHEN cur_dig IS NOT NULL AND base_dig IS NOT NULL
+                 AND cur_dig <> base_dig THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changed,
+  CAST(coalesce(sum(CASE WHEN cur_dig = base_dig THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unchanged
 FROM j
 """
 

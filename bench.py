@@ -95,6 +95,7 @@ HEADLINE = [
     "skew_buckets_events",
     "source_overlap_docs",
     "multimodal_near_dup_docs",
+    "interleaved_pipeline_docs",
     "token_count_by_lang",
     "bpe_token_stats_docs",
     "fingerprint_docs",

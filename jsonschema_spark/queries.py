@@ -3302,6 +3302,7 @@ def all_queries():
         "consistency_docs": consistency_docs,
         "snapshot_churn_events": snapshot_churn_events,
         "interleaved_filter_events": interleaved_filter_events,
+        "interleaved_pipeline_docs": interleaved_pipeline_docs,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3423,6 +3424,7 @@ def all_oracles():
         "consistency_docs": ORACLE_CONSISTENCY,
         "snapshot_churn_events": ORACLE_SNAPSHOT_CHURN,
         "interleaved_filter_events": ORACLE_INTERLEAVED_FILTER,
+        "interleaved_pipeline_docs": _oracle_interleaved_pipeline(),
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4464,6 +4466,120 @@ tok AS (
 sh AS (
   SELECT id, list_distinct(flatten(list(ts))) AS s FROM tok GROUP BY id)"""
     return _oracle_lsh_pairs(k=8, bands=4, rows_per_band=2, sh_sql=sh_sql)
+
+
+def interleaved_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END interleaved curation: layout filter (min prose volume) ->
+    multimodal MinHash-LSH near-dup (same prose AND same attached media) ->
+    connected-component dedup (keep min-id) -> deterministic hash split.
+    One lazy plan; each stage is the separately-oracled operator, composed
+    the way a production multimodal corpus build runs them."""
+    from jsonschema_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_fold,
+    )
+    from jsonschema_spark.operators.sampling import hash_split
+    from jsonschema_spark.operators.spans import (
+        interleaved_doc_filter,
+        interleaved_token_set,
+    )
+
+    docs = _documents_as_interleaved(spark, sf_dir)
+    flt = interleaved_doc_filter(
+        docs, max_media=100, max_media_frac=1.0, min_text_chars=300
+    )
+    kept = docs.join(
+        flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sig = kept.select(
+        F.col("doc_id").alias("id"),
+        minhash_fold(interleaved_token_set("spans", shingle_n=3), 8).alias("sig"),
+    )
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clusters = duplicate_clusters(pairs)
+    drops = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = kept.select("doc_id").join(drops, "doc_id", "left_anti")
+    return hash_split(survivors, "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id", "split"
+    )
+
+
+def _oracle_interleaved_pipeline(min_text_chars: int = 300, threshold: float = 0.5) -> str:
+    """Replays the whole chain: fixture spans -> text-volume filter ->
+    t:/m: token sets over SURVIVORS -> the shared LSH pair pipeline ->
+    recursive-CTE components -> keep-min-id -> exact split thresholds."""
+    from jsonschema_spark.operators.sampling import split_thresholds
+
+    fixture = r"""t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents),
+halves AS (
+  SELECT id, t, (len(t) + 1) // 2 AS h FROM t),
+sp AS (
+  SELECT id, 'text' AS kind, array_to_string(t[1:h], ' ') AS text, NULL AS media_ref FROM halves
+  UNION ALL
+  SELECT id, 'media', NULL, 'media://img-' || CAST(id % 50 AS VARCHAR) FROM halves
+  UNION ALL
+  SELECT id, 'text',
+         CASE WHEN len(t) > h THEN array_to_string(t[h+1:len(t)], ' ') ELSE '' END,
+         NULL
+  FROM halves
+  UNION ALL
+  SELECT id, 'media', NULL, 'media://vid-' || CAST(id % 29 AS VARCHAR) FROM halves),
+kept AS (
+  SELECT id FROM sp
+  GROUP BY id
+  HAVING sum(CASE WHEN kind = 'text' THEN length(coalesce(text, '')) ELSE 0 END) >= {mtc})"""
+
+    sh_sql = fixture + r""",
+tok AS (
+  SELECT id,
+         CASE WHEN kind = 'text' AND len(trim(text)) > 0 THEN
+              CASE WHEN len(string_split(text, ' ')) >= 3
+                   THEN list_distinct(['t:' || array_to_string(string_split(text, ' ')[i:i+2], ' ')
+                                       FOR i IN range(1, len(string_split(text, ' ')) - 1)])
+                   ELSE ['t:' || text] END
+              WHEN kind = 'media' AND media_ref IS NOT NULL THEN ['m:' || media_ref]
+              ELSE [] END AS ts
+  FROM sp WHERE id IN (SELECT id FROM kept)),
+sh AS (
+  SELECT id, list_distinct(flatten(list(ts))) AS s FROM tok GROUP BY id)"""
+
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    case = " ".join(f"WHEN hf < {t!r} THEN '{n}'" for n, t in ths[:-1])
+    pairs_sql = _oracle_lsh_pairs(
+        k=8, bands=4, rows_per_band=2, sh_sql=sh_sql.format(mtc=min_text_chars)
+    )
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_jaccard >= {threshold}
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE est_jaccard >= {threshold}),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
+clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+{fixture.format(mtc=min_text_chars)},
+survivors AS (
+  SELECT id FROM kept
+  WHERE id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)),
+f AS (
+  SELECT id AS doc_id,
+         CAST(('0x' || substr(md5('split' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+           / POWER(2, 60) AS hf
+  FROM survivors)
+SELECT doc_id, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
+"""
+
 
 
 def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

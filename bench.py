@@ -96,6 +96,7 @@ HEADLINE = [
     "source_overlap_docs",
     "multimodal_near_dup_docs",
     "interleaved_pipeline_docs",
+    "span_lang_mixture_docs",
     "token_count_by_lang",
     "bpe_token_stats_docs",
     "fingerprint_docs",

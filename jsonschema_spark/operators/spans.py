@@ -26,6 +26,7 @@ __all__ = [
     "media_context_pairs",
     "media_ref_stats",
     "interleaved_doc_filter",
+    "span_lang_consistency",
 ]
 
 
@@ -564,3 +565,79 @@ def interleaved_doc_filter(
         r_text.alias("r_too_little_text"),
         (~r_many & ~r_heavy & ~r_text).alias("keep"),
     )
+
+
+def span_lang_consistency(
+    docs: DataFrame, *, spans_col: str = "spans", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc language mixture over the interleaved layout: (id,
+    n_text_spans, n_lang_spans, n_langs, majority_lang, mixed) where each
+    non-empty text span gets the stopword-argmax language prediction
+    (text.lang_id's exact rule, applied per span) and `mixed` flags docs
+    whose spans disagree — the doc-level lang-id hides exactly this (a
+    half-English half-German page argmaxes to one of them and the mixture
+    is gone, but span-level curation wants it surfaced or split).
+
+    Tie rules are pinned cross-engine: per-span prediction breaks score
+    ties by STOPWORDS declaration order (first declared wins — same as
+    lang_id); the majority vote breaks count ties by lexicographically
+    LARGEST language (struct-max semantics). 'und' spans (no stopword
+    hits) count toward n_text_spans but never toward the vote.
+
+    Row-local: per-span token arrays ride inside one transform, the vote
+    is an O(L²) fold over the ≤|languages| distinct predictions. No
+    explode, no shuffle, no Python.
+    """
+    from jsonschema_spark.operators.dedup import tokens
+    from jsonschema_spark.operators.text import STOPWORDS
+
+    col = F.col(spans_col)
+
+    def _member(words):
+        return lambda x: x.isin(*words)
+
+    def _pred(text):
+        toks = tokens(text)
+        scores = {
+            lang: F.size(F.filter(toks, _member(words)))
+            for lang, words in STOPWORDS.items()
+        }
+        best = F.greatest(*scores.values())
+        pred = F.lit("und")
+        for lang in reversed(list(STOPWORDS)):
+            pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+                pred
+            )
+        return pred
+
+    st = docs.withColumn(
+        "__slc_p",
+        F.transform(
+            F.filter(
+                col,
+                lambda x: (x["kind"] == F.lit("text"))
+                & (F.length(F.trim(F.coalesce(x["text"], F.lit("")))) > 0),
+            ),
+            lambda x: _pred(x["text"]),
+        ),
+    )
+    preds = F.col("__slc_p")
+    voting = F.filter(preds, lambda p: p != F.lit("und"))
+    st = st.withColumn("__slc_v", voting)
+    voting = F.col("__slc_v")
+    distinct = F.array_distinct(voting)
+    counted = F.transform(
+        distinct,
+        lambda l: F.struct(
+            F.size(F.filter(voting, lambda p: p == l)).alias("c"), l.alias("lang")
+        ),
+    )
+    top = F.array_max(counted)
+    return st.select(
+        F.col(id_col),
+        F.size(preds).cast("bigint").alias("n_text_spans"),
+        F.size(voting).cast("bigint").alias("n_lang_spans"),
+        F.size(distinct).cast("bigint").alias("n_langs"),
+        F.when(F.size(voting) > 0, top["lang"]).alias("majority_lang"),
+        (F.size(distinct) > 1).alias("mixed"),
+    ).drop("__slc_p", "__slc_v")

@@ -3303,6 +3303,7 @@ def all_queries():
         "snapshot_churn_events": snapshot_churn_events,
         "interleaved_filter_events": interleaved_filter_events,
         "interleaved_pipeline_docs": interleaved_pipeline_docs,
+        "span_lang_mixture_docs": span_lang_mixture_docs,
         "media_usage_events": media_usage_events,
         "incremental_validate_events": incremental_validate_events,
         "skew_buckets_events": skew_buckets_events,
@@ -3425,6 +3426,7 @@ def all_oracles():
         "snapshot_churn_events": ORACLE_SNAPSHOT_CHURN,
         "interleaved_filter_events": ORACLE_INTERLEAVED_FILTER,
         "interleaved_pipeline_docs": _oracle_interleaved_pipeline(),
+        "span_lang_mixture_docs": _oracle_span_lang_mixture(),
         "media_usage_events": ORACLE_MEDIA_USAGE,
         "incremental_validate_events": ORACLE_INCREMENTAL_VALIDATE,
         "skew_buckets_events": ORACLE_SKEW_BUCKETS,
@@ -4578,6 +4580,97 @@ f AS (
            / POWER(2, 60) AS hf
   FROM survivors)
 SELECT doc_id, CASE {case} ELSE '{ths[-1][0]}' END AS split FROM f
+"""
+
+
+
+def span_lang_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level language-mixture detection over interleaved docs: each
+    doc carries its own text plus its successor doc's text as a second
+    span, and 1-in-4 second spans get a German stopword prefix injected
+    (the synthetic corpus is single-vocabulary, so mixture must be
+    injected to be observable — deterministic, replayed by the oracle);
+    the operator surfaces the mixture a doc-level lang-id argmaxes away."""
+    from jsonschema_spark.operators.spans import span_lang_consistency
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__text2")
+    )
+    snull = F.lit(None).cast("string")
+    j = d.join(nxt, "doc_id", "left")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            snull.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("der die das und ist nicht ein eine "),
+                    F.coalesce(F.col("__text2"), F.lit("")),
+                ),
+            )
+            .otherwise(F.coalesce(F.col("__text2"), F.lit("")))
+            .alias("text"),
+            snull.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+    )
+    return span_lang_consistency(j.select("doc_id", spans.alias("spans")))
+
+
+def _oracle_span_lang_mixture() -> str:
+    from jsonschema_spark.operators.text import STOPWORDS
+
+    score = {
+        lang: f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = f"greatest({', '.join(score.values())})"
+    pred = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        pred = f"CASE WHEN {score[lang]} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH base AS (SELECT doc_id AS id, text FROM documents),
+nxt AS (SELECT doc_id - 1 AS id, text AS text2 FROM documents),
+sp AS (
+  SELECT id, text FROM base
+  UNION ALL
+  SELECT b.id,
+         CASE WHEN b.id % 4 = 0
+              THEN 'der die das und ist nicht ein eine ' || coalesce(n.text2, '')
+              ELSE coalesce(n.text2, '') END AS text
+  FROM base b LEFT JOIN nxt n USING (id)),
+t AS (
+  SELECT id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM sp WHERE length(trim(text)) > 0),
+sc AS (SELECT id, toks, {best} AS best FROM t),
+p AS (SELECT id, {pred} AS pred FROM sc),
+nt AS (SELECT id, count(*) AS n_text_spans FROM t GROUP BY id),
+v AS (SELECT id, pred FROM p WHERE pred <> 'und'),
+per AS (SELECT id, pred, count(*) AS c FROM v GROUP BY id, pred),
+agg AS (
+  SELECT id, sum(c) AS n_lang_spans, count(*) AS n_langs FROM per GROUP BY id),
+maj AS (
+  SELECT id, pred AS majority_lang FROM (
+    SELECT id, pred, row_number() OVER (PARTITION BY id ORDER BY c DESC, pred DESC) AS rn
+    FROM per) WHERE rn = 1)
+SELECT d.doc_id,
+       CAST(coalesce(nt.n_text_spans, 0) AS BIGINT) AS n_text_spans,
+       CAST(coalesce(agg.n_lang_spans, 0) AS BIGINT) AS n_lang_spans,
+       CAST(coalesce(agg.n_langs, 0) AS BIGINT) AS n_langs,
+       maj.majority_lang,
+       coalesce(agg.n_langs, 0) > 1 AS mixed
+FROM documents d
+LEFT JOIN nt ON nt.id = d.doc_id
+LEFT JOIN agg ON agg.id = d.doc_id
+LEFT JOIN maj ON maj.id = d.doc_id
 """
 
 

@@ -392,3 +392,39 @@ class TestInterleavedDocFilter:
         assert rows["d4"]["r_too_many_media"] is True
         p = interleaved_doc_filter(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p and "ArrowEvalPython" not in p
+
+
+class TestSpanLangConsistency:
+    def test_mixture_and_vote_tiebreaks(self, spark):
+        from jsonschema_spark.operators.spans import span_lang_consistency
+
+        schema = (
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+
+        def tsp(text, off=0):
+            return {"kind": "text", "text": text, "media_ref": None, "offset": off}
+
+        def msp(off=0):
+            return {"kind": "media", "text": None, "media_ref": "m", "offset": off}
+
+        df = spark.createDataFrame(
+            [
+                ("pure", [tsp("the cat and the dog of the house"), msp(1)]),
+                ("mixed", [tsp("the cat and the dog"), tsp("der hund und die katze ist", 1)]),
+                ("und", [tsp("zzz qqq www"), msp(1)]),
+                # one en span, one de span, one es span: vote tie of 1 each
+                # -> lexicographically largest language wins (es)
+                ("tie", [tsp("the and of"), tsp("der und das", 1), tsp("el los y", 2)]),
+            ],
+            schema,
+        )
+        rows = {r["doc_id"]: r for r in span_lang_consistency(df).collect()}
+        assert rows["pure"]["mixed"] is False and rows["pure"]["majority_lang"] == "en"
+        assert rows["mixed"]["mixed"] is True and rows["mixed"]["n_langs"] == 2
+        assert rows["und"]["n_text_spans"] == 1 and rows["und"]["n_lang_spans"] == 0
+        assert rows["und"]["majority_lang"] is None and rows["und"]["mixed"] is False
+        assert rows["tie"]["majority_lang"] == "es"  # count tie -> largest lang
+        p = span_lang_consistency(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p and "ArrowEvalPython" not in p

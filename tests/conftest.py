@@ -17,7 +17,10 @@ def spark():
         .appName("jsonschema_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # 8g: the suite is ~750 tests in ONE JVM (~6k stages); at 4g the
+        # accumulated codegen/plan/broadcast state OOMed the tail of the run
+        # while every file passed in isolation (observed round 4, session 4)
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

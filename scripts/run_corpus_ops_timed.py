@@ -16,7 +16,10 @@ Composition timed as ONE job (the operators a training-data pipeline chains):
   4. semantic_dedup — cell-bounded within-cell cosine pairs over the
      embeddings table replicated REP_EMB x, quantized by spherical k-means
      (2 Lloyd iterations, fit INSIDE the timed window — n_cells grown with
-     the corpus, the operator's documented scaling contract).
+     the corpus, the operator's documented scaling contract);
+  5. interleaved surface (round-4 session-4): canonicalize the two-span
+     interleaved form of the retained corpus, OBELICS layout filter, and
+     the multimodal t:/m: token-set MinHash-LSH candidate pass.
 
 Prints ONE JSON line: {"label", "docs", "vectors", "elapsed_sec",
 "docs_per_sec"}. Execution forced with the noop sink.
@@ -92,8 +95,14 @@ def run_once(spark, sf_dir: str, rep_docs: int, rep_emb: int, n_cells: int) -> t
     good_ids = q.filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.2)).select(
         F.col("id").alias("doc_id")
     )
-    good = kept.join(good_ids, "doc_id", "left_semi").filter(
-        F.col("lang").isin("en", "de", "fr", "es")
+    # `good` feeds the split, the classifier (fit AND score), and the
+    # interleaved stage — persist it or every consumer re-derives the whole
+    # dedup_corpus chain (LSH + iterative connected components); observed
+    # blowing the timed run up ~10x when stage 5 landed unpersisted
+    good = (
+        kept.join(good_ids, "doc_id", "left_semi")
+        .filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .persist()
     )
     _force(hash_split(good, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}))
 
@@ -106,6 +115,40 @@ def run_once(spark, sf_dir: str, rep_docs: int, rep_emb: int, n_cells: int) -> t
     )
     model = fit_spherical_kmeans_centroids(emb_d, n_cells, n_iters=2)
     _force(semantic_dedup(emb_d, threshold=0.95, n_cells=n_cells, centroids=model))
+
+    # 5. interleaved surface (round-4 session-4 operators): build the
+    #    two-span-per-doc interleaved form of the SAME retained corpus,
+    #    canonicalize the layout, apply the OBELICS layout filter, and run
+    #    the multimodal (t:/m: token set) MinHash-LSH candidate pass —
+    #    the chain interleaved_pipeline_docs composes
+    from jsonschema_spark.operators.dedup import lsh_candidate_pairs, minhash_fold
+    from jsonschema_spark.operators.spans import (
+        canonicalize_spans,
+        interleaved_doc_filter,
+        interleaved_token_set,
+    )
+
+    snull = F.lit(None).cast("string")
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                 snull.alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("media").alias("kind"), snull.alias("text"),
+                 F.concat(F.lit("media://img-"), (F.col("doc_id") % 50).cast("string")).alias("media_ref"),
+                 F.lit(1).alias("offset")),
+        F.struct(F.lit("text").alias("kind"), F.reverse(F.col("text")).alias("text"),
+                 snull.alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    inter = good.select("doc_id", spans.alias("spans"))
+    canon = canonicalize_spans(inter).persist()  # self-joined below
+    flt = interleaved_doc_filter(canon, max_media=100, max_media_frac=1.0, min_text_chars=50)
+    kept_i = canon.join(flt.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    sig = kept_i.select(
+        F.col("doc_id").alias("id"),
+        minhash_fold(interleaved_token_set("spans", shingle_n=3), 8).alias("sig"),
+    )
+    _force(lsh_candidate_pairs(sig, bands=4, rows_per_band=2))
+    canon.unpersist()
+    good.unpersist()
     return rep_docs, rep_emb
 
 

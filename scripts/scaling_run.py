@@ -175,21 +175,39 @@ def run_control(cores: int, base: str) -> float:
     raise RuntimeError(f"no control output (rc={proc.returncode}):\n{proc.stderr[-1500:]}")
 
 
+def box_probe() -> float:
+    """Single-core compute-health probe: seconds for a 20M-iteration Python
+    add loop. Quiet-window baseline on this box is ~1.27s; compute steal
+    inflates it proportionally (a 1.9s probe has predicted a 1.5x slower
+    pipeline leg within a few percent). Recorded per leg so every protocol
+    execution carries its own window-quality evidence."""
+    import timeit
+
+    return round(min(timeit.repeat("x=0\nfor i in range(20_000_000): x+=i", number=1, repeat=2)), 3)
+
+
 def main() -> None:
     subprocess.run([sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")], check=True)
     base = ensure_data()
     pipe: dict[int, dict] = {}
     ctrl: dict[int, float] = {}
-    for cores in CORES:
-        best = None
-        for rep in range(REPEATS):
+    probes: list[dict] = []
+    # Interleave reps ACROSS core levels (2,8,32,2,8,32 — not 2,2,8,8,32,32):
+    # box-noise on this VM arrives in multi-minute bursts, and a burst that
+    # lands entirely inside one level's back-to-back reps skews the RATIO
+    # between levels, which is the metric. Interleaving spreads any burst
+    # over all levels so best-of-N picks each level's quiet rep.
+    for rep in range(REPEATS):
+        for cores in CORES:
+            probes.append({"leg": f"local[{cores}] rep{rep}", "busyloop_20m_sec": box_probe()})
             out = os.path.join(REPO, ".scratch", f"scaling_out_{cores}_{rep}")
             if os.path.exists(out):
                 shutil.rmtree(out)
             r = run_pipeline(cores, base, out, f"local[{cores}] rep{rep}")
+            best = pipe.get(cores)
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        pipe[cores] = best
+                pipe[cores] = r
+    for cores in CORES:
         ctrl[cores] = run_control(cores, base)
 
     # corpus-ops job (round-3 heavy operators) on the headline 4x pair only
@@ -225,6 +243,7 @@ def main() -> None:
 
     primary_rel = effs[f"{pairs[0][0]}->{pairs[0][1]}"]["relative"]
     summary = {
+        "box_probes": probes,
         "docs": N_DOCS,
         **{f"docs_per_sec_local{c}": pipe[c]["docs_per_sec"] for c in CORES},
         **{f"control_sec_local{c}": round(ctrl[c], 2) for c in CORES},
@@ -332,9 +351,17 @@ Drift stats on this input (same generator as the clean reference twin,
 expected undrifted): KS = {top["ks"]:.4f}, PSI = {top["psi"]:.4f}.
 
 Reproduce: `python scripts/scaling_run.py` (env `SPARK_GRAFT_SCALING_DOCS`,
-`SPARK_GRAFT_SCALING_CORES`; data cached under `.scratch/`).
+`SPARK_GRAFT_SCALING_CORES`; data cached under `.scratch/`). Every protocol
+execution appends its full summary plus per-leg box-health probes to
+`BENCH/runs.jsonl` — the complete run ledger, including degraded-window
+runs, is there; `BENCH/RUNS.md` explains how the claim is selected from it.
 """
         )
+    # append-only run ledger: every execution is recorded, including ones
+    # that land in degraded box windows — the claim methodology (RUNS.md)
+    # selects from the ledger in the open instead of overwriting history.
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as f:
+        f.write(json.dumps(summary) + "\n")
     print(json.dumps(summary))
 
 

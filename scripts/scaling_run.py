@@ -16,7 +16,12 @@ adds no scaling bottleneck of its own; on a real N -> 4N *executor* cluster
 
 Each run is a REAL spark-submit with --py-files dist/jsonschema_spark.zip
 (the north rule's deployment path), a fresh JVM, and a fresh output dir.
-Writes BENCH/BASELINE.md and prints a JSON summary.
+Writes the per-run report to BENCH/last_run.md, appends the full summary
+to the append-only ledger BENCH/runs.jsonl, and prints a JSON summary.
+BENCH/BASELINE.md is hand-curated FROM the ledger per the claim rule in
+BENCH/RUNS.md (two agreeing quiet-regime runs) — the script never
+overwrites it, so a run landing in a degraded or shifted box window
+cannot silently clobber the claim evidence.
 """
 
 from __future__ import annotations
@@ -261,9 +266,12 @@ def main() -> None:
     )
     top = pipe[CORES[-1]]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — two-parallelism scaling evidence
+            f"""# BENCH/last_run — report of the most recent scaling-protocol execution
+
+(Generated by scripts/scaling_run.py. NOT the claim — see BENCH/BASELINE.md
+and the selection rule in BENCH/RUNS.md.)
 
 Authoritative metric (BASELINE.json): documents validated/sec with scaling
 efficiency >= 0.8 going from N to 4N executors. Sandbox protocol: no real

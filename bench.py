@@ -118,6 +118,9 @@ HEADLINE = [
     "simsearch_topk",
     "sessionize_events",
     "attribution_asof_events",
+    "range_window_stats_events",
+    "weighted_sample_docs",
+    "key_candidates_orders",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

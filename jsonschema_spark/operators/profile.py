@@ -23,7 +23,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["histogram", "quantiles", "approx_quantiles", "heavy_hitters"]
+__all__ = [
+    "histogram",
+    "quantiles",
+    "approx_quantiles",
+    "heavy_hitters",
+    "key_candidates",
+]
+
+
+def key_candidates(
+    df: DataFrame, columns: list[str] | None = None, *, approx: bool = False
+) -> DataFrame:
+    """Candidate-key discovery: one tall row per column with its exact
+    distinct count, NULL count, and whether it is a valid unique key
+    (distinct == rows AND no NULLs) — the profiling step that decides which
+    column the uniqueness check (operators/uniqueness.py) should run on and
+    which joins are safe to treat as 1:1.
+
+    One aggregation pass: Spark plans multi-column count(DISTINCT) as an
+    Expand (n_cols rows per input row) feeding ONE map-side-combining
+    aggregate — a single shuffle whose width is the distinct-value counts,
+    not the table. At extreme widths set `approx=True` to swap in HLL
+    sketches (`approx_count_distinct`, ~2% error): `is_key` then means
+    "cardinality within HLL error of the row count" and must be confirmed
+    by the exact uniqueness check before being relied on.
+    """
+    cols = columns or df.columns
+    n_distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(n_distinct(F.col(c)).alias(f"__d_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"))
+    row = df.agg(*aggs)
+    tall = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("__rows").alias("n_rows"),
+                        F.col(f"__d_{c}").alias("n_distinct"),
+                        F.col(f"__n_{c}").alias("n_null"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return tall.withColumn(
+        "is_key",
+        (F.col("n_distinct") == F.col("n_rows")) & (F.col("n_null") == F.lit(0)),
+    )
 
 
 def histogram(

@@ -28,6 +28,7 @@ __all__ = [
     "group_quota",
     "mixture_sample",
     "temperature_sample",
+    "weighted_sample_topk",
 ]
 
 
@@ -110,6 +111,39 @@ def stratified_sample(
     else:
         rate = F.lit(float(fraction))
     return df.filter(frac < rate)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws u = hash_fraction(key, salt) and scores ln(u) / w; the k
+    highest-scoring rows are the sample, which is exactly a sequential
+    weighted draw-without-replacement (the exponential-race construction —
+    Efraimidis & Spirakis 2006). Rows with NULL or non-positive weight are
+    excluded. Output: (key, weight_col), deterministic across runs, engines,
+    and partitionings.
+
+    Physically a TakeOrdered (per-partition top-k + merge of k·P
+    candidates), never a global sort; the score is a narrow projection the
+    scan evaluates. The score column is NOT emitted: ln() is libm-bound and
+    engines may disagree in the last ulp, but the ORDERING is stable because
+    md5-derived scores are ~uniformly spaced many orders of magnitude wider
+    than 1-ulp noise; exact ties break on the key."""
+    w = F.col(weight_col).cast("double")
+    score = F.log(hash_fraction(F.col(key), salt)) / w
+    return (
+        df.filter(w > 0)
+        .select(F.col(key), F.col(weight_col), score.alias("__score"))
+        .orderBy(F.desc("__score"), key)
+        .limit(int(k))
+        .drop("__score")
+    )
 
 
 def deterministic_sample_n(df: DataFrame, key: str, n: int, *, salt: str = "") -> DataFrame:

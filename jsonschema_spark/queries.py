@@ -3312,6 +3312,9 @@ def all_queries():
         "curate_corpus_docs": curate_corpus_docs,
         "sessionize_events": sessionize_events,
         "attribution_asof_events": attribution_asof_events,
+        "range_window_stats_events": range_window_stats_events,
+        "weighted_sample_docs": weighted_sample_docs,
+        "key_candidates_orders": key_candidates_orders,
     }
 
 
@@ -3435,6 +3438,9 @@ def all_oracles():
         "curate_corpus_docs": _oracle_curate_corpus(),
         "sessionize_events": ORACLE_SESSIONIZE,
         "attribution_asof_events": ORACLE_ASOF,
+        "range_window_stats_events": ORACLE_RANGE_WINDOW_STATS,
+        "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
+        "key_candidates_orders": ORACLE_KEY_CANDIDATES,
     }
 
 
@@ -4907,6 +4913,108 @@ carried AS (
 SELECT user_id, event_id AS left_id, right_id, us - right_us AS gap_us
 FROM carried WHERE is_left = 1
 """
+
+
+def range_window_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE JOIN, bucketized (operators/rangejoin.py):
+    ~0.5% of events (hash-picked) each open a 30-minute incident window;
+    every event landing in a window is aggregated into it. The naive SQL
+    shape is a nested-loop non-equi join; here intervals explode to the
+    <=2 half-hour blocks they overlap and the join is an equi-join on
+    block id + residual range filter — the point side is never amplified."""
+    from jsonschema_spark.operators.rangejoin import range_join_points
+    from jsonschema_spark.operators.sampling import hash_fraction
+
+    e = _t(spark, sf_dir, "events")
+    windows = e.filter(hash_fraction(F.col("event_id"), "win") < 0.005).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    matched = range_join_points(
+        e.select("ts", "value"),
+        windows,
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_seconds=1800,
+    )
+    agg = matched.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return windows.select("window_id").join(agg, "window_id", "left").select(
+        "window_id",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+ORACLE_RANGE_WINDOW_STATS = """
+WITH w AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 1800000000 AS e_us
+  FROM events
+  WHERE CAST(('0x' || substr(md5('win' || CAST(event_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / POWER(2, 60) < 0.005
+),
+p AS (SELECT epoch_us(ts) AS us, value FROM events)
+SELECT w.window_id,
+       count(p.us) AS n_events,
+       round(coalesce(sum(p.value), 0), 6) AS total_value
+FROM w LEFT JOIN p ON p.us >= w.s_us AND p.us < w.e_us
+GROUP BY 1
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: 100 docs
+    drawn with inclusion probability proportional to n_chars (length-biased
+    curation draw). TakeOrdered physical plan, no RNG, no shuffle."""
+    from jsonschema_spark.operators.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", 100, salt="wsamp"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY ln(CAST(('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) / POWER(2, 60)) / CAST(n_chars AS DOUBLE) DESC,
+         doc_id
+LIMIT 100
+"""
+
+
+def key_candidates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over the orders table: exact distinct/NULL
+    counts per column in ONE Expand-backed aggregation pass, flagging which
+    columns are valid unique keys (operators/profile.key_candidates)."""
+    from jsonschema_spark.operators.profile import key_candidates
+
+    return key_candidates(_t(spark, sf_dir, "orders"))
+
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+ORACLE_KEY_CANDIDATES = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+    f" count(DISTINCT {c}) AS n_distinct,"
+    f" count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,"
+    f" (count(DISTINCT {c}) = count(*)"
+    f"  AND count(CASE WHEN {c} IS NULL THEN 1 END) = 0) AS is_key"
+    f" FROM orders"
+    for c in _ORDERS_COLS
+)
 
 
 # ----- interleaved-layout canonicalization, snapshot-diff incremental

@@ -284,3 +284,43 @@ def test_leakage_split_assignment_is_projection_after_one_join(spark):
         clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left"
     )
     assert p.count("Exchange") <= _plan(joined).count("Exchange")
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi-join on block id —
+    never BroadcastNestedLoopJoin or CartesianProduct (the big-big trap
+    the operator exists to avoid)."""
+    from jsonschema_spark.queries import range_window_stats_events
+
+    p = _plan(range_window_stats_events(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        p[:800]
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    """A-ES top-k must be TakeOrdered (per-partition top-k + merge), never a
+    full Exchange rangepartitioning + Sort."""
+    from jsonschema_spark.queries import weighted_sample_docs
+
+    p = _plan(weighted_sample_docs(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in p, p[:800]
+    assert "rangepartitioning" not in p, "global sort leaked into the sample"
+
+
+def test_key_candidates_single_aggregation_pass(spark):
+    """Multi-column exact distinct must ride ONE Expand + aggregate — not
+    one scan per column."""
+    from jsonschema_spark.queries import key_candidates_orders
+
+    p = _plan(key_candidates_orders(spark, "/root/testdata/sf0.001"))
+    assert p.count("Scan parquet") <= 1, (
+        "profiling re-scanned the table per column"
+    )
+    # one Expand; two exchanges is the canonical multi-distinct shape
+    # (hash on the expanded distinct keys w/ partial dedup, then the final
+    # single-partition merge of 13 counters) — anything more means a
+    # per-column re-aggregation leaked in
+    assert p.count("Expand") == 1 and p.count("Exchange") <= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -140,6 +140,21 @@ HEADLINE = [
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
 
 
+def box_probe() -> float:
+    """Single-core CPU probe (pure-Python md5 loop, ~0.2s on a quiet box):
+    run before and after the bench so a noisy-neighbor window — during
+    which EVERY query of a multi-second bench run inflates 2-6x — is
+    visible IN the recorded JSON instead of masquerading as a code
+    regression (observed repeatedly on this host; see BENCH/RUNS.md)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"probe"
+    for _ in range(400_000):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -270,6 +285,7 @@ def main() -> None:
     # queries, so measuring it last put it in a progressively dirtier JVM
     # (GC/code-cache state drift made the round-over-round headline metric
     # unfalsifiable — the r1->r3 "slide" tracked bench ordering, not plans).
+    probe_start = box_probe()
     times: dict[str, float] = {}
     flag_dt, docs_per_sec = flagship_throughput(spark, N_SYNTH_DOCS)
     times["validate_interleaved_synth"] = round(flag_dt, 3)
@@ -289,6 +305,9 @@ def main() -> None:
                 "docs_validated_per_sec": round(docs_per_sec, 1),
                 "synth_docs": N_SYNTH_DOCS,
                 "cpus": cpus,
+                # ~0.2s when the box is quiet; >0.5s means a noisy-neighbor
+                # window inflated the timings above (see box_probe docstring)
+                "box_probe_sec": [probe_start, box_probe()],
             }
         )
     )

@@ -121,6 +121,9 @@ HEADLINE = [
     "range_window_stats_events",
     "weighted_sample_docs",
     "key_candidates_orders",
+    "time_bucket_rollup_events",
+    "funnel_events",
+    "retention_cohorts_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

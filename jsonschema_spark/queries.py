@@ -3315,6 +3315,9 @@ def all_queries():
         "range_window_stats_events": range_window_stats_events,
         "weighted_sample_docs": weighted_sample_docs,
         "key_candidates_orders": key_candidates_orders,
+        "time_bucket_rollup_events": time_bucket_rollup_events,
+        "funnel_events": funnel_events,
+        "retention_cohorts_events": retention_cohorts_events,
     }
 
 
@@ -3441,6 +3444,9 @@ def all_oracles():
         "range_window_stats_events": ORACLE_RANGE_WINDOW_STATS,
         "weighted_sample_docs": ORACLE_WEIGHTED_SAMPLE,
         "key_candidates_orders": ORACLE_KEY_CANDIDATES,
+        "time_bucket_rollup_events": ORACLE_TIME_BUCKET_ROLLUP,
+        "funnel_events": ORACLE_FUNNEL,
+        "retention_cohorts_events": ORACLE_RETENTION,
     }
 
 
@@ -5601,4 +5607,101 @@ SELECT f.bucket, CAST(f.n_docs AS BIGINT) AS n_docs,
        floor(CAST(f.n_docs AS DOUBLE) / greatest(t.td, 1) * 1e6 + 1e-6) / 1e6 AS doc_share,
        floor(CAST(f.n_spans AS DOUBLE) / greatest(t.tsp, 1) * 1e6 + 1e-6) / 1e6 AS span_share
 FROM f, t
+"""
+
+
+def time_bucket_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup with gap-fill (operators/timeseries.py): events
+    bucketed to 6-hour windows per event_type, every (type, bucket) in the
+    observed range emitted even when empty. One full-data exchange (the
+    groupBy); the fill spine derives from the aggregated output and
+    broadcasts into the left join."""
+    from jsonschema_spark.operators.timeseries import time_bucket_rollup
+
+    return time_bucket_rollup(
+        _t(spark, sf_dir, "events"), bucket_seconds=21600, gap_fill=True
+    )
+
+
+ORACLE_TIME_BUCKET_ROLLUP = """
+WITH agg AS (
+  SELECT event_type AS key, epoch_us(ts) // 21600000000 AS bucket,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg),
+spine AS (
+  SELECT k.key, unnest(generate_series(bounds.mn, bounds.mx)) AS bucket
+  FROM (SELECT DISTINCT key FROM agg) k, bounds
+)
+SELECT spine.key AS event_type,
+       spine.bucket * 21600 AS bucket_start_s,
+       coalesce(agg.n_events, 0) AS n_events,
+       coalesce(agg.total_value, 0) AS total_value
+FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.bucket = agg.bucket
+"""
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/timeseries.py):
+    users completing each prefix in strict time order, earliest-completion
+    matching. One exchange on user_id — chained unordered per-user window
+    minima, then a user-level groupBy that reuses the partitioning."""
+    from jsonschema_spark.operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS s1 FROM e),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND us > s1 THEN us END)
+              OVER (PARTITION BY user_id) AS s2 FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2 THEN us END)
+              OVER (PARTITION BY user_id) AS s3 FROM w2),
+per AS (
+  SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+  FROM w3 GROUP BY user_id)
+SELECT step_idx, step_name, users_reached FROM (
+  SELECT 1 AS step_idx, 'view' AS step_name, count(s1) AS users_reached FROM per
+  UNION ALL
+  SELECT 2, 'click', count(s2) FROM per
+  UNION ALL
+  SELECT 3, 'purchase', count(s3) FROM per
+) ORDER BY step_idx
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/timeseries.py): users cohorted
+    by epoch-week of first event; distinct active users per (cohort,
+    week-offset). First-touch aggregate and the join back share the
+    user_id partitioning."""
+    from jsonschema_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+ORACLE_RETENTION = """
+WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT user_id, min(us) - min(us) % 604800000000 AS first_week_us
+  FROM s GROUP BY user_id),
+j AS (
+  SELECT s.user_id, f.first_week_us,
+         (s.us - s.us % 604800000000 - f.first_week_us) // 604800000000
+           AS week_offset
+  FROM s JOIN f USING (user_id))
+SELECT first_week_us // 1000000 AS cohort_week_start_s, week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2
 """

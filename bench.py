@@ -124,6 +124,10 @@ HEADLINE = [
     "time_bucket_rollup_events",
     "funnel_events",
     "retention_cohorts_events",
+    "rolling_anomaly_events",
+    "cusum_changepoints_events",
+    "bm25_topk_docs",
+    "hybrid_rrf_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

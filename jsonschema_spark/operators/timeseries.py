@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.sessions import _epoch_us
 
-__all__ = ["time_bucket_rollup", "funnel_steps", "retention_cohorts"]
+__all__ = [
+    "time_bucket_rollup",
+    "funnel_steps",
+    "retention_cohorts",
+    "rolling_anomalies",
+    "cusum_changepoints",
+]
 
 _US = 1_000_000
 _WEEK_US = 7 * 86_400 * _US
@@ -225,4 +231,206 @@ def retention_cohorts(
             "week_offset",
             "n_users",
         )
+    )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 900,
+    window: int = 8,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Trailing-window volume anomalies: per (key, bucket), z-score of the
+    bucket's event count against the mean/std of the `window` PRECEDING
+    buckets (current bucket excluded — the forecast frame never sees the
+    point it judges). Emits only flagged buckets: |z| > z_thresh with at
+    least 2 preceding buckets and nonzero variance.
+
+    Gap-filled buckets participate as genuine zeros — a silent key IS the
+    anomaly a volume monitor must catch, so the rolling frame must see the
+    empty buckets (`time_bucket_rollup(gap_fill=True)` feeds this).
+
+    Cross-engine float discipline: the frame aggregates are an exact-int
+    `sum` / `sum of squares` / `count` over bigint counts (no engine-order
+    float drift — windowed double sums disagree between engines because
+    segment-tree vs running summation reorders the adds); mean and the
+    sample variance ``(sumsq - sum²/n)/(n-1)`` are then derived by one
+    shared expression tree. The z-score is grid-snapped (nudge-then-floor).
+
+    Scale shape: one full-data exchange (the rollup groupBy); the window
+    runs over the gap-filled spine — #keys × #buckets rows, independent of
+    raw event count — partitioned by key.
+    """
+    from pyspark.sql import Window
+
+    roll = time_bucket_rollup(
+        events,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        bucket_seconds=bucket_seconds,
+        gap_fill=True,
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start_s")
+        .rowsBetween(-int(window), -1)
+    )
+    n = F.col("n_events").cast("bigint")
+    staged = roll.select(
+        F.col(key_col),
+        "bucket_start_s",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("_w_n"),
+        F.sum(n).over(w).alias("_w_sum"),
+        F.sum(n * n).over(w).alias("_w_sumsq"),
+    )
+    wn = F.col("_w_n").cast("double")
+    mean = F.col("_w_sum").cast("double") / wn
+    var = (
+        F.col("_w_sumsq").cast("double")
+        - F.col("_w_sum").cast("double") * F.col("_w_sum").cast("double") / wn
+    ) / (wn - F.lit(1.0))
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        staged.filter(F.col("_w_n") >= 2)
+        .select(
+            F.col(key_col),
+            "bucket_start_s",
+            "n_events",
+            (F.floor(mean * 1e6 + F.lit(1e-6)) / 1e6).alias("window_mean"),
+            F.when(var > 0, F.floor(z * 1e6 + F.lit(1e-6)) / 1e6).alias("z"),
+        )
+        .filter(F.col("z").isNotNull() & (F.abs("z") > F.lit(float(z_thresh))))
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 900,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection on per-bucket event counts:
+    per key, fold the gap-filled bucket series in time order through
+    ``s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ - μ - kσ̂))`` (and the mirrored s⁻), where μ
+    is the key's own series mean, σ̂ its population std, k the `slack` and
+    the alarm fires when s⁺ or s⁻ exceeds ``threshold · σ̂``. Emits one row
+    per alarm bucket: (key, bucket_start_s, n_events, cusum_pos, cusum_neg,
+    direction).
+
+    The recursion is inherently sequential per key, but the series length
+    is #buckets (time range / bucket width) — independent of raw row count
+    — so each key's fold is a bounded-size JVM higher-order ``aggregate``
+    over its collected (bucket, count) array, sorted in-array (array_sort
+    on struct order = bucket order; no window Sort). One exchange for the
+    rollup, one key-level groupBy that reuses nothing bigger than the
+    spine. μ, σ̂ derive from exact-int sums; the fold's doubles follow one
+    left-to-right expression order in both engines (oracle: recursive CTE).
+    """
+    roll = time_bucket_rollup(
+        events,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        bucket_seconds=bucket_seconds,
+        gap_fill=True,
+    )
+    series = roll.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket_start_s").alias("b"),
+                    F.col("n_events").cast("bigint").alias("n"),
+                )
+            )
+        ).alias("_ser"),
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("n_events").cast("bigint")).alias("_sum"),
+        F.sum(
+            F.col("n_events").cast("bigint") * F.col("n_events").cast("bigint")
+        ).alias("_sumsq"),
+    )
+    cnt = F.col("_cnt").cast("double")
+    mu = F.col("_sum").cast("double") / cnt
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.col("_sumsq").cast("double") / cnt - mu * mu,
+        )
+    )
+    k = F.lit(float(slack)) * sigma
+    h = F.lit(float(threshold)) * sigma
+    # Fold carries (s_pos, s_neg, alarms[]) — alarms keep the bucket plus
+    # both statistics at the alarm instant.
+    fold = F.aggregate(
+        F.col("_ser"),
+        F.struct(
+            F.lit(0.0).alias("sp"),
+            F.lit(0.0).alias("sn"),
+            F.expr(
+                "CAST(array() AS array<struct<b:bigint,n:bigint,"
+                "sp:double,sn:double>>)"
+            ).alias("out"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                F.lit(0.0), acc["sp"] + (x["n"].cast("double") - mu - k)
+            ).alias("sp"),
+            F.greatest(
+                F.lit(0.0), acc["sn"] + (mu - x["n"].cast("double") - k)
+            ).alias("sn"),
+            F.when(
+                (
+                    F.greatest(
+                        F.lit(0.0), acc["sp"] + (x["n"].cast("double") - mu - k)
+                    )
+                    > h
+                )
+                | (
+                    F.greatest(
+                        F.lit(0.0), acc["sn"] + (mu - x["n"].cast("double") - k)
+                    )
+                    > h
+                ),
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        x["b"].alias("b"),
+                        x["n"].alias("n"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sp"] + (x["n"].cast("double") - mu - k),
+                        ).alias("sp"),
+                        F.greatest(
+                            F.lit(0.0),
+                            acc["sn"] + (mu - x["n"].cast("double") - k),
+                        ).alias("sn"),
+                    ),
+                ),
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+        ),
+    )
+    exploded = series.filter(sigma > 0).select(
+        F.col(key_col), F.explode(fold["out"]).alias("a")
+    )
+    return exploded.select(
+        F.col(key_col),
+        F.col("a.b").alias("bucket_start_s"),
+        F.col("a.n").alias("n_events"),
+        (F.floor(F.col("a.sp") * 1e6 + F.lit(1e-6)) / 1e6).alias("cusum_pos"),
+        (F.floor(F.col("a.sn") * 1e6 + F.lit(1e-6)) / 1e6).alias("cusum_neg"),
+        F.when(F.col("a.sp") >= F.col("a.sn"), F.lit("up"))
+        .otherwise(F.lit("down"))
+        .alias("direction"),
     )

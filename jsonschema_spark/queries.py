@@ -3318,6 +3318,10 @@ def all_queries():
         "time_bucket_rollup_events": time_bucket_rollup_events,
         "funnel_events": funnel_events,
         "retention_cohorts_events": retention_cohorts_events,
+        "rolling_anomaly_events": rolling_anomaly_events,
+        "cusum_changepoints_events": cusum_changepoints_events,
+        "bm25_topk_docs": bm25_topk_docs,
+        "hybrid_rrf_docs": hybrid_rrf_docs,
     }
 
 
@@ -3447,6 +3451,10 @@ def all_oracles():
         "time_bucket_rollup_events": ORACLE_TIME_BUCKET_ROLLUP,
         "funnel_events": ORACLE_FUNNEL,
         "retention_cohorts_events": ORACLE_RETENTION,
+        "rolling_anomaly_events": ORACLE_ROLLING_ANOMALY,
+        "cusum_changepoints_events": ORACLE_CUSUM,
+        "bm25_topk_docs": ORACLE_BM25,
+        "hybrid_rrf_docs": ORACLE_HYBRID_RRF,
     }
 
 
@@ -5704,4 +5712,259 @@ j AS (
 SELECT first_week_us // 1000000 AS cohort_week_start_s, week_offset,
        count(DISTINCT user_id) AS n_users
 FROM j GROUP BY 1, 2
+"""
+
+
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window volume anomalies (operators/timeseries.py): per
+    (event_type, 6h bucket), z-score of the bucket's event count against
+    the 8 preceding buckets; |z| > 2 flags. Exact-int window sums keep the
+    mean/variance bit-identical across engines."""
+    from jsonschema_spark.operators.timeseries import rolling_anomalies
+
+    return rolling_anomalies(
+        _t(spark, sf_dir, "events"),
+        bucket_seconds=21600,
+        window=8,
+        z_thresh=2.0,
+    )
+
+
+ORACLE_ROLLING_ANOMALY = """
+WITH agg AS (
+  SELECT event_type AS key, epoch_us(ts) // 21600000000 AS bucket,
+         count(*) AS n FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg),
+spine AS (
+  SELECT k.key, unnest(generate_series(bounds.mn, bounds.mx)) AS bucket
+  FROM (SELECT DISTINCT key FROM agg) k, bounds
+),
+filled AS (
+  SELECT spine.key, spine.bucket, coalesce(agg.n, 0) AS n
+  FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.bucket = agg.bucket
+),
+w AS (
+  SELECT key, bucket, n,
+         count(*) OVER win AS wn,
+         sum(n)   OVER win AS ws,
+         sum(n*n) OVER win AS wsq
+  FROM filled
+  WINDOW win AS (PARTITION BY key ORDER BY bucket
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+),
+d AS (
+  SELECT key, bucket, n,
+         CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS mean,
+         (CAST(wsq AS DOUBLE)
+          - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE))
+           / (CAST(wn AS DOUBLE) - 1.0) AS var
+  FROM w WHERE wn >= 2
+),
+z AS (
+  SELECT key, bucket, n, mean,
+         CASE WHEN var > 0 THEN
+           floor((CAST(n AS DOUBLE) - mean) / sqrt(var) * 1e6 + 1e-6) / 1e6
+         END AS z
+  FROM d
+)
+SELECT key AS event_type, bucket * 21600 AS bucket_start_s,
+       n AS n_events,
+       floor(mean * 1e6 + 1e-6) / 1e6 AS window_mean, z
+FROM z WHERE z IS NOT NULL AND abs(z) > 2.0
+"""
+
+
+def cusum_changepoints_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift alarms (operators/timeseries.py) on
+    6h-bucketed per-type event counts, slack 0.25σ / threshold 2σ. The
+    per-key fold is a bounded JVM higher-order aggregate; the oracle
+    replays the identical recursion as a recursive CTE."""
+    from jsonschema_spark.operators.timeseries import cusum_changepoints
+
+    return cusum_changepoints(
+        _t(spark, sf_dir, "events"),
+        bucket_seconds=21600,
+        slack=0.25,
+        threshold=2.0,
+    )
+
+
+ORACLE_CUSUM = """
+WITH RECURSIVE agg AS (
+  SELECT event_type AS key, epoch_us(ts) // 21600000000 AS bucket,
+         count(*) AS n FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg),
+spine AS (
+  SELECT k.key, unnest(generate_series(bounds.mn, bounds.mx)) AS bucket
+  FROM (SELECT DISTINCT key FROM agg) k, bounds
+),
+filled AS (
+  SELECT spine.key, spine.bucket, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+  FROM spine LEFT JOIN agg ON spine.key = agg.key AND spine.bucket = agg.bucket
+),
+params AS (
+  SELECT key,
+         CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+         sqrt(greatest(0.0,
+           CAST(sum(n*n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             * (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)))) AS sigma
+  FROM filled GROUP BY key
+),
+ord AS (
+  SELECT key, bucket, n,
+         row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+  FROM filled
+),
+r AS (
+  SELECT o.key, o.rn, o.bucket, o.n, p.mu, 0.25 * p.sigma AS k,
+         greatest(0.0, 0.0 + (CAST(o.n AS DOUBLE) - p.mu - 0.25 * p.sigma)) AS sp,
+         greatest(0.0, 0.0 + (p.mu - CAST(o.n AS DOUBLE) - 0.25 * p.sigma)) AS sn
+  FROM ord o JOIN params p USING (key) WHERE o.rn = 1
+  UNION ALL
+  SELECT o.key, o.rn, o.bucket, o.n, r.mu, r.k,
+         greatest(0.0, r.sp + (CAST(o.n AS DOUBLE) - r.mu - r.k)),
+         greatest(0.0, r.sn + (r.mu - CAST(o.n AS DOUBLE) - r.k))
+  FROM ord o JOIN r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT r.key AS event_type, r.bucket * 21600 AS bucket_start_s,
+       r.n AS n_events,
+       floor(r.sp * 1e6 + 1e-6) / 1e6 AS cusum_pos,
+       floor(r.sn * 1e6 + 1e-6) / 1e6 AS cusum_neg,
+       CASE WHEN r.sp >= r.sn THEN 'up' ELSE 'down' END AS direction
+FROM r JOIN params p ON r.key = p.key
+WHERE p.sigma > 0 AND (r.sp > 2.0 * p.sigma OR r.sn > 2.0 * p.sigma)
+"""
+
+
+_BM25_TERMS = ["spark", "window", "customer"]
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (operators/search.py) for a 3-term keyword query:
+    explode-free array-filter term frequencies, ONE map-side-combining
+    corpus-stats aggregate broadcast back, TakeOrdered top-k — zero
+    full-data shuffles at any corpus size."""
+    from jsonschema_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, top_k=10)
+
+
+def _oracle_bm25(terms: list[str], top_k: int, depth_rank: bool = False) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "0.0"
+    for i in range(len(terms)):
+        score += (
+            f"\n    + ln(1.0 + (CAST(n AS DOUBLE) - df{i} + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * CAST(tf{i} AS DOUBLE) * 2.2"
+            f" / (CAST(tf{i} AS DOUBLE)"
+            f" + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)"
+            f" / (CAST(dls AS DOUBLE) / CAST(n AS DOUBLE))))"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+s AS (SELECT id, len(toks) AS dl,
+         {tf_cols}
+      FROM t),
+st AS (SELECT count(*) AS n, sum(dl) AS dls,
+         {df_cols}
+       FROM s),
+sc AS (SELECT id, {score} AS raw FROM s, st)
+SELECT id, floor(raw * 1e6 + 1e-6) / 1e6 AS score,
+       CAST(row_number() OVER (ORDER BY raw DESC, id ASC) AS BIGINT) AS rank
+FROM sc WHERE raw > 0 ORDER BY raw DESC, id ASC LIMIT {top_k}
+"""
+
+
+ORACLE_BM25 = _oracle_bm25(_BM25_TERMS, 10)
+
+
+def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/search.py): Reciprocal Rank Fusion of a
+    BM25 keyword ranking (depth 50) with an exact-cosine vector ranking
+    (query = embedding of vec_id 0, depth 50), k=60, fused top-10. Both
+    rank lists are tiny regardless of corpus size; the fusion join
+    broadcasts."""
+    from jsonschema_spark.operators.search import bm25_topk, rrf_fuse
+    from jsonschema_spark.operators.simsearch import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = bm25_topk(docs, _BM25_TERMS, top_k=50)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec = brute_force_topk(emb, q, k=50).select(
+        F.col("neighbor_id").alias("id"), F.col("rank")
+    )
+    return rrf_fuse([kw.select("id", "rank"), vec], k=60, top_k=10)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+s AS (SELECT id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'window')) AS tf1,
+         len(list_filter(toks, x -> x = 'customer')) AS tf2
+      FROM t),
+st AS (SELECT count(*) AS n, sum(dl) AS dls,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+       FROM s),
+sc AS (SELECT id, 0.0
+    + ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+      * CAST(tf0 AS DOUBLE) * 2.2
+      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         / (CAST(dls AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      * CAST(tf1 AS DOUBLE) * 2.2
+      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         / (CAST(dls AS DOUBLE) / CAST(n AS DOUBLE))))
+    + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      * CAST(tf2 AS DOUBLE) * 2.2
+      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         / (CAST(dls AS DOUBLE) / CAST(n AS DOUBLE))))
+    AS raw FROM s, st),
+kw AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY raw DESC, id ASC) AS BIGINT) AS r
+  FROM sc WHERE raw > 0 ORDER BY raw DESC, id ASC LIMIT 50),
+corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+           FROM embeddings),
+q AS (SELECT emb AS qv FROM corpus WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id AS id,
+         list_dot_product(c.emb, q.qv)
+           / (sqrt(list_dot_product(c.emb, c.emb))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM corpus c, q),
+vec AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT) AS r
+  FROM scored ORDER BY cos DESC, id ASC LIMIT 50),
+fused AS (
+  SELECT coalesce(kw.id, vec.id) AS id,
+         (CASE WHEN kw.r IS NOT NULL THEN 1.0 / (60.0 + CAST(kw.r AS DOUBLE))
+               ELSE 0.0 END)
+         + (CASE WHEN vec.r IS NOT NULL THEN 1.0 / (60.0 + CAST(vec.r AS DOUBLE))
+                 ELSE 0.0 END) AS s
+  FROM kw FULL OUTER JOIN vec ON kw.id = vec.id)
+SELECT id, floor(s * 1e6 + 1e-6) / 1e6 AS rrf_score,
+       CAST(row_number() OVER (ORDER BY s DESC, id ASC) AS BIGINT) AS rank
+FROM fused ORDER BY s DESC, id ASC LIMIT 10
 """

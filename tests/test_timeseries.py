@@ -131,3 +131,108 @@ def test_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     plan = retention_cohorts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    from jsonschema_spark.operators.timeseries import rolling_anomalies
+
+    # steady 2 events/bucket with tiny jitter, then a 40-event spike
+    rows = []
+    eid = 0
+    for b in range(10):
+        n = 2 if b % 2 == 0 else 3
+        if b == 9:
+            n = 40
+        for j in range(n):
+            eid += 1
+            rows.append((eid, T0 + timedelta(seconds=60 * b + j), 1, "a", 1.0))
+    out = rolling_anomalies(
+        _events(spark, rows), bucket_seconds=60, window=8, z_thresh=3.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_type"] == "a" and r["n_events"] == 40 and r["z"] > 3.0
+
+
+def test_rolling_anomalies_silent_key_is_anomalous(spark):
+    from jsonschema_spark.operators.timeseries import rolling_anomalies
+
+    # key 'a' emits 5/bucket for 9 buckets then goes silent while key 'b'
+    # keeps the global range alive — the gap-filled zero must flag (z < -3).
+    rows = []
+    eid = 0
+    for b in range(10):
+        for j in range(5 if b < 9 else 0):
+            eid += 1
+            rows.append((eid, T0 + timedelta(seconds=60 * b + j), 1, "a", 1.0))
+        eid += 1
+        rows.append((eid, T0 + timedelta(seconds=60 * b), 2, "b", 1.0))
+    # jitter so the window variance is nonzero
+    eid += 1
+    rows.append((eid, T0 + timedelta(seconds=61), 3, "a", 1.0))
+    out = rolling_anomalies(
+        _events(spark, rows), bucket_seconds=60, window=8, z_thresh=3.0
+    ).collect()
+    flagged = {(r["event_type"], r["n_events"]) for r in out}
+    assert ("a", 0) in flagged
+    assert all(r["z"] < -3.0 for r in out if r["event_type"] == "a")
+
+
+def test_cusum_detects_level_shift(spark):
+    from jsonschema_spark.operators.timeseries import cusum_changepoints
+
+    # 12 buckets at ~3/bucket, then 8 buckets at ~9/bucket: the CUSUM s+
+    # accumulates after the shift and must alarm in the second regime only.
+    rows = []
+    eid = 0
+    for b in range(20):
+        n = 3 if b < 12 else 9
+        if b % 3 == 0:
+            n += 1
+        for j in range(n):
+            eid += 1
+            rows.append((eid, T0 + timedelta(seconds=60 * b + j), 1, "a", 1.0))
+    out = cusum_changepoints(
+        _events(spark, rows), bucket_seconds=60, slack=0.5, threshold=3.0
+    ).collect()
+    assert out, "expected at least one alarm"
+    base = 1704067200
+    ups = [r for r in out if r["direction"] == "up"]
+    # the level shift must raise 'up' alarms, all strictly inside the
+    # second regime; 'down' alarms in the low regime are legitimate
+    # two-sided behavior (the reference mean is the whole-series mean)
+    assert ups
+    assert all(r["bucket_start_s"] >= base + 12 * 60 for r in ups)
+    assert all(
+        r["bucket_start_s"] < base + 12 * 60
+        for r in out
+        if r["direction"] == "down"
+    )
+
+
+def test_cusum_quiet_series_no_alarm(spark):
+    from jsonschema_spark.operators.timeseries import cusum_changepoints
+
+    rows = []
+    eid = 0
+    for b in range(16):
+        for j in range(3 if b % 2 == 0 else 4):
+            eid += 1
+            rows.append((eid, T0 + timedelta(seconds=60 * b + j), 1, "a", 1.0))
+    out = cusum_changepoints(
+        _events(spark, rows), bucket_seconds=60, slack=0.5, threshold=5.0
+    ).collect()
+    assert out == []
+
+
+def test_anomaly_cusum_plans_are_python_free(spark):
+    from jsonschema_spark.operators.timeseries import (
+        cusum_changepoints,
+        rolling_anomalies,
+    )
+
+    rows = [(1, T0, 1, "a", 1.0), (2, T0 + timedelta(seconds=61), 1, "a", 1.0)]
+    df = _events(spark, rows)
+    for op in (rolling_anomalies, cusum_changepoints):
+        plan = op(df, bucket_seconds=60)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan, plan

@@ -128,6 +128,7 @@ HEADLINE = [
     "cusum_changepoints_events",
     "bm25_topk_docs",
     "hybrid_rrf_docs",
+    "cms_tokens_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

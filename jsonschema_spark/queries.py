@@ -3322,6 +3322,7 @@ def all_queries():
         "cusum_changepoints_events": cusum_changepoints_events,
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_rrf_docs": hybrid_rrf_docs,
+        "cms_tokens_docs": cms_tokens_docs,
     }
 
 
@@ -3455,6 +3456,7 @@ def all_oracles():
         "cusum_changepoints_events": ORACLE_CUSUM,
         "bm25_topk_docs": ORACLE_BM25,
         "hybrid_rrf_docs": ORACLE_HYBRID_RRF,
+        "cms_tokens_docs": ORACLE_CMS,
     }
 
 
@@ -5968,3 +5970,68 @@ SELECT id, floor(s * 1e6 + 1e-6) / 1e6 AS rrf_score,
        CAST(row_number() OVER (ORDER BY s DESC, id ASC) AS BIGINT) AS rank
 FROM fused ORDER BY s DESC, id ASC LIMIT 10
 """
+
+
+_CMS_CANDIDATES = [
+    "spark", "join", "window", "filter", "group",
+    "customer", "data", "scan", "merge", "notaword",
+]
+
+
+def cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token frequencies (operators/sketches.py): build a
+    4×2048 mergeable counter relation over ALL document tokens (the only
+    exchange is ≤ depth·width cells per task after map-side combine), then
+    point-estimate a fixed candidate list and compare against the exact
+    counts. Output: (term, cms_count, exact_count) — CMS never
+    undercounts, so cms_count ≥ exact_count row-by-row."""
+    from jsonschema_spark.operators.dedup import tokens
+    from jsonschema_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sk = cms_build(toks, "term", depth=4, width=2048)
+    est = cms_estimate(sk, _CMS_CANDIDATES, depth=4, width=2048)
+    exact = (
+        toks.filter(F.col("term").isin(_CMS_CANDIDATES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "cms_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+    )
+
+
+def _oracle_cms() -> str:
+    cand = ", ".join(f"'{t}'" for t in _CMS_CANDIDATES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+cells AS (
+  SELECT ds.d,
+         CAST(('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 2048 AS col
+  FROM toks, ds),
+sketch AS (SELECT d, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+cand AS (SELECT unnest([{cand}]) AS term),
+ccells AS (
+  SELECT term, ds.d,
+         CAST(('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 2048 AS col
+  FROM cand, ds),
+est AS (
+  SELECT term, min(coalesce(cnt, 0)) AS cms_count
+  FROM ccells LEFT JOIN sketch USING (d, col) GROUP BY term),
+exact AS (
+  SELECT term, count(*) AS n FROM toks WHERE term IN ({cand}) GROUP BY term)
+SELECT est.term, est.cms_count, coalesce(exact.n, 0) AS exact_count
+FROM est LEFT JOIN exact ON est.term = exact.term
+"""
+
+
+ORACLE_CMS = _oracle_cms()

@@ -129,6 +129,9 @@ HEADLINE = [
     "bm25_topk_docs",
     "hybrid_rrf_docs",
     "cms_tokens_docs",
+    "scd2_history_events",
+    "token_diversity_docs",
+    "hard_negatives_embeddings",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -1070,3 +1070,37 @@ def pair_set_eval(truth: DataFrame, approx: DataFrame, keys=("id_a", "id_b")) ->
         F.round(n_hit.cast("double") / n_truth, 6).alias("recall"),
         F.round(n_hit.cast("double") / n_approx, 6).alias("precision"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    skip_top: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    vectors ranked (skip_top, skip_top+k] by exact cosine — similar enough
+    to be informative negatives, but outside the presumed-positive top
+    `skip_top`. Returns (query_id, neighbor_id, rank, cosine), rank as in
+    `brute_force_topk` (1-based over the whole corpus).
+
+    Same scale shape as `brute_force_topk`: broadcast query side, one
+    corpus scan, per-query rank window bounded by skip_top+k via the
+    rank filter's pushdown into the window's TopK (Spark rewrites
+    row_number ≤ const over a window into a per-partition heap).
+    """
+    ranked = brute_force_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=int(skip_top) + int(k),
+    )
+    return ranked.filter(F.col("rank") > int(skip_top))

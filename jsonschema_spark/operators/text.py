@@ -511,3 +511,46 @@ def pmi_collocations(
         .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
         .limit(int(top_k))
     )
+
+
+def token_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical diversity: (id, n_tokens, n_types,
+    type_token_ratio, token_entropy) — TTR and Shannon entropy (nats) of
+    the token frequency distribution, the standard repetition/diversity
+    signals next to the Gopher ratios.
+
+    Scale: one explode feeds ONE (id, term) count aggregate (map-side
+    combining), then a per-id roll-up computing n = Σc, types = count(*),
+    entropy = ln(n) - Σ(c·ln c)/n — the algebraically-stable form needing
+    only Σc and Σ(c·ln c). Both aggregates partial map-side; the id-level
+    roll-up reuses the (id, term) exchange's id clustering. Doubles are
+    snapped (nudge-then-floor): the Σ(c·ln c) term-sum order differs
+    between engines, but per-doc sums over ≤ thousands of terms keep the
+    discrepancy ~1e-12 relative — far inside the 1e-6 grid.
+    """
+    from jsonschema_spark.operators.dedup import tokens as _tokens
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = pairs.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "_clogc"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    ttr = F.col("n_types").cast("double") / n
+    ent = F.log(n) - F.col("_clogc") / n
+    return per.select(
+        "id",
+        "n_tokens",
+        "n_types",
+        (F.floor(ttr * 1e6 + F.lit(1e-6)) / 1e6).alias("type_token_ratio"),
+        (F.floor(ent * 1e6 + F.lit(1e-6)) / 1e6).alias("token_entropy"),
+    )

@@ -3323,6 +3323,9 @@ def all_queries():
         "bm25_topk_docs": bm25_topk_docs,
         "hybrid_rrf_docs": hybrid_rrf_docs,
         "cms_tokens_docs": cms_tokens_docs,
+        "scd2_history_events": scd2_history_events,
+        "token_diversity_docs": token_diversity_docs,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
     }
 
 
@@ -3457,6 +3460,9 @@ def all_oracles():
         "bm25_topk_docs": ORACLE_BM25,
         "hybrid_rrf_docs": ORACLE_HYBRID_RRF,
         "cms_tokens_docs": ORACLE_CMS,
+        "scd2_history_events": ORACLE_SCD2,
+        "token_diversity_docs": ORACLE_TOKEN_DIVERSITY,
+        "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
     }
 
 
@@ -6035,3 +6041,94 @@ FROM est LEFT JOIN exact ON est.term = exact.term
 
 
 ORACLE_CMS = _oracle_cms()
+
+
+def scd2_history_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals (operators/scd.py) treating events as
+    a per-user state change log (state = event_type): run-length compacted
+    intervals with version numbers, ONE exchange on user_id, all-integer
+    arithmetic."""
+    from jsonschema_spark.operators.scd import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+ORACLE_SCD2 = """
+WITH s AS (
+  SELECT user_id AS entity, epoch_us(ts) AS us, event_id AS tb,
+         event_type AS state
+  FROM events),
+l AS (
+  SELECT entity, us, tb, state,
+         lag(state) OVER (PARTITION BY entity ORDER BY us, tb) AS prev
+  FROM s),
+st AS (SELECT entity, us, tb, state FROM l WHERE prev IS NULL OR state <> prev)
+SELECT entity AS user_id, state, us AS valid_from_us,
+       lead(us) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS BIGINT) AS version
+FROM st WINDOW w AS (PARTITION BY entity ORDER BY us, tb)
+"""
+
+
+def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity (operators/text.py): token count,
+    type count, type-token ratio, Shannon entropy — one explode, two
+    map-side-combining aggregates."""
+    from jsonschema_spark.operators.text import token_diversity
+
+    return token_diversity(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_TOKEN_DIVERSITY = """
+WITH t AS (
+  SELECT doc_id AS id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents),
+pairs AS (SELECT id, term, count(*) AS c FROM t GROUP BY 1, 2),
+per AS (
+  SELECT id, sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM pairs GROUP BY id)
+SELECT id, n_tokens, n_types,
+       floor(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6 + 1e-6) / 1e6
+         AS type_token_ratio,
+       floor((ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE))
+             * 1e6 + 1e-6) / 1e6 AS token_entropy
+FROM per
+"""
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/simsearch.py): per query (vec_id <
+    3), exact-cosine ranks 6..10 — informative negatives outside the
+    presumed-positive top-5. Broadcast queries, one corpus scan, per-query
+    rank heap."""
+    from jsonschema_spark.operators.simsearch import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hard_negatives(emb, queries, skip_top=5, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH corpus AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM corpus WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.emb, q.qv) / (sqrt(list_dot_product(c.emb, c.emb)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM corpus c, q),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+         cos
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank > 5 AND rank <= 10
+"""

@@ -1,3 +1,4 @@
+from jsonschema_spark.streaming.anomaly_stream import stream_volume_anomaly
 from jsonschema_spark.streaming.drift_stream import stream_js, stream_ks, stream_psi
 from jsonschema_spark.streaming.referential_stream import (
     stream_referential_metrics,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_violation_metrics",
     "stream_keyword_metrics",
     "stream_psi",
+    "stream_volume_anomaly",
     "stream_ks",
     "stream_js",
     "stream_sessionize",

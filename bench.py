@@ -123,6 +123,7 @@ HEADLINE = [
     "key_candidates_orders",
     "time_bucket_rollup_events",
     "funnel_events",
+    "funnel_windowed_events",
     "retention_cohorts_events",
     "rolling_anomaly_events",
     "cusum_changepoints_events",

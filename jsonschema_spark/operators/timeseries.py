@@ -131,18 +131,26 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     kind_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: one row per step with the count of users whose
     event stream contains the steps in strict time order up to it (step
     k's event strictly AFTER the user's earliest completion of step k-1 —
     the earliest-completion greedy matching, which maximizes the count of
-    users matched at every depth).
+    users matched at every depth when no window constrains the match).
+
+    `within_seconds` adds the standard conversion-window constraint: step
+    k must land in (prev, prev + within]. Matching stays
+    earliest-completion greedy — with a window this is a heuristic (the
+    classic funnel-product semantics), not a maximal matching, and the
+    plan shape is unchanged.
 
     Output: (step_idx, step_name, users_reached), step_idx 1-based,
     ordered by step_idx.
     """
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
+    win_us = None if within_seconds is None else int(within_seconds) * _US
     staged = events.filter(F.col(kind_col).isin(list(steps))).select(
         F.col(user_col).alias("user"),
         F.col(kind_col).alias("kind"),
@@ -156,9 +164,16 @@ def funnel_steps(
     w = Window.partitionBy("user")
     cur = staged
     for i, step in enumerate(steps):
-        prev_ok = F.lit(True) if i == 0 else (
-            F.col(f"_s{i - 1}").isNotNull() & (F.col("_us") > F.col(f"_s{i - 1}"))
-        )
+        if i == 0:
+            prev_ok = F.lit(True)
+        else:
+            prev_ok = F.col(f"_s{i - 1}").isNotNull() & (
+                F.col("_us") > F.col(f"_s{i - 1}")
+            )
+            if win_us is not None:
+                prev_ok = prev_ok & (
+                    F.col("_us") <= F.col(f"_s{i - 1}") + F.lit(win_us)
+                )
         cur = cur.withColumn(
             f"_s{i}",
             F.min(

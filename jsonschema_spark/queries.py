@@ -3317,6 +3317,7 @@ def all_queries():
         "key_candidates_orders": key_candidates_orders,
         "time_bucket_rollup_events": time_bucket_rollup_events,
         "funnel_events": funnel_events,
+        "funnel_windowed_events": funnel_windowed_events,
         "retention_cohorts_events": retention_cohorts_events,
         "rolling_anomaly_events": rolling_anomaly_events,
         "cusum_changepoints_events": cusum_changepoints_events,
@@ -3454,6 +3455,7 @@ def all_oracles():
         "key_candidates_orders": ORACLE_KEY_CANDIDATES,
         "time_bucket_rollup_events": ORACLE_TIME_BUCKET_ROLLUP,
         "funnel_events": ORACLE_FUNNEL,
+        "funnel_windowed_events": ORACLE_FUNNEL_WINDOWED,
         "retention_cohorts_events": ORACLE_RETENTION,
         "rolling_anomaly_events": ORACLE_ROLLING_ANOMALY,
         "cusum_changepoints_events": ORACLE_CUSUM,
@@ -6131,4 +6133,47 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
 FROM ranked WHERE rank > 5 AND rank <= 10
+"""
+
+
+def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/timeseries.py): view -> click ->
+    purchase where each hop must land within 24h of the previous step's
+    earliest completion — same one-exchange chained-window plan as the
+    unconstrained funnel."""
+    from jsonschema_spark.operators.timeseries import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_seconds=86400,
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+              OVER (PARTITION BY user_id) AS s1 FROM e),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND us > s1
+                      AND us <= s1 + 86400000000 THEN us END)
+              OVER (PARTITION BY user_id) AS s2 FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2
+                      AND us <= s2 + 86400000000 THEN us END)
+              OVER (PARTITION BY user_id) AS s3 FROM w2),
+per AS (
+  SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+  FROM w3 GROUP BY user_id)
+SELECT step_idx, step_name, users_reached FROM (
+  SELECT 1 AS step_idx, 'view' AS step_name, count(s1) AS users_reached FROM per
+  UNION ALL
+  SELECT 2, 'click', count(s2) FROM per
+  UNION ALL
+  SELECT 3, 'purchase', count(s3) FROM per
+) ORDER BY step_idx
 """

@@ -236,3 +236,34 @@ def test_anomaly_cusum_plans_are_python_free(spark):
     for op in (rolling_anomalies, cusum_changepoints):
         plan = op(df, bucket_seconds=60)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan, plan
+
+
+def test_funnel_conversion_window(spark):
+    from jsonschema_spark.operators.timeseries import funnel_steps
+
+    s = timedelta(seconds=1)
+    rows = [
+        # user 1 converts within 10s at each hop
+        (1, T0, 1, "view", 0.0),
+        (2, T0 + 5 * s, 1, "click", 0.0),
+        # user 2's click comes 100s after the view: outside the window
+        (3, T0, 2, "view", 0.0),
+        (4, T0 + 100 * s, 2, "click", 0.0),
+        # user 3: a too-late click, then none in window
+        (5, T0, 3, "view", 0.0),
+        (6, T0 + 11 * s, 3, "click", 0.0),
+    ]
+    out = funnel_steps(
+        _events(spark, rows), ["view", "click"], within_seconds=10
+    )
+    got = {r["step_idx"]: r["users_reached"] for r in out.collect()}
+    assert got == {1: 3, 2: 1}
+    # boundary: exactly `within` seconds later still counts (closed right edge)
+    rows_b = [(1, T0, 1, "view", 0.0), (2, T0 + 10 * s, 1, "click", 0.0)]
+    got_b = {
+        r["step_idx"]: r["users_reached"]
+        for r in funnel_steps(
+            _events(spark, rows_b), ["view", "click"], within_seconds=10
+        ).collect()
+    }
+    assert got_b == {1: 1, 2: 1}

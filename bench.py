@@ -133,6 +133,7 @@ HEADLINE = [
     "scd2_history_events",
     "token_diversity_docs",
     "hard_negatives_embeddings",
+    "assoc_rules_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3327,6 +3327,7 @@ def all_queries():
         "scd2_history_events": scd2_history_events,
         "token_diversity_docs": token_diversity_docs,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        "assoc_rules_events": assoc_rules_events,
     }
 
 
@@ -3465,6 +3466,7 @@ def all_oracles():
         "scd2_history_events": ORACLE_SCD2,
         "token_diversity_docs": ORACLE_TOKEN_DIVERSITY,
         "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
+        "assoc_rules_events": ORACLE_ASSOC_RULES,
     }
 
 
@@ -6176,4 +6178,42 @@ SELECT step_idx, step_name, users_reached FROM (
   UNION ALL
   SELECT 3, 'purchase', count(s3) FROM per
 ) ORDER BY step_idx
+"""
+
+
+def assoc_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/assoc.py) over per-user
+    event-kind baskets: support/confidence/lift for every co-occurring
+    kind pair (both directions), support >= 0.1. The pair self-join runs
+    on the entity key of the already-distinct basket relation — the
+    per-user pair count is C(k,2) with k bounded by the kind vocabulary."""
+    from jsonschema_spark.operators.assoc import association_rules
+
+    return association_rules(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", min_support=0.1
+    )
+
+
+ORACLE_ASSOC_RULES = """
+WITH baskets AS (SELECT DISTINCT user_id AS entity, event_type AS item FROM events),
+tot AS (SELECT count(DISTINCT entity) AS n_entities FROM baskets),
+ic AS (SELECT item, count(*) AS n_item FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS ant, b.item AS con, count(*) AS n_both
+  FROM baskets a JOIN baskets b ON a.entity = b.entity AND a.item <> b.item
+  GROUP BY 1, 2),
+e AS (
+  SELECT p.ant, p.con, p.n_both,
+         CAST(p.n_both AS DOUBLE) / CAST(t.n_entities AS DOUBLE) AS support,
+         CAST(p.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf,
+         (CAST(p.n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE))
+           / (CAST(ic2.n_item AS DOUBLE) / CAST(t.n_entities AS DOUBLE)) AS lift
+  FROM pairs p
+  JOIN ic ia ON ia.item = p.ant
+  JOIN ic ic2 ON ic2.item = p.con, tot t)
+SELECT ant AS antecedent, con AS consequent, n_both,
+       floor(support * 1e6 + 1e-6) / 1e6 AS support,
+       floor(conf * 1e6 + 1e-6) / 1e6 AS confidence,
+       floor(lift * 1e6 + 1e-6) / 1e6 AS lift
+FROM e WHERE support >= 0.1
 """

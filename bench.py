@@ -134,6 +134,10 @@ HEADLINE = [
     "token_diversity_docs",
     "hard_negatives_embeddings",
     "assoc_rules_events",
+    "pagerank_supplier_parts",
+    "star_join_revenue",
+    "pivot_lang_source_docs",
+    "rollup_daily_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -1,0 +1,90 @@
+"""Link-analysis ranking over an edge relation — PageRank by synchronous
+power iteration, the classic "which nodes does the random surfer visit"
+score used for domain/source authority weighting in web-corpus curation
+(Common Crawl-style harmonic/PageRank centrality as a quality prior).
+
+Scale shape: one iteration is `edges ⋈ ranks ON src` + `groupBy dst` —
+a join keyed on src and an aggregation exchange keyed on dst. The edge
+relation (with out-degrees attached) is repartitioned on src ONCE and
+persisted, so every iteration's join reuses the same partitioning and
+only the rank relation (|V| rows, 2 columns) moves. Each round ends in
+`localCheckpoint` to truncate the logical plan — the standard guard for
+iterative DataFrames (mirrors `dedup.connected_components`); without it
+the plan doubles per round and Catalyst re-optimizes the whole history.
+Iteration count is a fixed small constant (the operator is synchronous
+power iteration, not run-to-convergence), so lineage, shuffle count, and
+the SQL oracle's chained-CTE depth are all bounded and identical.
+
+Dangling nodes (out-degree 0) are supported: their mass is NOT
+redistributed (the "dangling mass evaporates" simplification) — callers
+that need the strict Markov-chain normalization should add reverse edges
+or a sink loop. Nodes with no in-edges keep the (1-d)/N floor via the
+left join against the full vertex set.
+
+All arithmetic is double; per-node in-contribution sums are tiny (deg(v)
+terms), so Spark's and the SQL oracle's summation-order float drift is
+~1e-15 relative — far inside the 1e-6 output snap the query layer applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) after `iterations` rounds of synchronous power iteration
+    with damping factor `damping`, rank initialized uniformly at 1/N over
+    the vertex set (all ids appearing as src or dst). Raw doubles — the
+    caller snaps for cross-engine comparison.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+    # edges with sender out-degree attached: the static per-iteration join
+    # side. Partitioned on src once; every round's ranks join lands on it
+    # without re-exchanging the edge relation.
+    contrib_edges = e.join(deg, "src").repartition("src").persist()
+    contrib_edges.count()  # materialize before iterating
+
+    floor_term = F.lit((1.0 - damping) / n)
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(int(iterations)):
+        contribs = contrib_edges.join(
+            ranks.select(F.col("id").alias("src"), "rank"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        )
+        summed = contribs.groupBy("id").agg(F.sum("contrib").alias("in_mass"))
+        ranks = (
+            verts.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    floor_term
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    contrib_edges.unpersist()
+    verts.unpersist()
+    return ranks

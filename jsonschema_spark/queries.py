@@ -3328,6 +3328,10 @@ def all_queries():
         "token_diversity_docs": token_diversity_docs,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "assoc_rules_events": assoc_rules_events,
+        "pagerank_supplier_parts": pagerank_supplier_parts,
+        "star_join_revenue": star_join_revenue,
+        "pivot_lang_source_docs": pivot_lang_source_docs,
+        "rollup_daily_events": rollup_daily_events,
     }
 
 
@@ -3467,6 +3471,10 @@ def all_oracles():
         "token_diversity_docs": ORACLE_TOKEN_DIVERSITY,
         "hard_negatives_embeddings": ORACLE_HARD_NEGATIVES,
         "assoc_rules_events": ORACLE_ASSOC_RULES,
+        "pagerank_supplier_parts": ORACLE_PAGERANK,
+        "star_join_revenue": ORACLE_STAR_JOIN,
+        "pivot_lang_source_docs": ORACLE_PIVOT,
+        "rollup_daily_events": ORACLE_ROLLUP,
     }
 
 
@@ -6216,4 +6224,192 @@ SELECT ant AS antecedent, con AS consequent, n_both,
        floor(conf * 1e6 + 1e-6) / 1e6 AS confidence,
        floor(lift * 1e6 + 1e-6) / 1e6 AS lift
 FROM e WHERE support >= 0.1
+"""
+
+
+# ----- OLAP surface: link analysis, star join, pivot, rollup ----------------
+
+
+def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected bipartite supplier↔part supply graph
+    (edges = distinct (l_suppkey, l_partkey) from lineitem, both
+    directions), 3 synchronous power iterations, damping 0.85 — the
+    domain-authority scoring a web-corpus curation pipeline uses as a
+    quality prior. Iterative join+agg plan with per-round localCheckpoint
+    (operators/graph.py); the edge relation is partitioned on src once and
+    reused every round."""
+    from jsonschema_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("p"),
+    ).distinct()
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select(
+        "id", (F.floor(F.col("rank") * 1e9 + F.lit(1e-6)) / 1e9).alias("rank")
+    )
+
+
+def _pagerank_oracle_round(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT v.id,
+         0.15 / (SELECT c FROM n)
+           + 0.85 * coalesce(sum(r.rank / d.out_deg), 0) AS rank
+  FROM v
+  LEFT JOIN edges e ON e.dst = v.id
+  LEFT JOIN {prev} r ON r.id = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY v.id)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'P' || CAST(l_partkey AS VARCHAR) AS p
+  FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src),
+v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM v),
+r0 AS (SELECT id, 1.0 / (SELECT c FROM n) AS rank FROM v),
+{_pagerank_oracle_round("r0", "r1")},
+{_pagerank_oracle_round("r1", "r2")},
+{_pagerank_oracle_round("r2", "r3")}
+SELECT id, floor(rank * 1e9 + 1e-6) / 1e9 AS rank FROM r3
+"""
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: revenue by nation for 1996 orders where
+    the customer and the lineitem's supplier sit in the same ASIA nation.
+    Plan shape: lineitem⋈orders⋈customer carry the fact-side shuffles;
+    supplier/nation/region are broadcast dims (hinted), so the star arm
+    adds zero exchanges. Revenue is summed as exact integer
+    cents×percent (price and discount are 2-decimal), so Spark and the
+    oracle agree bit-for-bit before the final /1e4 display divide."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+
+    rev_c2 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev_c2).alias("rev_c2"),
+        )
+        .select(
+            "nation",
+            "n_items",
+            (F.floor(F.col("rev_c2").cast("double") / 1e4 * 100 + F.lit(1e-6)) / 100).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLE_STAR_JOIN = """
+WITH j AS (
+  SELECT n.n_name AS nation,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c2
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE c.c_nationkey = s.s_nationkey
+    AND r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01')
+SELECT nation, count(*) AS n_items,
+       floor(CAST(CAST(sum(rev_c2) AS BIGINT) AS DOUBLE) / 1e4 * 100 + 1e-6) / 100 AS revenue
+FROM j GROUP BY nation
+"""
+
+
+_DOC_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def pivot_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: document counts by lang (rows) × source (columns) — the
+    groupBy().pivot() wide-aggregation surface. The source vocabulary is
+    passed explicitly so the plan is ONE aggregation pass (no extra
+    distinct-values job) with a fixed output schema."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.groupBy("lang").pivot("source", _DOC_SOURCES).count()
+    return wide.select(
+        "lang", *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _DOC_SOURCES]
+    )
+
+
+ORACLE_PIVOT = "SELECT lang, " + ", ".join(
+    f"count(*) FILTER (WHERE source = '{s}') AS {s}" for s in _DOC_SOURCES
+) + " FROM documents GROUP BY lang"
+
+
+def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day) multi-level OLAP aggregation: per-(type,day)
+    counts and exact integer-micro value sums, plus per-type and grand
+    totals in ONE Expand+aggregate pass (no re-scan per level).
+    grouping_id disambiguates levels the same way both engines number the
+    bitmask (first rollup column = MSB)."""
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 1e6).cast("long").alias("value_micros"),
+    )
+    return (
+        staged.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_micros").alias("sum_value_micros"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "gid",
+            "n_events",
+            "sum_value_micros",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT event_type,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(GROUPING(event_type, CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
+FROM events
+GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
 """

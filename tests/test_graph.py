@@ -1,0 +1,69 @@
+"""PageRank operator: matches a NumPy power-iteration reference on a small
+directed graph, keeps the (1-d)/N floor for sink-only nodes, and preserves
+total mass when the graph has no dangling nodes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jsonschema_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, iterations=3, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for u, _ in set(edges):
+        out_deg[idx[u]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in set(edges):
+            nxt[idx[v]] += damping * rank[idx[u]] / out_deg[idx[u]]
+        rank = nxt
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+@pytest.fixture()
+def edges_df(spark):
+    edges = [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+        ("c", "a"),
+        ("d", "c"),  # d has no in-edges: must keep the (1-d)/N floor
+    ]
+    return edges, spark.createDataFrame(edges, ["src", "dst"])
+
+
+def test_matches_numpy_reference(edges_df):
+    edges, df = edges_df
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    want = _numpy_pagerank(edges, iterations=3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_no_in_edge_node_gets_floor(edges_df):
+    edges, df = edges_df
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    assert got["d"] == pytest.approx((1.0 - 0.85) / 4, abs=1e-15)
+
+
+def test_mass_conserved_without_dangling(spark):
+    # symmetric graph: every node has out-edges, so total rank mass stays 1
+    pairs = [(i, (i + 1) % 6) for i in range(6)]
+    edges = pairs + [(v, u) for u, v in pairs]
+    df = spark.createDataFrame([(f"n{u}", f"n{v}") for u, v in edges], ["src", "dst"])
+    ranks = [r["rank"] for r in pagerank(df, iterations=4).collect()]
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-9)
+    # ring symmetry: all nodes identical
+    assert max(ranks) - min(ranks) < 1e-12
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=2).count() == 0

@@ -138,6 +138,7 @@ HEADLINE = [
     "star_join_revenue",
     "pivot_lang_source_docs",
     "rollup_daily_events",
+    "khop_supplier_parts",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

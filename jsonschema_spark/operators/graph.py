@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "khop_reachability"]
 
 
 def pagerank(
@@ -88,3 +88,47 @@ def pagerank(
     contrib_edges.unpersist()
     verts.unpersist()
     return ranks
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+) -> DataFrame:
+    """(id, hops) for every node reachable from the seed set within k hops,
+    hops = BFS distance (0 for seeds). Classic frontier expansion: each
+    round joins ONLY the current frontier (not the visited set) against
+    the edge relation, anti-joins the visited set, and checkpoints both —
+    so per-round work is proportional to the frontier, the edge relation
+    is partitioned on src once and reused, and lineage stays flat. The
+    visited set carries bare (id, hops) — 2 narrow columns through every
+    exchange.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    e.count()
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for hop in range(1, int(k) + 1):
+        nxt = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    e.unpersist()
+    return visited

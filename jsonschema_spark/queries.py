@@ -3332,6 +3332,7 @@ def all_queries():
         "star_join_revenue": star_join_revenue,
         "pivot_lang_source_docs": pivot_lang_source_docs,
         "rollup_daily_events": rollup_daily_events,
+        "khop_supplier_parts": khop_supplier_parts,
     }
 
 
@@ -3475,6 +3476,7 @@ def all_oracles():
         "star_join_revenue": ORACLE_STAR_JOIN,
         "pivot_lang_source_docs": ORACLE_PIVOT,
         "rollup_daily_events": ORACLE_ROLLUP,
+        "khop_supplier_parts": ORACLE_KHOP,
     }
 
 
@@ -6412,4 +6414,48 @@ SELECT event_type,
        CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+"""
+
+
+def khop_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability from supplier S1 over the undirected
+    supplier↔part supply graph — iterative frontier expansion
+    (operators/graph.py khop_reachability): per-round cost is the frontier
+    join only, visited set is bare (id, hops)."""
+    from jsonschema_spark.operators.graph import khop_reachability
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("p"),
+    ).distinct()
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    seeds = spark.createDataFrame([("S1",)], ["id"])
+    return khop_reachability(edges, seeds, k=3)
+
+
+ORACLE_KHOP = """
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'P' || CAST(l_partkey AS VARCHAR) AS p
+  FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM pairs
+  UNION ALL
+  SELECT p AS src, s AS dst FROM pairs),
+h0 AS (SELECT 'S1' AS id, 0 AS hops),
+h1 AS (
+  SELECT DISTINCT e.dst AS id, 1 AS hops FROM edges e JOIN h0 ON e.src = h0.id
+  WHERE e.dst NOT IN (SELECT id FROM h0)),
+h2 AS (
+  SELECT DISTINCT e.dst AS id, 2 AS hops FROM edges e JOIN h1 ON e.src = h1.id
+  WHERE e.dst NOT IN (SELECT id FROM h0 UNION ALL SELECT id FROM h1)),
+h3 AS (
+  SELECT DISTINCT e.dst AS id, 3 AS hops FROM edges e JOIN h2 ON e.src = h2.id
+  WHERE e.dst NOT IN (SELECT id FROM h0 UNION ALL SELECT id FROM h1
+                      UNION ALL SELECT id FROM h2))
+SELECT id, hops FROM h0 UNION ALL SELECT id, hops FROM h1
+UNION ALL SELECT id, hops FROM h2 UNION ALL SELECT id, hops FROM h3
 """

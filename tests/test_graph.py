@@ -67,3 +67,24 @@ def test_mass_conserved_without_dangling(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, iterations=2).count() == 0
+
+
+def test_khop_bfs_distances(spark):
+    from jsonschema_spark.operators.graph import khop_reachability
+
+    # path graph a-b-c-d-e plus shortcut a-c: BFS distance must pick min
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")]
+    und = edges + [(v, u) for u, v in edges]
+    df = spark.createDataFrame(und, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["hops"] for r in khop_reachability(df, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_early_stop_on_exhausted_frontier(spark):
+    from jsonschema_spark.operators.graph import khop_reachability
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {r["id"]: r["hops"] for r in khop_reachability(df, seeds, k=10).collect()}
+    assert got == {"a": 0, "b": 1}

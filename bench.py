@@ -73,6 +73,7 @@ HEADLINE = [
     "clean_boilerplate_docs",
     "substring_dup_docs",
     "winnow_dup_docs",
+    "substring_dedup_docs",
     "contamination_docs",
     "perplexity_docs",
     "bigram_perplexity_docs",

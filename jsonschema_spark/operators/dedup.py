@@ -16,7 +16,7 @@ All hot paths are pure built-in expressions (JVM, codegen'd):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "dedup_against",
     "window_hashes",
     "window_dup_stats",
+    "substring_dedup",
     "winnow_fingerprints",
     "winnow_dup_stats",
 ]
@@ -759,6 +760,71 @@ def window_dup_stats(
         F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
         frac.alias("dup_frac"),
         (frac < max_dup_frac).alias("keep"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-window REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at token-
+    window granularity: a k-token rolling window whose hash occurs >=
+    `min_count` times anywhere in the corpus is a duplicate; its FIRST
+    occurrence in (id, pos) order is canonical and kept, every other
+    occurrence is removed from the rebuilt text (a token goes iff ANY
+    non-canonical duplicated window covers it).
+
+    Returns (id, clean_text, n_tokens, n_removed) for EVERY input doc;
+    docs shorter than k tokens pass through unchanged.
+
+    Scale shape: the hash-keyed exchange carries (id, pos, 16-byte window
+    hash) rows ONLY — the window rank (canonical = row_number 1 in
+    (id, pos) order) and the occurrence count ride the same sort, so there
+    is no counts-then-rejoin second exchange on the hash key. Flagged
+    positions collapse to a bounded int array per doc (<= windows-per-doc)
+    before the ONE payload exchange: the id-keyed join that re-attaches
+    flags to the token arrays (broadcast when the flagged side is small,
+    co-partitioned sort-merge otherwise). The rebuild is a row-local
+    filter-with-index over the token array, O(tokens × flagged-windows)
+    per row — fine while flagged windows per doc are sparse (the normal
+    case); a fully-duplicated pathological doc degrades to O(T²)
+    row-locally without widening any exchange.
+
+    Reference analogue: none (training-data pipeline extension, task spec).
+    """
+    staged = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+    grams = F.transform(word_ngrams(F.col("__toks"), k), lambda g: F.md5(g))
+    occ = staged.select("id", F.posexplode(grams).alias("pos0", "wh")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "wh"
+    )
+    wo = Window.partitionBy("wh").orderBy("id", "pos")
+    wa = Window.partitionBy("wh")
+    flagged = (
+        occ.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wa))
+        .where((F.col("__cnt") >= min_count) & (F.col("__rn") > 1))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__fp"))
+    )
+    rebuilt = staged.join(flagged, "id", "left").withColumn(
+        "__fp", F.coalesce(F.col("__fp"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__fp"), lambda p: (p >= i + 2 - F.lit(k)) & (p <= i + 1)
+        ),
+    )
+    return rebuilt.select(
+        "id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
 
 

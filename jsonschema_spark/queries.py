@@ -572,6 +572,47 @@ FROM (SELECT doc_id AS id FROM documents) i LEFT JOIN s USING (id)
 """
 
 
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-window REMOVAL: rebuild each document's
+    text with every non-canonical occurrence of a corpus-duplicated 8-token
+    window removed (first occurrence in (doc_id, pos) order is kept). One
+    hash-partitioned shuffle of (id, pos, hash); rebuild is row-local."""
+    from jsonschema_spark.operators.dedup import substring_dedup
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    return substring_dedup(d, "doc_id", "text", k=8, min_count=2)
+
+
+ORACLE_SUBSTRING_DEDUP = """
+WITH t AS (SELECT doc_id AS id,
+       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+w AS (
+  SELECT id, i, md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+  FROM t, unnest(range(1, len(toks) - 8 + 2)) AS r(i)
+  WHERE len(toks) >= 8),
+f AS (
+  SELECT id, i FROM (
+    SELECT id, i,
+           row_number() OVER (PARTITION BY wh ORDER BY id, i) AS rn,
+           count(*) OVER (PARTITION BY wh) AS cnt
+    FROM w) WHERE cnt >= 2 AND rn > 1),
+tok AS (
+  SELECT t.id, t.toks[r.j] AS tk, r.j
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(j)),
+kept AS (
+  SELECT tok.id, tok.tk, tok.j FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM f
+                    WHERE f.id = tok.id AND f.i BETWEEN tok.j - 7 AND tok.j)),
+ka AS (SELECT id, string_agg(tk, ' ' ORDER BY j) AS ct, count(*) AS nk
+       FROM kept GROUP BY id)
+SELECT t.id, coalesce(ka.ct, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(ka.nk, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN ka USING (id)
+"""
+
+
 def winnow_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint duplicate stats (MOSS-style): per doc, how many
     of its winnowed (k=5, w=4) fingerprints occur in >= 2 distinct docs —
@@ -3218,6 +3259,7 @@ def all_queries():
         "contamination_docs": contamination_docs,
         "clean_boilerplate_docs": clean_boilerplate_docs,
         "substring_dup_docs": substring_dup_docs,
+        "substring_dedup_docs": substring_dedup_docs,
         "winnow_dup_docs": winnow_dup_docs,
         "perplexity_docs": perplexity_docs,
         "bigram_perplexity_docs": bigram_perplexity_docs,
@@ -3362,6 +3404,7 @@ def all_oracles():
         "contamination_docs": ORACLE_CONTAMINATION,
         "clean_boilerplate_docs": ORACLE_CLEAN_BOILERPLATE,
         "substring_dup_docs": ORACLE_SUBSTRING_DUP,
+        "substring_dedup_docs": ORACLE_SUBSTRING_DEDUP,
         "winnow_dup_docs": ORACLE_WINNOW_DUP,
         "perplexity_docs": ORACLE_PERPLEXITY,
         "bigram_perplexity_docs": ORACLE_BIGRAM_PERPLEXITY,

@@ -57,6 +57,60 @@ def test_window_dup_stats_plan_no_python_no_selfjoin(spark):
         assert "text#" not in first, f"text payload shuffled: {first}"
 
 
+class TestSubstringRemoval:
+    def test_keeps_first_occurrence_removes_rest(self, spark):
+        from jsonschema_spark.operators.dedup import substring_dedup
+
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "prefix words here then " + shared + " and a different tail entirely"),
+                (3, "totally unrelated content with enough tokens to form many windows here"),
+                (4, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in substring_dedup(docs, "doc_id", "text", k=8).collect()}
+        # doc 1 holds the canonical (first) occurrence: nothing removed
+        assert out[1]["n_removed"] == 0
+        assert out[1]["clean_text"].startswith(shared)
+        # doc 2 loses exactly the 8 shared tokens, rest survives in order
+        assert out[2]["n_removed"] == 8
+        assert out[2]["clean_text"] == "prefix words here then and a different tail entirely"
+        # unique and too-short docs pass through unchanged
+        assert out[3]["n_removed"] == 0
+        assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "too short"
+
+    def test_within_doc_repeat_is_deduped(self, spark):
+        from jsonschema_spark.operators.dedup import substring_dedup
+
+        run = "a b c d e f g h"
+        doc = run + " filler words between the runs yes " + run
+        df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+        row = substring_dedup(df, "doc_id", "text", k=8).collect()[0]
+        # the second occurrence of the 8-token run is removed
+        assert row["n_removed"] == 8
+        assert row["clean_text"] == run + " filler words between the runs yes"
+
+    def test_plan_no_python_no_text_shuffle(self, spark):
+        from jsonschema_spark.operators.dedup import substring_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = _plan(substring_dedup(docs, "doc_id", "text", k=8))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        # the hash-counting exchange (partitioned by wh) must carry hashes
+        # and positions only; the id-keyed flag re-attachment join is the
+        # single place the token payload may travel
+        for seg in p.split("Exchange")[1:]:
+            first = seg.splitlines()[0]
+            if "wh#" in first:
+                assert "text#" not in first and "__toks#" not in first, (
+                    f"payload shuffled through the hash exchange: {first}"
+                )
+
+
 class TestWinnowing:
     def test_guarantee_shared_run_leaves_common_fingerprint(self, spark):
         from jsonschema_spark.operators.dedup import winnow_fingerprints

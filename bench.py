@@ -140,6 +140,7 @@ HEADLINE = [
     "pivot_lang_source_docs",
     "rollup_daily_events",
     "khop_supplier_parts",
+    "triangles_copurchase_parts",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3375,6 +3375,7 @@ def all_queries():
         "pivot_lang_source_docs": pivot_lang_source_docs,
         "rollup_daily_events": rollup_daily_events,
         "khop_supplier_parts": khop_supplier_parts,
+        "triangles_copurchase_parts": triangles_copurchase_parts,
     }
 
 
@@ -3520,6 +3521,7 @@ def all_oracles():
         "pivot_lang_source_docs": ORACLE_PIVOT,
         "rollup_daily_events": ORACLE_ROLLUP,
         "khop_supplier_parts": ORACLE_KHOP,
+        "triangles_copurchase_parts": ORACLE_TRIANGLES,
     }
 
 
@@ -6501,4 +6503,58 @@ h3 AS (
                       UNION ALL SELECT id FROM h2))
 SELECT id, hops FROM h0 UNION ALL SELECT id, hops FROM h1
 UNION ALL SELECT id, hops FROM h2 UNION ALL SELECT id, hops FROM h3
+"""
+
+
+def triangles_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph (parts appearing
+    in the same order are adjacent) via degree-ordered orientation
+    (operators/graph.triangle_stats): each triangle counted once from its
+    minimum-(degree,id) corner, wedge-center out-degree bounded O(sqrt(m))."""
+    from jsonschema_spark.operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    # deterministic 1-in-4 order sample: the census is quadratic in wedge
+    # count, so the headline entry bounds the graph; the operator is exact
+    # on whatever edge relation it is handed
+    items = (
+        li.where(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_stats(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+                  greatest(a.l_partkey, b.l_partkey) AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 4 = 0),
+deg AS (
+  SELECT id, count(*) AS d
+  FROM (SELECT x AS id FROM pairs UNION ALL SELECT y AS id FROM pairs)
+  GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.x ELSE p.y END AS u,
+         CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN p.y ELSE p.x END AS v,
+         CASE WHEN (dx.d, p.x) < (dy.d, p.y) THEN dy.d ELSE dx.d END AS dv
+  FROM pairs p JOIN deg dx ON dx.id = p.x JOIN deg dy ON dy.id = p.y),
+tri AS (
+  SELECT count(*) AS n
+  FROM o e1
+  JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_triples,
+       (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
 """

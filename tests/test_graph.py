@@ -88,3 +88,40 @@ def test_khop_early_stop_on_exhausted_frontier(spark):
     seeds = spark.createDataFrame([("a",)], ["id"])
     got = {r["id"]: r["hops"] for r in khop_reachability(df, seeds, k=10).collect()}
     assert got == {"a": 0, "b": 1}
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from jsonschema_spark.operators.graph import triangle_stats
+
+        # K4 on {1,2,3,4} plus a pendant 5-1: 4 triangles, 6+1 edges
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)],
+            "src long, dst long",
+        )
+        r = triangle_stats(edges).collect()[0]
+        assert r["n_nodes"] == 5 and r["n_edges"] == 7
+        assert r["n_triangles"] == 4
+        # degrees: 1->4, 2..4->3, 5->1; triples = C(4,2)+3*C(3,2)+0 = 6+9 = 15
+        assert r["n_triples"] == 15
+
+    def test_canonicalization(self, spark):
+        from jsonschema_spark.operators.graph import triangle_stats
+
+        # duplicates, reversed duplicates, and self-loops all collapse
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)],
+            "src long, dst long",
+        )
+        r = triangle_stats(edges).collect()[0]
+        assert r["n_nodes"] == 3 and r["n_edges"] == 3 and r["n_triangles"] == 1
+
+    def test_triangle_free(self, spark):
+        from jsonschema_spark.operators.graph import triangle_stats
+
+        # star graph: no triangles, all wedges open
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        r = triangle_stats(edges).collect()[0]
+        assert r["n_triangles"] == 0 and r["n_triples"] == 10

@@ -141,6 +141,7 @@ HEADLINE = [
     "rollup_daily_events",
     "khop_supplier_parts",
     "triangles_copurchase_parts",
+    "entity_matches_parts",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

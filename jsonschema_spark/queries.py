@@ -3376,6 +3376,7 @@ def all_queries():
         "rollup_daily_events": rollup_daily_events,
         "khop_supplier_parts": khop_supplier_parts,
         "triangles_copurchase_parts": triangles_copurchase_parts,
+        "entity_matches_parts": entity_matches_parts,
     }
 
 
@@ -3522,6 +3523,7 @@ def all_oracles():
         "rollup_daily_events": ORACLE_ROLLUP,
         "khop_supplier_parts": ORACLE_KHOP,
         "triangles_copurchase_parts": ORACLE_TRIANGLES,
+        "entity_matches_parts": ORACLE_ENTITY_MATCHES,
     }
 
 
@@ -6557,4 +6559,34 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM pairs) AS n_edges,
        (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_triples,
        (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+"""
+
+
+def entity_matches_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over canonical part names: multi-pass blocking
+    (first token ∪ last token ∪ 4-char prefix) + levenshtein <= 3 on the
+    distinct-name relation
+    (operators/linkage.blocked_entity_matches) — candidate pairs come from
+    block-keyed equi-joins, never a cross join; oversized blocks purge."""
+    from jsonschema_spark.operators.linkage import blocked_entity_matches
+
+    p = _t(spark, sf_dir, "part")
+    return blocked_entity_matches(p, "p_name", max_dist=3, max_block=10_000)
+
+
+ORACLE_ENTITY_MATCHES = """
+WITH names AS (SELECT p_name AS name, count(*) AS n FROM part
+               WHERE p_name IS NOT NULL GROUP BY 1),
+tk AS (SELECT name, n, string_split(name, ' ') AS t FROM names),
+keys AS (SELECT name, n,
+         unnest(list_distinct([t[1], t[-1], substr(name, 1, 4)])) AS bk FROM tk),
+bs AS (SELECT bk, count(*) AS c FROM keys GROUP BY 1),
+k2 AS (SELECT keys.name, keys.n, keys.bk FROM keys JOIN bs USING (bk)
+       WHERE bs.c <= 10000),
+cand AS (SELECT DISTINCT a.name AS name_a, a.n AS n_a,
+                         b.name AS name_b, b.n AS n_b
+         FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.name < b.name)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist, n_a, n_b
+FROM cand WHERE levenshtein(name_a, name_b) <= 3
 """

@@ -142,6 +142,7 @@ HEADLINE = [
     "khop_supplier_parts",
     "triangles_copurchase_parts",
     "entity_matches_parts",
+    "bpe_train_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

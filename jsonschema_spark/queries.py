@@ -3377,6 +3377,7 @@ def all_queries():
         "khop_supplier_parts": khop_supplier_parts,
         "triangles_copurchase_parts": triangles_copurchase_parts,
         "entity_matches_parts": entity_matches_parts,
+        "bpe_train_docs": bpe_train_docs,
     }
 
 
@@ -3524,6 +3525,7 @@ def all_oracles():
         "khop_supplier_parts": ORACLE_KHOP,
         "triangles_copurchase_parts": ORACLE_TRIANGLES,
         "entity_matches_parts": ORACLE_ENTITY_MATCHES,
+        "bpe_train_docs": ORACLE_BPE_TRAIN,
     }
 
 
@@ -6590,3 +6592,76 @@ SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS INT) AS dist, n_a, n_b
 FROM cand WHERE levenshtein(name_a, name_b) <= 3
 """
+
+
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 BPE merge rules learned from the documents corpus
+    (operators/bpe.bpe_train_merges): one corpus pass to the word
+    vocabulary, then per-round pair-stats groupBy + 1-row argmax collect +
+    row-local greedy merge fold, localCheckpoint per round."""
+    from jsonschema_spark.operators.bpe import bpe_train_merges
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    return bpe_train_merges(d, "text", rounds=4)
+
+
+def _bpe_oracle_sql(rounds: int = 4) -> str:
+    """Chained-CTE replica of bpe_train_merges: per round, weighted
+    adjacent-pair counts + deterministic argmax; the greedy
+    non-overlapping merge is the gaps-and-islands form (a candidate
+    position fires iff its rank inside its maximal consecutive-candidate
+    run is odd) — provably the same rewrite as the Spark stack fold."""
+    ctes = [
+        """w0 AS (SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) WHERE w <> '' GROUP BY 1)""",
+        """v0 AS (SELECT regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym, CAST(n AS BIGINT) AS n FROM w0)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""s{r} AS (SELECT sym, n, string_split(sym, ' ') AS s FROM v{r})"""
+        )
+        ctes.append(
+            f"""p{r} AS (SELECT s[t.j] AS l, s[t.j + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+    FROM s{r}, unnest(range(1, len(s))) AS t(j) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""b{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        if r < rounds - 1:
+            ctes.append(
+                f"""e{r} AS (SELECT sym, n, t.j, s[t.j] AS x, len(s) AS m, s
+    FROM s{r}, unnest(range(1, len(s) + 1)) AS t(j))"""
+            )
+            ctes.append(
+                f"""c{r} AS (SELECT e.*, (e.x = b.l AND e.j < e.m AND e.s[e.j + 1] = b.r) AS cand
+    FROM e{r} e CROSS JOIN b{r} b)"""
+            )
+            ctes.append(
+                f"""f{r} AS (SELECT sym, j FROM (
+      SELECT sym, j, j - row_number() OVER (PARTITION BY sym ORDER BY j) AS grp
+      FROM c{r} WHERE cand)
+    QUALIFY row_number() OVER (PARTITION BY sym, grp ORDER BY j) % 2 = 1)"""
+            )
+            ctes.append(
+                f"""m{r} AS (SELECT e.sym AS osym, any_value(e.n) AS n,
+      string_agg(CASE WHEN f.j IS NOT NULL THEN (SELECT l || r FROM b{r}) ELSE e.x END,
+                 ' ' ORDER BY e.j) AS sym
+    FROM c{r} e
+    LEFT JOIN f{r} f ON f.sym = e.sym AND f.j = e.j
+    LEFT JOIN f{r} g ON g.sym = e.sym AND g.j = e.j - 1
+    WHERE g.j IS NULL
+    GROUP BY e.sym)"""
+            )
+            ctes.append(
+                f"""v{r + 1} AS (SELECT sym, CAST(sum(n) AS BIGINT) AS n FROM m{r} GROUP BY 1)"""
+            )
+    finals = [
+        f"SELECT CAST({r} AS INT) AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_n FROM b{r}"
+        for r in range(rounds)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(finals)
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle_sql(4)

@@ -143,6 +143,7 @@ HEADLINE = [
     "triangles_copurchase_parts",
     "entity_matches_parts",
     "bpe_train_docs",
+    "hll_registers_orders",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3378,6 +3378,7 @@ def all_queries():
         "triangles_copurchase_parts": triangles_copurchase_parts,
         "entity_matches_parts": entity_matches_parts,
         "bpe_train_docs": bpe_train_docs,
+        "hll_registers_orders": hll_registers_orders,
     }
 
 
@@ -3526,6 +3527,7 @@ def all_oracles():
         "triangles_copurchase_parts": ORACLE_TRIANGLES,
         "entity_matches_parts": ORACLE_ENTITY_MATCHES,
         "bpe_train_docs": ORACLE_BPE_TRAIN,
+        "hll_registers_orders": ORACLE_HLL_REGISTERS,
     }
 
 
@@ -6665,3 +6667,38 @@ def _bpe_oracle_sql(rounds: int = 4) -> str:
 
 
 ORACLE_BPE_TRAIN = _bpe_oracle_sql(4)
+
+
+def hll_registers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog register relation over orders.o_custkey
+    (operators/sketches.hll_build): ≤256 (reg, max_rho) rows from one
+    map-side-max groupBy; union+max merges sketches without raw data.
+    Complements cardinality_orders (Spark's built-in HLL) with a sketch
+    whose REGISTERS are portable and DuckDB-replayable bit-for-bit."""
+    from jsonschema_spark.operators.sketches import hll_build
+
+    o = _t(spark, sf_dir, "orders")
+    return hll_build(o, "o_custkey")
+
+
+ORACLE_HLL_REGISTERS = """
+WITH h AS (
+  SELECT md5('hll:' || CAST(o_custkey AS VARCHAR)) AS hx
+  FROM orders WHERE o_custkey IS NOT NULL),
+parts AS (
+  SELECT CAST(('0x' || substr(hx, 1, 2)) AS INT) AS reg,
+         substr(hx, 3, 30) AS rem
+  FROM h),
+rho AS (
+  SELECT reg,
+         CASE WHEN rem SIMILAR TO '0+' THEN 121
+              ELSE CAST(len(regexp_extract(rem, '^(0*)', 1)) * 4 +
+                   CASE WHEN substr(regexp_extract(rem, '^0*(.)', 1), 1, 1)
+                             IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('4','5','6','7') THEN 1
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('2','3') THEN 2
+                        ELSE 3 END + 1 AS INT)
+         END AS rho
+  FROM parts)
+SELECT reg, CAST(max(rho) AS INT) AS max_rho FROM rho GROUP BY reg
+"""

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from jsonschema_spark.operators.sketches import cms_build, cms_estimate, cms_merge
 
 
@@ -61,3 +63,44 @@ def test_build_plan_is_python_free_single_exchange(spark):
     assert "Python" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+class TestHLL:
+    def test_estimate_accuracy(self, spark):
+        from jsonschema_spark.operators.sketches import hll_build, hll_estimate
+
+        df = spark.range(10_000).select(F.col("id").cast("string").alias("t"))
+        est = hll_estimate(hll_build(df, "t")).collect()[0]
+        # deterministic draw lands -2.6 sigma low (8337); 0.2 = ~3 sigma at m=256
+        assert abs(est["estimate"] - 10_000) / 10_000 < 0.2
+
+    def test_small_range_linear_counting(self, spark):
+        from jsonschema_spark.operators.sketches import hll_build, hll_estimate
+
+        df = spark.range(30).select(F.col("id").cast("string").alias("t"))
+        est = hll_estimate(hll_build(df, "t")).collect()[0]
+        assert abs(est["estimate"] - 30) < 5
+
+    def test_merge_equals_union_build(self, spark):
+        from jsonschema_spark.operators.sketches import hll_build, hll_merge
+
+        a = spark.range(0, 5_000).select(F.col("id").cast("string").alias("t"))
+        b = spark.range(3_000, 8_000).select(F.col("id").cast("string").alias("t"))
+        merged = {
+            (r["reg"], r["max_rho"])
+            for r in hll_merge(hll_build(a, "t"), hll_build(b, "t")).collect()
+        }
+        direct = {
+            (r["reg"], r["max_rho"])
+            for r in hll_build(a.unionByName(b), "t").collect()
+        }
+        assert merged == direct
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from jsonschema_spark.operators.sketches import hll_build
+
+        a = spark.range(100).select(F.col("id").cast("string").alias("t"))
+        b = a.unionByName(a).unionByName(a)
+        ra = {(r["reg"], r["max_rho"]) for r in hll_build(a, "t").collect()}
+        rb = {(r["reg"], r["max_rho"]) for r in hll_build(b, "t").collect()}
+        assert ra == rb

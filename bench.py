@@ -144,6 +144,7 @@ HEADLINE = [
     "entity_matches_parts",
     "bpe_train_docs",
     "hll_registers_orders",
+    "entity_resolve_parts",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3379,6 +3379,7 @@ def all_queries():
         "entity_matches_parts": entity_matches_parts,
         "bpe_train_docs": bpe_train_docs,
         "hll_registers_orders": hll_registers_orders,
+        "entity_resolve_parts": entity_resolve_parts,
     }
 
 
@@ -3528,6 +3529,7 @@ def all_oracles():
         "entity_matches_parts": ORACLE_ENTITY_MATCHES,
         "bpe_train_docs": ORACLE_BPE_TRAIN,
         "hll_registers_orders": ORACLE_HLL_REGISTERS,
+        "entity_resolve_parts": ORACLE_ENTITY_RESOLVE,
     }
 
 
@@ -6578,8 +6580,7 @@ def entity_matches_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_entity_matches(p, "p_name", max_dist=3, max_block=10_000)
 
 
-ORACLE_ENTITY_MATCHES = """
-WITH names AS (SELECT p_name AS name, count(*) AS n FROM part
+_ENTITY_CTES = """names AS (SELECT p_name AS name, count(*) AS n FROM part
                WHERE p_name IS NOT NULL GROUP BY 1),
 tk AS (SELECT name, n, string_split(name, ' ') AS t FROM names),
 keys AS (SELECT name, n,
@@ -6589,11 +6590,17 @@ k2 AS (SELECT keys.name, keys.n, keys.bk FROM keys JOIN bs USING (bk)
        WHERE bs.c <= 10000),
 cand AS (SELECT DISTINCT a.name AS name_a, a.n AS n_a,
                          b.name AS name_b, b.n AS n_b
-         FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.name < b.name)
+         FROM k2 a JOIN k2 b ON a.bk = b.bk AND a.name < b.name)"""
+
+ORACLE_ENTITY_MATCHES = (
+    "WITH "
+    + _ENTITY_CTES
+    + """
 SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS INT) AS dist, n_a, n_b
 FROM cand WHERE levenshtein(name_a, name_b) <= 3
 """
+)
 
 
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6702,3 +6709,55 @@ rho AS (
   FROM parts)
 SELECT reg, CAST(max(rho) AS INT) AS max_rho FROM rho GROUP BY reg
 """
+
+
+def entity_resolve_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked Levenshtein matches →
+    connected components (min-label propagation, dedup.duplicate_clusters)
+    → canonical entity table (entity_id = min member name; canonical
+    member = highest raw-row support, ties to lexicographically first
+    name). The composition that turns pairwise linkage evidence into a
+    usable master-entity relation."""
+    from jsonschema_spark.operators.dedup import duplicate_clusters
+    from jsonschema_spark.operators.linkage import blocked_entity_matches
+
+    p = _t(spark, sf_dir, "part")
+    matches = blocked_entity_matches(p, "p_name", max_dist=3, max_block=10_000)
+    pairs = matches.select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    clusters = duplicate_clusters(pairs)
+    support = p.groupBy(F.col("p_name").alias("id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = clusters.join(support, "id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), "id")
+    return joined.select(
+        F.col("cluster_id").alias("entity_id"),
+        F.col("id").alias("name"),
+        "n",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+ORACLE_ENTITY_RESOLVE = (
+    "WITH RECURSIVE "
+    + _ENTITY_CTES
+    + """,
+m AS (SELECT name_a, name_b FROM cand WHERE levenshtein(name_a, name_b) <= 3),
+edges AS (SELECT name_a AS src, name_b AS dst FROM m
+          UNION ALL SELECT name_b AS src, name_a AS dst FROM m),
+nds AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nds
+  UNION
+  SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON r.id = e.src),
+cl AS (SELECT id, min(label) AS entity_id FROM reach GROUP BY id),
+sup AS (SELECT p_name AS id, count(*) AS n FROM part GROUP BY 1),
+j AS (SELECT cl.entity_id, cl.id AS name, sup.n FROM cl JOIN sup USING (id))
+SELECT entity_id, name, n,
+       (row_number() OVER (PARTITION BY entity_id ORDER BY n DESC, name)) = 1
+         AS is_canonical
+FROM j
+"""
+)

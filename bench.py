@@ -145,6 +145,8 @@ HEADLINE = [
     "bpe_train_docs",
     "hll_registers_orders",
     "entity_resolve_parts",
+    "cms_join_size_orders",
+    "hll_daily_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

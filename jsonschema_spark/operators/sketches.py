@@ -27,11 +27,20 @@ from pyspark.sql import functions as F
 __all__ = ["cms_build", "cms_merge", "cms_estimate"]
 
 
-def _cell(term: Column, d: int, width: int) -> Column:
-    """Row-d counter column for a term: 60-bit md5 prefix of 'cms{d}:term'
-    mod width — independent-enough hash rows, identical in any md5 SQL."""
-    h = F.md5(F.concat(F.lit(f"cms{d}:"), term))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % F.lit(int(width))
+def _cell(h: Column, d: int, width: int) -> Column:
+    """Row-d counter column from a term's md5 digest: hex chars
+    [1+8d, 9+8d) (32 bits) mod width. All depth rows derive from ONE md5
+    over 'cms:term' — disjoint 32-bit slices of a 128-bit digest are
+    independent enough for the CMS min bound in practice, and one digest
+    per input row is 4× cheaper than a digest per (row, depth) at the
+    sketch build's hot spot. Caps depth at 4 (128 bits / 32)."""
+    return F.conv(F.substring(h, 1 + 8 * d, 8), 16, 10).cast("bigint") % F.lit(
+        int(width)
+    )
+
+
+def _digest(term: Column) -> Column:
+    return F.md5(F.concat(F.lit("cms:"), term))
 
 
 def cms_build(
@@ -41,13 +50,16 @@ def cms_build(
     (one input row = one occurrence). Cells with zero hits are absent —
     readers must coalesce to 0 (`cms_estimate` does).
     """
-    cells = items.select(
+    if not 1 <= int(depth) <= 4:
+        raise ValueError("cms depth must be in 1..4 (32 digest bits per row)")
+    staged = items.select(_digest(F.col(term_col)).alias("__h"))
+    cells = staged.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        _cell(F.col(term_col), d, width).alias("col"),
+                        _cell(F.col("__h"), d, width).alias("col"),
                     )
                     for d in range(int(depth))
                 ]
@@ -85,14 +97,15 @@ def cms_estimate(
         raise ValueError("cms_estimate: need at least one candidate term")
     spark = sketch.sparkSession
     cand = spark.createDataFrame([(t,) for t in candidates], "term string")
-    cells = cand.select(
+    staged = cand.select("term", _digest(F.col("term")).alias("__h"))
+    cells = staged.select(
         "term",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        _cell(F.col("term"), d, width).alias("col"),
+                        _cell(F.col("__h"), d, width).alias("col"),
                     )
                     for d in range(int(depth))
                 ]
@@ -136,17 +149,23 @@ def _hll_rho(rem: Column) -> Column:
     )
 
 
-def hll_build(items: DataFrame, term_col: str) -> DataFrame:
-    """(reg, max_rho) HyperLogLog register relation over a term column.
-    NULL terms are skipped; registers never hit are absent (readers treat
-    them as rho 0 — `hll_estimate` does)."""
+def hll_build(
+    items: DataFrame, term_col: str, *, group_cols: tuple = ()
+) -> DataFrame:
+    """(*group_cols, reg, max_rho) HyperLogLog register relation over a
+    term column — one independent sketch per group when `group_cols` is
+    given (per-day / per-partition sketches that later `hll_merge` into
+    coarser rollups without touching raw data). NULL terms are skipped;
+    registers never hit are absent (readers treat them as rho 0 —
+    `hll_estimate` does)."""
     h = F.md5(F.concat(F.lit("hll:"), F.col(term_col).cast("string")))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     rho = _hll_rho(F.substring(h, 3, 30))
+    gcols = list(group_cols)
     return (
         items.where(F.col(term_col).isNotNull())
-        .select(reg.alias("reg"), rho.alias("rho"))
-        .groupBy("reg")
+        .select(*gcols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*gcols, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
 
@@ -179,3 +198,19 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     return agg.select(
         "n_registers_hit", est.alias("estimate")
     )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One row (est_rows): the count-min inner-product estimate of the
+    inner equi-join cardinality |A ⋈ B| on the sketched key —
+    est = min_d Σ_col cntA[d][col]·cntB[d][col] (Cormode & Muthukrishnan
+    2005, §4.2). Always an over-estimate in expectation (hash collisions
+    add cross terms); error ≤ e/width · N_A·N_B per row, min over depth
+    rows. The whole estimate reads TWO sketch relations (≤ depth·width
+    rows each) — no raw data, so a query planner can cost a join between
+    two 100 TB tables from kilobytes of pre-built sketch."""
+    j = a.select("d", "col", F.col("cnt").alias("ca")).join(
+        b.select("d", "col", F.col("cnt").alias("cb")), ["d", "col"]
+    )
+    per_d = j.groupBy("d").agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    return per_d.agg(F.min("dot").cast("bigint").alias("est_rows"))

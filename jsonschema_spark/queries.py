@@ -3380,6 +3380,8 @@ def all_queries():
         "bpe_train_docs": bpe_train_docs,
         "hll_registers_orders": hll_registers_orders,
         "entity_resolve_parts": entity_resolve_parts,
+        "cms_join_size_orders": cms_join_size_orders,
+        "hll_daily_events": hll_daily_events,
     }
 
 
@@ -3530,6 +3532,8 @@ def all_oracles():
         "bpe_train_docs": ORACLE_BPE_TRAIN,
         "hll_registers_orders": ORACLE_HLL_REGISTERS,
         "entity_resolve_parts": ORACLE_ENTITY_RESOLVE,
+        "cms_join_size_orders": ORACLE_CMS_JOIN_SIZE,
+        "hll_daily_events": ORACLE_HLL_DAILY,
     }
 
 
@@ -6089,13 +6093,13 @@ WITH toks AS (
 ds AS (SELECT unnest(generate_series(0, 3)) AS d),
 cells AS (
   SELECT ds.d,
-         CAST(('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 2048 AS col
+         CAST(('0x' || substr(md5('cms:' || term), 1 + 8 * ds.d, 8)) AS BIGINT) % 2048 AS col
   FROM toks, ds),
 sketch AS (SELECT d, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
 cand AS (SELECT unnest([{cand}]) AS term),
 ccells AS (
   SELECT term, ds.d,
-         CAST(('0x' || substr(md5('cms' || CAST(ds.d AS VARCHAR) || ':' || term), 1, 15)) AS BIGINT) % 2048 AS col
+         CAST(('0x' || substr(md5('cms:' || term), 1 + 8 * ds.d, 8)) AS BIGINT) % 2048 AS col
   FROM cand, ds),
 est AS (
   SELECT term, min(coalesce(cnt, 0)) AS cms_count
@@ -6761,3 +6765,90 @@ SELECT entity_id, name, n,
 FROM j
 """
 )
+
+
+def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone: CMS inner product
+    of the orders/lineitem orderkey sketches (operators/sketches.
+    cms_join_size) next to the exact join count — the planner-style
+    "cost a join without touching the tables" primitive."""
+    from jsonschema_spark.operators.sketches import cms_build, cms_join_size
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    est = cms_join_size(
+        cms_build(o, "k", depth=4, width=65536),
+        cms_build(li, "k", depth=4, width=65536),
+    )
+    # exact |A ⋈ B| without materializing the join: Σ_k cntA(k)·cntB(k)
+    ca = o.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    cb = li.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_rows"))
+    )
+    return est.crossJoin(exact)
+
+
+ORACLE_CMS_JOIN_SIZE = """
+WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+ca AS (SELECT t.d,
+         CAST(('0x' || substr(md5('cms:' || k), 1 + 8 * t.d, 8))
+              AS BIGINT) % 65536 AS col,
+         count(*) AS cnt
+       FROM ka, unnest(range(0, 4)) AS t(d) GROUP BY 1, 2),
+cb AS (SELECT t.d,
+         CAST(('0x' || substr(md5('cms:' || k), 1 + 8 * t.d, 8))
+              AS BIGINT) % 65536 AS col,
+         count(*) AS cnt
+       FROM kb, unnest(range(0, 4)) AS t(d) GROUP BY 1, 2),
+dot AS (SELECT ca.d, sum(ca.cnt * cb.cnt) AS dot
+        FROM ca JOIN cb USING (d, col) GROUP BY 1)
+SELECT (SELECT CAST(min(dot) AS BIGINT) FROM dot) AS est_rows,
+       (SELECT count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         AS exact_rows
+"""
+
+
+def hll_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user HLL sketches over the events stream: one
+    register relation per day (operators/sketches.hll_build group mode).
+    These are the per-partition sketches a 100 TB pipeline checkpoints and
+    later hll_merge's into weekly/monthly rollups without re-reading raw
+    events (union + max per register — tested exact)."""
+    from jsonschema_spark.operators.sketches import hll_build
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        F.to_date("ts").cast("string").alias("day"), F.col("user_id")
+    )
+    return hll_build(staged, "user_id", group_cols=("day",))
+
+
+ORACLE_HLL_DAILY = """
+WITH h AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL),
+parts AS (
+  SELECT day, CAST(('0x' || substr(hx, 1, 2)) AS INT) AS reg,
+         substr(hx, 3, 30) AS rem
+  FROM h),
+rho AS (
+  SELECT day, reg,
+         CASE WHEN rem SIMILAR TO '0+' THEN 121
+              ELSE CAST(len(regexp_extract(rem, '^(0*)', 1)) * 4 +
+                   CASE WHEN regexp_extract(rem, '^0*(.)', 1)
+                             IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('4','5','6','7') THEN 1
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('2','3') THEN 2
+                        ELSE 3 END + 1 AS INT)
+         END AS rho
+  FROM parts)
+SELECT day, reg, CAST(max(rho) AS INT) AS max_rho FROM rho GROUP BY day, reg
+"""

@@ -104,3 +104,38 @@ class TestHLL:
         ra = {(r["reg"], r["max_rho"]) for r in hll_build(a, "t").collect()}
         rb = {(r["reg"], r["max_rho"]) for r in hll_build(b, "t").collect()}
         assert ra == rb
+
+    def test_daily_sketches_merge_to_global(self, spark):
+        from jsonschema_spark.operators.sketches import hll_build, hll_merge
+
+        df = spark.createDataFrame(
+            [(d, str(u)) for d in ("d1", "d2", "d3") for u in range(d.__hash__() % 7, 200)],
+            "day string, t string",
+        )
+        per_day = hll_build(df, "t", group_cols=("day",))
+        merged = {
+            (r["reg"], r["max_rho"])
+            for r in hll_merge(per_day.drop("day")).collect()
+        }
+        direct = {(r["reg"], r["max_rho"]) for r in hll_build(df, "t").collect()}
+        assert merged == direct
+
+
+class TestCMSJoinSize:
+    def test_estimate_upper_bounds_exact_and_is_close(self, spark):
+        from jsonschema_spark.operators.sketches import cms_build, cms_join_size
+
+        a = spark.createDataFrame(
+            [(str(i % 50),) for i in range(500)], "k string"
+        )
+        b = spark.createDataFrame(
+            [(str(i % 100),) for i in range(300)], "k string"
+        )
+        est = cms_join_size(
+            cms_build(a, "k", depth=4, width=4096),
+            cms_build(b, "k", depth=4, width=4096),
+        ).collect()[0]["est_rows"]
+        exact = a.join(b, "k").count()
+        assert est >= exact
+        # at this load (550 items, width 4096) collisions are rare: tight
+        assert est <= exact * 1.1

@@ -147,6 +147,8 @@ HEADLINE = [
     "entity_resolve_parts",
     "cms_join_size_orders",
     "hll_daily_events",
+    "skyline_parts",
+    "greedy_cover_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

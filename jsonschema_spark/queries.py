@@ -3382,6 +3382,8 @@ def all_queries():
         "entity_resolve_parts": entity_resolve_parts,
         "cms_join_size_orders": cms_join_size_orders,
         "hll_daily_events": hll_daily_events,
+        "skyline_parts": skyline_parts,
+        "greedy_cover_docs": greedy_cover_docs,
     }
 
 
@@ -3534,6 +3536,8 @@ def all_oracles():
         "entity_resolve_parts": ORACLE_ENTITY_RESOLVE,
         "cms_join_size_orders": ORACLE_CMS_JOIN_SIZE,
         "hll_daily_events": ORACLE_HLL_DAILY,
+        "skyline_parts": ORACLE_SKYLINE,
+        "greedy_cover_docs": ORACLE_GREEDY_COVER,
     }
 
 
@@ -6851,4 +6855,94 @@ rho AS (
          END AS rho
   FROM parts)
 SELECT day, reg, CAST(max(rho) AS INT) AS max_rho FROM rho GROUP BY day, reg
+"""
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize retail price, maximize size). NO self-join/anti-join — the
+    classic sort-based skyline as two window aggregates: a row is
+    dominated iff a STRICTLY cheaper row has size >= its size (running
+    max over a RANGE frame ending 1 price-unit before the current row) or
+    a same-price row has strictly larger size. One sort exchange, linear
+    work — the quadratic NOT EXISTS form this replaces is the textbook
+    scale trap."""
+    p = _t(spark, sf_dir, "part")
+    staged = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    dominated = (
+        F.coalesce(F.max("size").over(w_cheaper), F.lit(-1)) >= F.col("size")
+    ) | (F.max("size").over(w_same) > F.col("size"))
+    return staged.withColumn("__dom", dominated).where(~F.col("__dom")).select(
+        "p_partkey", "price_cents", "size"
+    )
+
+
+ORACLE_SKYLINE = """
+WITH staged AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS INT) AS size
+  FROM part),
+flagged AS (
+  SELECT p_partkey, price_cents, size,
+         (coalesce(max(size) OVER (ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) >= size
+          OR max(size) OVER (PARTITION BY price_cents) > size) AS dom
+  FROM staged)
+SELECT p_partkey, price_cents, size FROM flagged WHERE NOT dom
+"""
+
+
+def greedy_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-based data selection: the 3 documents that greedily
+    maximize distinct 3-gram shingle coverage (operators/cover.
+    greedy_cover) — per round one anti-join + gains groupBy + 1-row
+    argmax; the covered set shrinks the pair relation monotonically."""
+    from jsonschema_spark.operators.cover import greedy_cover
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    return greedy_cover(d, "doc_id", "text", k=3, shingle_n=3)
+
+
+ORACLE_GREEDY_COVER = """
+WITH t AS (SELECT doc_id AS id,
+       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT id, md5(array_to_string(list_slice(toks, i, i + 2), ' ')) AS sh
+  FROM t, unnest(range(1, len(toks) - 3 + 2)) AS r(i) WHERE len(toks) >= 3
+  UNION
+  SELECT DISTINCT id, md5(array_to_string(toks, ' ')) AS sh FROM t WHERE len(toks) < 3),
+g0 AS (SELECT id, count(*) AS gain FROM pairs GROUP BY 1),
+b0 AS (SELECT id, gain FROM g0 ORDER BY gain DESC, id LIMIT 1),
+cov0 AS (SELECT DISTINCT sh FROM pairs JOIN b0 USING (id)),
+rem1 AS (SELECT p.id, p.sh FROM pairs p
+         WHERE p.id NOT IN (SELECT id FROM b0)
+           AND NOT EXISTS (SELECT 1 FROM cov0 c WHERE c.sh = p.sh)),
+g1 AS (SELECT id, count(*) AS gain FROM rem1 GROUP BY 1),
+b1 AS (SELECT id, gain FROM g1 ORDER BY gain DESC, id LIMIT 1),
+cov1 AS (SELECT sh FROM cov0 UNION SELECT DISTINCT sh FROM rem1 JOIN b1 USING (id)),
+rem2 AS (SELECT p.id, p.sh FROM rem1 p
+         WHERE p.id NOT IN (SELECT id FROM b1)
+           AND NOT EXISTS (SELECT 1 FROM cov1 c WHERE c.sh = p.sh)),
+g2 AS (SELECT id, count(*) AS gain FROM rem2 GROUP BY 1),
+b2 AS (SELECT id, gain FROM g2 ORDER BY gain DESC, id LIMIT 1)
+SELECT CAST(0 AS INT) AS round, CAST(id AS BIGINT) AS doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST((SELECT gain FROM b0) AS BIGINT) AS covered_total FROM b0
+UNION ALL
+SELECT 1, id, gain,
+       (SELECT gain FROM b0) + (SELECT gain FROM b1) FROM b1
+UNION ALL
+SELECT 2, id, gain,
+       (SELECT gain FROM b0) + (SELECT gain FROM b1) + (SELECT gain FROM b2) FROM b2
 """

@@ -5,6 +5,7 @@ from jsonschema_spark.streaming.referential_stream import (
     stream_referential_violations,
 )
 from jsonschema_spark.streaming.sessions_stream import stream_sessionize
+from jsonschema_spark.streaming.sketch_stream import stream_hll_windows
 from jsonschema_spark.streaming.validate_stream import (
     stream_keyword_metrics,
     stream_violation_metrics,
@@ -22,4 +23,5 @@ __all__ = [
     "stream_sessionize",
     "stream_referential_violations",
     "stream_referential_metrics",
+    "stream_hll_windows",
 ]

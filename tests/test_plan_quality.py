@@ -324,3 +324,45 @@ def test_key_candidates_single_aggregation_pass(spark):
     # per-column re-aggregation leaked in
     assert p.count("Expand") == 1 and p.count("Exchange") <= 2
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_triangle_census_no_payload_no_cartesian(spark):
+    """Wedge enumeration and closing must be equi-joins on ids; never a
+    cross product, never Python."""
+    from jsonschema_spark.queries import triangles_copurchase_parts
+
+    p = _plan(triangles_copurchase_parts(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hll_build_is_one_aggregation_no_python(spark):
+    from jsonschema_spark.operators.sketches import hll_build
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = _plan(hll_build(o, "o_custkey"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one partial+final hash aggregate pair over ONE exchange
+    assert p.count("Exchange") == 1, p[:800]
+    # the exchange carries (reg, rho) ints only — never the key column
+    seg = p.split("Exchange")[1].splitlines()[0]
+    assert "o_custkey" not in seg
+
+
+def test_cms_join_size_reads_sketches_not_tables_twice(spark):
+    from jsonschema_spark.queries import cms_join_size_orders
+
+    p = _plan(cms_join_size_orders(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p  # the single-row crossJoin lowers to BNLJ
+
+
+def test_entity_blocking_joins_on_block_key(spark):
+    from jsonschema_spark.operators.linkage import blocked_entity_matches
+
+    df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    p = _plan(blocked_entity_matches(df, "p_name"))
+    # candidate generation must key on bk — visible as a join whose keys
+    # include the blocking column, with no nested-loop fallback
+    assert "bk" in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

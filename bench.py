@@ -149,6 +149,7 @@ HEADLINE = [
     "hll_daily_events",
     "skyline_parts",
     "greedy_cover_docs",
+    "group_quantiles_lineitem",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

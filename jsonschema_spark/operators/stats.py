@@ -229,3 +229,72 @@ def derived_column_violations(
         df.select(*id_cols, F.explode(F.filter(checks, lambda x: x.isNotNull())).alias("v"))
         .select(*id_cols, "v.column", "v.stored", "v.recomputed")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-group type-7 quantiles from ONE table scan: (group, p, q)
+    for every group × requested probability.
+
+    Plan shape (same trick as robust_outliers): the scan collapses to a
+    (group, value, count) histogram with a map-side-combining groupBy, the
+    histogram rows fan out ×|probs| row-locally, and every quantile is a
+    window interpolation over the bounded distinct-value relation — cost
+    past the scan depends on the value domain, never the row count, and
+    the per-group sort is histogram rows only. The sort-based exact
+    `percentile` aggregate this avoids re-sorts every raw row per prob.
+    Interpolation replicates Spark/DuckDB type-7 exactly; outputs snap to
+    the 1e-6 grid (nudge-then-floor) for cross-engine comparison."""
+    from pyspark.sql import Window
+
+    cnt = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = cnt.select(
+        "grp",
+        "v",
+        "cnt",
+        F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p"),
+    )
+    w = Window.partitionBy("grp", "p").orderBy("v")
+    wn = Window.partitionBy("grp", "p")
+    ranked = h.select(
+        "grp",
+        "p",
+        F.col("v").alias("__v"),
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(wn).alias("__n"),
+    )
+    pos = (F.col("__n") - 1).cast("double") * F.col("p")
+    k1 = F.floor(pos) + 1
+    frac = pos - F.floor(pos).cast("double")
+    interp = (
+        ranked.select(
+            "grp",
+            "p",
+            F.min(F.when(F.col("__cum") >= k1, F.col("__v"))).over(wn).alias("__v1"),
+            F.min(F.when(F.col("__cum") >= k1 + 1, F.col("__v"))).over(wn).alias("__v2"),
+            frac.alias("__frac"),
+        )
+        .groupBy("grp", "p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__frac") > 0,
+                    (F.lit(1.0) - F.col("__frac")) * F.col("__v1")
+                    + F.col("__frac") * F.col("__v2"),
+                ).otherwise(F.col("__v1"))
+            ).alias("__q")
+        )
+    )
+    return interp.select(
+        F.col("grp").alias(group_col),
+        "p",
+        _snap6(F.col("__q")).alias("q"),
+    )

@@ -3384,6 +3384,7 @@ def all_queries():
         "hll_daily_events": hll_daily_events,
         "skyline_parts": skyline_parts,
         "greedy_cover_docs": greedy_cover_docs,
+        "group_quantiles_lineitem": group_quantiles_lineitem,
     }
 
 
@@ -3538,6 +3539,7 @@ def all_oracles():
         "hll_daily_events": ORACLE_HLL_DAILY,
         "skyline_parts": ORACLE_SKYLINE,
         "greedy_cover_docs": ORACLE_GREEDY_COVER,
+        "group_quantiles_lineitem": ORACLE_GROUP_QUANTILES,
     }
 
 
@@ -6946,3 +6948,27 @@ UNION ALL
 SELECT 2, id, gain,
        (SELECT gain FROM b0) + (SELECT gain FROM b1) + (SELECT gain FROM b2) FROM b2
 """
+
+
+def group_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group type-7 quantiles (P25/P50/P75/P95 of l_quantity per
+    l_returnflag) from ONE scan via the bounded distinct-value histogram
+    (operators/stats.group_quantiles) — no per-prob re-sort of raw rows."""
+    from jsonschema_spark.operators.stats import group_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return group_quantiles(li, "l_returnflag", "l_quantity")
+
+
+def _oracle_group_quantiles() -> str:
+    snap = "floor({x} * 1000000.0 + 0.000001) / 1000000.0"
+    parts = [
+        f"SELECT l_returnflag, CAST({p} AS DOUBLE) AS p, "
+        + snap.format(x=f"quantile_cont(l_quantity, {p})")
+        + " AS q FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1"
+        for p in (0.25, 0.5, 0.75, 0.95)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_GROUP_QUANTILES = _oracle_group_quantiles()

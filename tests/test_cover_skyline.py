@@ -79,3 +79,34 @@ def test_skyline_plan_is_window_not_join(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p  # dominance must come from windows
     assert "Window" in p
+
+
+class TestGroupQuantiles:
+    def test_matches_spark_percentile_aggregate(self, spark):
+        from jsonschema_spark.operators.stats import group_quantiles
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        ours = {
+            (r["l_returnflag"], r["p"]): r["q"]
+            for r in group_quantiles(li, "l_returnflag", "l_quantity").collect()
+        }
+        ref = li.groupBy("l_returnflag").agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("qs")
+        ).collect()
+        for r in ref:
+            for p, q in zip((0.25, 0.5, 0.75, 0.95), r["qs"]):
+                snapped = __import__("math").floor(q * 1e6 + 1e-6) / 1e6
+                assert abs(ours[(r["l_returnflag"], p)] - snapped) < 1e-9
+
+    def test_single_scan_histogram_plan(self, spark):
+        from jsonschema_spark.operators.stats import group_quantiles
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        p = (
+            group_quantiles(li, "l_returnflag", "l_quantity")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert p.count("FileScan") == 1, "quantiles must come from ONE scan"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -150,6 +150,7 @@ HEADLINE = [
     "skyline_parts",
     "greedy_cover_docs",
     "group_quantiles_lineitem",
+    "cube_lang_source_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3385,6 +3385,7 @@ def all_queries():
         "skyline_parts": skyline_parts,
         "greedy_cover_docs": greedy_cover_docs,
         "group_quantiles_lineitem": group_quantiles_lineitem,
+        "cube_lang_source_docs": cube_lang_source_docs,
     }
 
 
@@ -3540,6 +3541,7 @@ def all_oracles():
         "skyline_parts": ORACLE_SKYLINE,
         "greedy_cover_docs": ORACLE_GREEDY_COVER,
         "group_quantiles_lineitem": ORACLE_GROUP_QUANTILES,
+        "cube_lang_source_docs": ORACLE_CUBE,
     }
 
 
@@ -6972,3 +6974,31 @@ def _oracle_group_quantiles() -> str:
 
 
 ORACLE_GROUP_QUANTILES = _oracle_group_quantiles()
+
+
+def cube_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source) over documents: counts + exact char sums for all
+    four grouping-set levels in ONE Expand+aggregate pass (completes the
+    OLAP set beside rollup_daily_events / pivot_lang_source_docs /
+    star_join_revenue). grouping_id disambiguates levels identically in
+    both engines (first cube column = MSB)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+ORACLE_CUBE = """
+SELECT lang, source,
+       CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""

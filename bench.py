@@ -151,6 +151,7 @@ HEADLINE = [
     "greedy_cover_docs",
     "group_quantiles_lineitem",
     "cube_lang_source_docs",
+    "logreg_quality_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

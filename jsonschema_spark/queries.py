@@ -3386,6 +3386,7 @@ def all_queries():
         "greedy_cover_docs": greedy_cover_docs,
         "group_quantiles_lineitem": group_quantiles_lineitem,
         "cube_lang_source_docs": cube_lang_source_docs,
+        "logreg_quality_docs": logreg_quality_docs,
     }
 
 
@@ -3542,6 +3543,7 @@ def all_oracles():
         "greedy_cover_docs": ORACLE_GREEDY_COVER,
         "group_quantiles_lineitem": ORACLE_GROUP_QUANTILES,
         "cube_lang_source_docs": ORACLE_CUBE,
+        "logreg_quality_docs": ORACLE_LOGREG,
     }
 
 
@@ -7002,3 +7004,55 @@ SELECT lang, source,
 FROM documents
 GROUP BY CUBE (lang, source)
 """
+
+
+def logreg_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/logreg.fit_logreg):
+    3 full-batch gradient steps predicting lang='en' from bounded text
+    features (ln(1+chars), tokens/100). One aggregation per round, model
+    as literals, weights snapped per round so the SQL replica's rounds
+    consume bit-identical inputs."""
+    from jsonschema_spark.operators.dedup import tokens
+    from jsonschema_spark.operators.logreg import fit_logreg
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    staged = d.select(
+        F.log(F.lit(1.0) + F.col("n_chars")).alias("x1"),
+        (F.size(tokens(F.col("text"))) / 100.0).alias("x2"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return fit_logreg(staged, ["x1", "x2"], "y", iterations=3, lr=0.5)
+
+
+def _oracle_logreg(iterations: int = 3, lr: float = 0.5) -> str:
+    snap = "floor(({x}) * 1000000.0 + 0.000001) / 1000000.0"
+    feats = ["bias", "x1", "x2"]
+    ctes = [
+        """t AS (SELECT 1.0 AS bias,
+       ln(1 + n_chars) AS x1,
+       len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) / 100.0 AS x2,
+       CAST(lang = 'en' AS DOUBLE) AS y
+  FROM documents)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)",
+        "w0 AS (SELECT 0.0 AS wbias, 0.0 AS wx1, 0.0 AS wx2)",
+    ]
+    for r in range(iterations):
+        z = " + ".join(f"w{r}.w{c} * t.{c}" for c in feats)
+        gsums = ", ".join(
+            f"sum((1.0 / (1.0 + exp(-({z}))) - t.y) * t.{c}) AS g{c}"
+            for c in feats
+        )
+        ctes.append(f"g{r} AS (SELECT {gsums} FROM t, w{r})")
+        steps = ", ".join(
+            snap.format(x=f"w{r}.w{c} - {lr!r} * g{r}.g{c} / nn.n") + f" AS w{c}"
+            for c in feats
+        )
+        ctes.append(f"w{r + 1} AS (SELECT {steps} FROM w{r}, g{r}, nn)")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS feature, w{c} AS weight FROM w{iterations}"
+        for c in feats
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLE_LOGREG = _oracle_logreg()

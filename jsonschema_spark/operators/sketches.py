@@ -24,7 +24,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "cms_join_size",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+    "hll_intersect_estimate",
+]
 
 
 def _cell(h: Column, d: int, width: int) -> Column:
@@ -214,3 +223,28 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
     )
     per_d = j.groupBy("d").agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     return per_d.agg(F.min("dot").cast("bigint").alias("est_rows"))
+
+
+def hll_intersect_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One row (est_a, est_b, est_union, est_intersection): the
+    inclusion-exclusion intersection estimate |A∩B| ≈ |A| + |B| − |A∪B|
+    from two register relations alone (union = hll_merge, each term a
+    ≤ m-row aggregation). Error compounds the three HLL errors — fine for
+    overlap triage (e.g. "how much does corpus A share with corpus B"
+    before paying for an exact KMV/join pass); can go negative on tiny
+    true overlaps, clamped at 0."""
+    ea = hll_estimate(a).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b)).select(F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+            ).alias("est_intersection"),
+        )
+    )

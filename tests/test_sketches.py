@@ -139,3 +139,17 @@ class TestCMSJoinSize:
         assert est >= exact
         # at this load (550 items, width 4096) collisions are rare: tight
         assert est <= exact * 1.1
+
+    def test_intersection_estimate(self, spark):
+        from jsonschema_spark.operators.sketches import (
+            hll_build,
+            hll_intersect_estimate,
+        )
+
+        a = spark.range(0, 6_000).select(F.col("id").cast("string").alias("t"))
+        b = spark.range(4_000, 10_000).select(F.col("id").cast("string").alias("t"))
+        r = hll_intersect_estimate(hll_build(a, "t"), hll_build(b, "t")).collect()[0]
+        # true overlap 2000 of 10000; inclusion-exclusion compounds 3 HLL
+        # errors at m=256 (~6.5% each on 6-10k terms) -> generous band
+        assert 500 < r["est_intersection"] < 3500
+        assert r["est_union"] > max(r["est_a"], r["est_b"])

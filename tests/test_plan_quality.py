@@ -366,3 +366,55 @@ def test_entity_blocking_joins_on_block_key(spark):
     # include the blocking column, with no nested-loop fallback
     assert "bk" in p and "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+class TestPartitionPruning:
+    """The 100 TB layout story: date-partitioned parquet + predicates that
+    reach the scan as PartitionFilters (static) and as a runtime DPP filter
+    (join against a filtered dim). Written to .scratch once per session."""
+
+    @staticmethod
+    def _partitioned(spark):
+        import os
+
+        base = ".scratch/events_by_day"
+        if not os.path.exists(base):
+            ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            (
+                ev.withColumn("day", F.to_date("ts"))
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(base)
+            )
+        return spark.read.parquet(base)
+
+    def test_static_partition_pruning(self, spark):
+        ev = self._partitioned(spark)
+        days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+        target = days[len(days) // 2]
+        p = (
+            ev.where(F.col("day") == F.lit(target))
+            .groupBy("event_type")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [" in p
+        seg = p.split("PartitionFilters: [")[1].split("]")[0]
+        assert "day" in seg, f"day predicate did not reach the scan: {seg}"
+
+    def test_dynamic_partition_pruning_from_dim_join(self, spark):
+        ev = self._partitioned(spark)
+        days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+        dim = spark.createDataFrame(
+            [(d, "keep" if i < 2 else "drop") for i, d in enumerate(days)],
+            "day date, flag string",
+        )
+        joined = ev.join(dim.where(F.col("flag") == "keep"), "day").groupBy(
+            "event_type"
+        ).count()
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in p.lower(), (
+            "filtered dim join should induce runtime partition pruning"
+        )

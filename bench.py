@@ -152,6 +152,7 @@ HEADLINE = [
     "group_quantiles_lineitem",
     "cube_lang_source_docs",
     "logreg_quality_docs",
+    "stream_hll_replay_events",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3387,6 +3387,7 @@ def all_queries():
         "group_quantiles_lineitem": group_quantiles_lineitem,
         "cube_lang_source_docs": cube_lang_source_docs,
         "logreg_quality_docs": logreg_quality_docs,
+        "stream_hll_replay_events": stream_hll_replay_events,
     }
 
 
@@ -3544,6 +3545,7 @@ def all_oracles():
         "group_quantiles_lineitem": ORACLE_GROUP_QUANTILES,
         "cube_lang_source_docs": ORACLE_CUBE,
         "logreg_quality_docs": ORACLE_LOGREG,
+        "stream_hll_replay_events": ORACLE_STREAM_HLL_REPLAY,
     }
 
 
@@ -7056,3 +7058,83 @@ def _oracle_logreg(iterations: int = 3, lr: float = 0.5) -> str:
 
 
 ORACLE_LOGREG = _oracle_logreg()
+
+
+def stream_hll_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING entry in the driver gate: replay the events
+    table through `streaming/sketch_stream.stream_hll_windows` (per-DAY
+    distinct-user HLL registers, availableNow trigger, memory sink) and
+    return the emitted rows. Deterministic: append mode emits exactly the
+    windows whose end <= final watermark (max event time, delay 0s), and
+    the registers are the same md5-derived monoid as the batch sketch —
+    so a plain SQL oracle reproduces the STREAM output bit-for-bit. The
+    checkpoint is fresh per call (replay, not resume; resume semantics
+    are covered by tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_spark.streaming.sketch_stream import stream_hll_windows
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        ".scratch", f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        # parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP (the
+        # session zone is pinned UTC, so the cast is a deterministic relabel)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_hll_windows(
+        stream, "ts", "user_id", window_duration="1 day", watermark="0 seconds"
+    )
+    name = f"hll_replay_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="hll_replay_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("date").cast("string").alias("day"),
+        "reg",
+        "max_rho",
+    )
+
+
+ORACLE_STREAM_HLL_REPLAY = """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL),
+parts AS (
+  SELECT ws, CAST(('0x' || substr(hx, 1, 2)) AS INT) AS reg,
+         substr(hx, 3, 30) AS rem
+  FROM h),
+rho AS (
+  SELECT ws, reg,
+         CASE WHEN rem SIMILAR TO '0+' THEN 121
+              ELSE CAST(len(regexp_extract(rem, '^(0*)', 1)) * 4 +
+                   CASE WHEN regexp_extract(rem, '^0*(.)', 1)
+                             IN ('8','9','a','b','c','d','e','f') THEN 0
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('4','5','6','7') THEN 1
+                        WHEN regexp_extract(rem, '^0*(.)', 1) IN ('2','3') THEN 2
+                        ELSE 3 END + 1 AS INT)
+         END AS rho
+  FROM parts),
+win AS (SELECT ws, reg, CAST(max(rho) AS INT) AS max_rho FROM rho GROUP BY 1, 2),
+wm AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(CAST(win.ws AS DATE) AS VARCHAR) AS day, win.reg, win.max_rho
+FROM win, wm WHERE win.ws + INTERVAL 1 DAY <= wm.m
+"""

@@ -7078,8 +7078,11 @@ def stream_hll_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_spark.streaming.sketch_stream import stream_hll_windows
 
     src = os.path.join(sf_dir, "events.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stage = os.path.join(
-        ".scratch", f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}"
+        repo_root,
+        ".scratch",
+        f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     if not os.path.exists(os.path.join(stage, "events.parquet")):
         os.makedirs(stage, exist_ok=True)

@@ -153,6 +153,7 @@ HEADLINE = [
     "cube_lang_source_docs",
     "logreg_quality_docs",
     "stream_hll_replay_events",
+    "bins_quantity_lineitem",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

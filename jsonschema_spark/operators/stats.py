@@ -298,3 +298,69 @@ def group_quantiles(
         "p",
         _snap6(F.col("__q")).alias("q"),
     )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning summary: one row per bin with
+    (bin, lo, hi, n) where the edges are the type-7 quantiles at
+    i/n_bins — the standard feature-discretization step before training a
+    tree/NB model on a heavy-tailed numeric signal.
+
+    Plan: edges come from the single-scan bounded value histogram
+    (`group_quantiles` machinery, one global group); the assignment pass
+    re-aggregates the SAME histogram against the broadcast edge row —
+    raw rows are scanned once, assignment work is O(distinct values ×
+    n_bins). Bin membership: lo <= v <= hi for bin i with half-open
+    semantics enforced by rank (a value equal to an interior edge lands
+    in the LOWER bin, matching SQL `v <= hi ORDER BY bin LIMIT 1`)."""
+    probs = tuple(i / n_bins for i in range(n_bins + 1))
+    edges = group_quantiles(
+        df.select(F.lit("g").alias("__g"), F.col(value_col)),
+        "__g",
+        value_col,
+        probs=probs,
+    ).select("p", "q")
+    piv = edges.groupBy().pivot("p", [float(p) for p in probs]).agg(F.min("q"))
+    cols = [F.col(f"`{float(p)}`") for p in probs]
+    cnt = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = cnt.crossJoin(F.broadcast(piv))
+    # first bin whose hi bounds v (interior-edge ties go low); the last
+    # edge is the max so every value lands somewhere
+    bin_idx = None
+    for i in range(n_bins, 0, -1):
+        cond = F.col("v") <= cols[i]
+        bin_idx = F.when(cond, F.lit(i - 1)) if bin_idx is None else F.when(
+            cond, F.lit(i - 1)
+        ).otherwise(bin_idx)
+    # values above the top edge (possible only via float snap) clamp high
+    bin_idx = F.coalesce(bin_idx, F.lit(n_bins - 1))
+    return (
+        j.select(bin_idx.alias("bin"), "cnt", *[c.alias(f"e{i}") for i, c in enumerate(cols)])
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            *[F.min(f"e{i}").alias(f"e{i}") for i in range(n_bins + 1)],
+        )
+        .select(
+            "bin",
+            *[],
+            F.element_at(
+                F.array(*[F.col(f"e{i}") for i in range(n_bins + 1)]),
+                F.col("bin").cast("int") + 1,
+            ).alias("lo"),
+            F.element_at(
+                F.array(*[F.col(f"e{i}") for i in range(n_bins + 1)]),
+                F.col("bin").cast("int") + 2,
+            ).alias("hi"),
+            "n",
+        )
+    )

@@ -3388,6 +3388,7 @@ def all_queries():
         "cube_lang_source_docs": cube_lang_source_docs,
         "logreg_quality_docs": logreg_quality_docs,
         "stream_hll_replay_events": stream_hll_replay_events,
+        "bins_quantity_lineitem": bins_quantity_lineitem,
     }
 
 
@@ -3546,6 +3547,7 @@ def all_oracles():
         "cube_lang_source_docs": ORACLE_CUBE,
         "logreg_quality_docs": ORACLE_LOGREG,
         "stream_hll_replay_events": ORACLE_STREAM_HLL_REPLAY,
+        "bins_quantity_lineitem": ORACLE_BINS,
     }
 
 
@@ -7141,3 +7143,38 @@ wm AS (SELECT max(ts) AS m FROM events)
 SELECT CAST(CAST(win.ws AS DATE) AS VARCHAR) AS day, win.reg, win.max_rho
 FROM win, wm WHERE win.ws + INTERVAL 1 DAY <= wm.m
 """
+
+
+def bins_quantity_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning of l_quantity into 4 bins
+    (operators/stats.equal_frequency_bins): snapped type-7 edges from the
+    single-scan value histogram, assignment re-aggregated over the SAME
+    histogram against the broadcast edge row — raw rows scanned once."""
+    from jsonschema_spark.operators.stats import equal_frequency_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    return equal_frequency_bins(li, "l_quantity", n_bins=4)
+
+
+def _oracle_bins() -> str:
+    snap = "floor(quantile_cont(l_quantity, {p}) * 1000000.0 + 0.000001) / 1000000.0"
+    edges = ", ".join(
+        snap.format(p=p) + f" AS e{i}"
+        for i, p in enumerate((0.0, 0.25, 0.5, 0.75, 1.0))
+    )
+    return f"""
+WITH e AS (SELECT {edges} FROM lineitem WHERE l_quantity IS NOT NULL),
+b AS (SELECT l_quantity AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+a AS (SELECT CASE WHEN v <= e.e1 THEN 0 WHEN v <= e.e2 THEN 1
+                  WHEN v <= e.e3 THEN 2 ELSE 3 END AS bin,
+             count(*) AS n
+      FROM b, e GROUP BY 1)
+SELECT CAST(a.bin AS INT) AS bin,
+       CASE a.bin WHEN 0 THEN e.e0 WHEN 1 THEN e.e1 WHEN 2 THEN e.e2 ELSE e.e3 END AS lo,
+       CASE a.bin WHEN 0 THEN e.e1 WHEN 1 THEN e.e2 WHEN 2 THEN e.e3 ELSE e.e4 END AS hi,
+       CAST(a.n AS BIGINT) AS n
+FROM a, e
+"""
+
+
+ORACLE_BINS = _oracle_bins()

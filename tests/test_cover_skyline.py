@@ -110,3 +110,31 @@ class TestGroupQuantiles:
         )
         assert p.count("FileScan") == 1, "quantiles must come from ONE scan"
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestEqualFrequencyBins:
+    def test_counts_conserved_and_edges_monotone(self, spark):
+        from jsonschema_spark.operators.stats import equal_frequency_bins
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        rows = sorted(
+            equal_frequency_bins(li, "l_quantity", n_bins=4).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+        total = li.where(F.col("l_quantity").isNotNull()).count()
+        assert sum(r["n"] for r in rows) == total
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] == b["lo"]  # edges chain
+            assert a["lo"] <= a["hi"]
+        # equal-frequency: no bin grossly over/under target (ties distort)
+        for r in rows:
+            assert 0.1 * total < r["n"] < 0.45 * total
+
+    def test_interior_edge_ties_go_low(self, spark):
+        from jsonschema_spark.operators.stats import equal_frequency_bins
+
+        df = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 2, 3, 4]], "x double")
+        rows = {r["bin"]: r for r in equal_frequency_bins(df, "x", n_bins=2).collect()}
+        # median = 2.0; all three 2s land in bin 0 (v <= hi)
+        assert rows[0]["n"] == 4 and rows[1]["n"] == 2

@@ -154,6 +154,7 @@ HEADLINE = [
     "logreg_quality_docs",
     "stream_hll_replay_events",
     "bins_quantity_lineitem",
+    "zorder_layout_lineitem",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

@@ -3389,6 +3389,7 @@ def all_queries():
         "logreg_quality_docs": logreg_quality_docs,
         "stream_hll_replay_events": stream_hll_replay_events,
         "bins_quantity_lineitem": bins_quantity_lineitem,
+        "zorder_layout_lineitem": zorder_layout_lineitem,
     }
 
 
@@ -3548,6 +3549,7 @@ def all_oracles():
         "logreg_quality_docs": ORACLE_LOGREG,
         "stream_hll_replay_events": ORACLE_STREAM_HLL_REPLAY,
         "bins_quantity_lineitem": ORACLE_BINS,
+        "zorder_layout_lineitem": ORACLE_ZORDER,
     }
 
 
@@ -7178,3 +7180,59 @@ FROM a, e
 
 
 ORACLE_BINS = _oracle_bins()
+
+
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit: interleave l_quantity with a
+    price-bucket (operators/layout.zorder_key), group rows into 64
+    z-ranges, and report each range's row count plus min/max of BOTH
+    dimensions — the zone-map view a ZORDER-clustered file layout would
+    expose. Tight per-range bounds on both axes are exactly why the
+    interleaved sort key prunes 2-D predicates where a lexicographic sort
+    cannot."""
+    from jsonschema_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("pb"),
+    )
+    z = zorder_key(F.col("q"), F.col("pb"), bits=6)
+    return (
+        staged.withColumn("zbucket", F.shiftright(z, 6))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+            F.min("pb").alias("pb_min"),
+            F.max("pb").alias("pb_max"),
+        )
+    )
+
+
+ORACLE_ZORDER = """
+WITH staged AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice / 1000) AS BIGINT) AS pb
+  FROM lineitem),
+clamped AS (
+  SELECT q, pb,
+         least(greatest(q, 0), 63) AS qc,
+         least(greatest(pb, 0), 63) AS pc
+  FROM staged),
+zk AS (
+  SELECT q, pb,
+         ( ((qc >> 0) % 2) * 1 + ((pc >> 0) % 2) * 2
+         + ((qc >> 1) % 2) * 4 + ((pc >> 1) % 2) * 8
+         + ((qc >> 2) % 2) * 16 + ((pc >> 2) % 2) * 32
+         + ((qc >> 3) % 2) * 64 + ((pc >> 3) % 2) * 128
+         + ((qc >> 4) % 2) * 256 + ((pc >> 4) % 2) * 512
+         + ((qc >> 5) % 2) * 1024 + ((pc >> 5) % 2) * 2048 ) AS z
+  FROM clamped)
+SELECT CAST(z >> 6 AS BIGINT) AS zbucket,
+       count(*) AS n,
+       min(q) AS q_min, max(q) AS q_max,
+       min(pb) AS pb_min, max(pb) AS pb_max
+FROM zk GROUP BY 1
+"""

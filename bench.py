@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_hll_replay_events",
     "bins_quantity_lineitem",
     "zorder_layout_lineitem",
+    "bpe_apply_docs",
     "span_mismatch_events",
     "media_features_fake",
     "defaults_fill_events",

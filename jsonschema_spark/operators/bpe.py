@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from jsonschema_spark.operators.dedup import tokens
 
-__all__ = ["bpe_train_merges"]
+__all__ = ["bpe_train_merges", "bpe_token_counts"]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -121,3 +121,61 @@ def bpe_train_merges(
                 .localCheckpoint(eager=True)
             )
     return spark.createDataFrame(out, _OUT_SCHEMA)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rounds: int = 4,
+) -> DataFrame:
+    """(id, n_words, n_chars_syms, n_bpe_syms): per-document token counts
+    under the first `rounds` learned BPE merges — the train→apply loop
+    closed (what a tokenizer-aware data pipeline uses to price documents
+    into a token budget BEFORE paying for real tokenization).
+
+    Scale shape: training is vocab-bounded (`bpe_train_merges`); the apply
+    side rewrites the VOCABULARY (distinct words) through the learned
+    rules — each rule one row-local greedy fold — and the per-document
+    count is a words⋈vocab equi-join + sum, so the corpus-sized work is
+    the word explode and one join keyed on the word, never a per-document
+    re-merge. n_chars_syms is the pre-merge symbol count (chars + </w>).
+    """
+    spark = df.sparkSession
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train_merges(df, text_col, rounds=rounds).collect()
+    ]
+    words = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        words.select("w").distinct().select(
+            "w",
+            F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "$1 "), F.lit("</w>")
+            ).alias("sym"),
+        )
+    )
+    for l, r in merges:
+        vocab = vocab.select("w", _merge_rule(F.col("sym"), l, r).alias("sym"))
+    vocab = vocab.select(
+        "w",
+        (F.length("w") + 1).alias("pre"),
+        F.size(F.split(F.col("sym"), " ")).alias("post"),
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("pre")).cast("bigint").alias("n_chars_syms"),
+            F.sum(F.col("n") * F.col("post")).cast("bigint").alias("n_bpe_syms"),
+        )
+    )

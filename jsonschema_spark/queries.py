@@ -3390,6 +3390,7 @@ def all_queries():
         "stream_hll_replay_events": stream_hll_replay_events,
         "bins_quantity_lineitem": bins_quantity_lineitem,
         "zorder_layout_lineitem": zorder_layout_lineitem,
+        "bpe_apply_docs": bpe_apply_docs,
     }
 
 
@@ -3550,6 +3551,7 @@ def all_oracles():
         "stream_hll_replay_events": ORACLE_STREAM_HLL_REPLAY,
         "bins_quantity_lineitem": ORACLE_BINS,
         "zorder_layout_lineitem": ORACLE_ZORDER,
+        "bpe_apply_docs": ORACLE_BPE_APPLY,
     }
 
 
@@ -7236,3 +7238,73 @@ SELECT CAST(z >> 6 AS BIGINT) AS zbucket,
        min(pb) AS pb_min, max(pb) AS pb_max
 FROM zk GROUP BY 1
 """
+
+
+def bpe_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train→apply loop closed: learn 4 merges on the documents
+    corpus, rewrite the distinct-word vocabulary through them, and price
+    every document's token count under the learned subwords
+    (operators/bpe.bpe_token_counts) — per-doc counts come from a
+    words⋈vocab equi-join, never a per-document re-merge."""
+    from jsonschema_spark.operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    return bpe_token_counts(d, "doc_id", "text", rounds=4)
+
+
+def _bpe_apply_round(src: str, key: str, brule: str, out: str, tag: str) -> list[str]:
+    """CTE block applying one merge rule to (key, sym) rows — the
+    gaps-and-islands greedy form keyed on `key`."""
+    return [
+        f"""{tag}s AS (SELECT {key}, sym, string_split(sym, ' ') AS s FROM {src})""",
+        f"""{tag}e AS (SELECT {key}, t.j, s[t.j] AS x, len(s) AS m, s
+    FROM {tag}s, unnest(range(1, len(s) + 1)) AS t(j))""",
+        f"""{tag}c AS (SELECT e.*, (e.x = b.l AND e.j < e.m AND e.s[e.j + 1] = b.r) AS cand
+    FROM {tag}e e CROSS JOIN {brule} b)""",
+        f"""{tag}f AS (SELECT {key}, j FROM (
+      SELECT {key}, j, j - row_number() OVER (PARTITION BY {key} ORDER BY j) AS grp
+      FROM {tag}c WHERE cand)
+    QUALIFY row_number() OVER (PARTITION BY {key}, grp ORDER BY j) % 2 = 1)""",
+        f"""{out} AS (SELECT e.{key},
+      string_agg(CASE WHEN f.j IS NOT NULL THEN (SELECT l || r FROM {brule}) ELSE e.x END,
+                 ' ' ORDER BY e.j) AS sym
+    FROM {tag}c e
+    LEFT JOIN {tag}f f ON f.{key} = e.{key} AND f.j = e.j
+    LEFT JOIN {tag}f g ON g.{key} = e.{key} AND g.j = e.j - 1
+    WHERE g.j IS NULL
+    GROUP BY e.{key})""",
+    ]
+
+
+def _bpe_apply_oracle_sql(rounds: int = 4) -> str:
+    """Training chain (same as ORACLE_BPE_TRAIN) + per-WORD application of
+    all learned rules + per-document rollup."""
+    base = _bpe_oracle_sql(rounds)
+    train_ctes = base[len("WITH ") : base.rindex("\nSELECT CAST(0")]
+    ctes = [train_ctes]
+    # the training chain only materializes merges up to v{rounds-1}; the
+    # apply chain rewrites the distinct-WORD relation through ALL rules
+    ctes.append(
+        """wd AS (SELECT doc_id AS id, w, count(*) AS n FROM (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents) WHERE w <> '' GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        """a0 AS (SELECT w, regexp_replace(w, '(.)', '\\1 ', 'g') || '</w>' AS sym
+    FROM (SELECT DISTINCT w FROM wd))"""
+    )
+    for r in range(rounds):
+        ctes.extend(_bpe_apply_round(f"a{r}", "w", f"b{r}", f"a{r + 1}", f"ap{r}"))
+    ctes.append(
+        f"""lens AS (SELECT w, len(w) + 1 AS pre,
+    len(string_split(sym, ' ')) AS post FROM a{rounds})"""
+    )
+    final = """SELECT wd.id AS id, CAST(sum(wd.n) AS BIGINT) AS n_words,
+       CAST(sum(wd.n * lens.pre) AS BIGINT) AS n_chars_syms,
+       CAST(sum(wd.n * lens.post) AS BIGINT) AS n_bpe_syms
+FROM wd JOIN lens USING (w) GROUP BY 1"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+ORACLE_BPE_APPLY = _bpe_apply_oracle_sql(4)

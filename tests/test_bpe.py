@@ -41,3 +41,19 @@ def test_rounds_bound_and_schema(spark):
     assert res.columns == ["round", "left_sym", "right_sym", "merged", "pair_n"]
     rows = res.collect()
     assert [r["round"] for r in rows] == [0, 1, 2]
+
+
+def test_apply_counts_shrink_and_conserve(spark):
+    from jsonschema_spark.operators.bpe import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "flow glow")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in bpe_token_counts(df, "doc_id", "text", rounds=4).collect()}
+    # doc 1: words low(2) lower(1); pre = (3+1)*2 + (5+1) = 14
+    assert out[1]["n_words"] == 3 and out[1]["n_chars_syms"] == 14
+    # learned merges (l,o)(lo,w)(low,</w>)(e,r): 'low' -> 1 symbol,
+    # 'lower' -> low+er+</w> = 3 symbols -> 2*1 + 3 = 5
+    assert out[1]["n_bpe_syms"] == 5
+    # merges always shrink-or-preserve
+    assert out[2]["n_bpe_syms"] <= out[2]["n_chars_syms"]

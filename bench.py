@@ -170,6 +170,9 @@ HEADLINE = [
     "quality_auc_docs",
     "encoding_quality_docs",
     "corpus_health_docs",
+    "kmv_daily_events",
+    "mmd_drift_embeddings",
+    "compaction_plan_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "chi2_statistic", "js_divergence", "wasserstein_1", "embedding_centroid_drift"]
+__all__ = ["ks_statistic", "psi", "chi2_statistic", "js_divergence", "wasserstein_1", "embedding_centroid_drift", "embedding_mmd_drift"]
 
 _EPS = 1e-6
 
@@ -304,3 +304,106 @@ def embedding_centroid_drift(
     return pairs.select(
         "cohort_a", "cohort_b", "n_a", "n_b", snapped.alias("centroid_cosine")
     )
+
+
+def embedding_mmd_drift(
+    df: DataFrame, emb_col: str, cohort_col: str, *, method: str = "column"
+) -> DataFrame:
+    """Pairwise cohort MMD² under the degree-2 polynomial kernel
+    k(x,y) = (x·y)² — SECOND-moment drift in embedding space. The kernel
+    mean embedding of k is the second-moment matrix C = E[xxᵀ], so
+    MMD²(A,B) = ‖C_A − C_B‖²_F exactly: it catches covariance/shape shift
+    (a cohort that spreads, collapses, or rotates around an unmoved mean)
+    that `embedding_centroid_drift`'s first moment cannot see, with no
+    transcendental functions — every step is +/·, so the DuckDB oracle
+    reproduces it to float precision and the usual 1e-6 nudge-then-floor
+    snap closes the gap. Returns (cohort_a, cohort_b, n_a, n_b, mmd2) for
+    every unordered cohort pair.
+
+    Two physical strategies, one semantics (parity-tested):
+
+    - method="column" (default): double posexplode → one map-side-
+      combining groupBy. The generate stage amplifies rows d² per input
+      row, but the exchange carries only |cohorts|·d² summed cells —
+      right for moderate d where whole-stage codegen keeps the fold in
+      the JVM.
+    - method="arrow": `mapInPandas` folds each Arrow batch to its d×d
+      partial Gram matrix with one BLAS syrk-shaped `X.T @ X` — the
+      per-ROW d² amplification becomes per-BATCH, which is the 100 TB
+      shape when d² row generation would dominate CPU. The exchange is
+      identical (per-batch cells, map-side-combined).
+
+    Elements are cast to double BEFORE any arithmetic (repo-wide rule:
+    float32 folds diverge from double-first oracles).
+    """
+    src = df.where(
+        F.col(cohort_col).isNotNull() & F.col(emb_col).isNotNull()
+    ).select(
+        F.col(cohort_col).alias("cohort"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+    if method == "column":
+        e1 = src.select("cohort", "e", F.posexplode("e").alias("i", "vi"))
+        e2 = e1.select("cohort", "i", "vi", F.posexplode("e").alias("j", "vj"))
+        cells = e2.groupBy("cohort", "i", "j").agg(
+            F.sum(F.col("vi") * F.col("vj")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    elif method == "arrow":
+        cohort_type = src.schema["cohort"].dataType.simpleString()
+        out_schema = (
+            f"cohort {cohort_type}, i int, j int, s double, c bigint"
+        )
+
+        def fold(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for cohort, grp in pdf.groupby("cohort", sort=False):
+                    x = np.asarray(list(grp["e"]), dtype=np.float64)
+                    gram = x.T @ x
+                    d = gram.shape[0]
+                    ii, jj = np.indices((d, d))
+                    yield pd.DataFrame(
+                        {
+                            "cohort": cohort,
+                            "i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "s": gram.ravel(),
+                            "c": np.int64(len(grp)),
+                        }
+                    )
+
+        cells = (
+            src.mapInPandas(fold, out_schema)
+            .groupBy("cohort", "i", "j")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown method {method!r}")
+    return _mmd_from_cells(cells)
+
+
+def _mmd_from_cells(cells: DataFrame) -> DataFrame:
+    m = F.col("s") / F.col("c")
+    a = cells.select(
+        F.col("cohort").alias("cohort_a"), "i", "j",
+        m.alias("ma"), F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("cohort").alias("cohort_b"), "i", "j",
+        m.alias("mb"), F.col("c").alias("cb"),
+    )
+    pairs = a.join(b, ["i", "j"]).where(F.col("cohort_a") < F.col("cohort_b"))
+    agg = pairs.groupBy("cohort_a", "cohort_b").agg(
+        F.max("ca").alias("n_a"),
+        F.max("cb").alias("n_b"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias("_m2"),
+    )
+    snapped = F.floor(F.col("_m2") * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(
+        1000000.0
+    )
+    return agg.select("cohort_a", "cohort_b", "n_a", "n_b", snapped.alias("mmd2"))

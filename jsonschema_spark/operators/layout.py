@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key"]
+__all__ = ["zorder_key", "compaction_plan"]
 
 
 def zorder_key(x: Column, y: Column, *, bits: int = 8) -> Column:
@@ -37,3 +37,58 @@ def zorder_key(x: Column, y: Column, *, bits: int = 8) -> Column:
             + F.shiftleft(F.shiftright(yc, i) % 2, 2 * i + 1)
         )
     return z
+
+
+def compaction_plan(
+    manifest: "DataFrame",
+    *,
+    partition_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> "DataFrame":
+    """Small-file compaction plan over a file manifest — the maintenance
+    half of the layout story beside `zorder_key`: a 100 TB table whose
+    partitions accrete thousands of sub-target files (streaming commits,
+    per-executor writers) reads at open-cost, not scan-cost, until the
+    files are re-binned toward a target size (Iceberg `rewrite_data_files`
+    / Delta OPTIMIZE binPack).
+
+    Within each partition, files are ordered by (size DESC, file id) and
+    assigned to bins by cumulative-sum blocking: bin = floor(bytes-before
+    / target). That is the sort-based next-fit plan — every bin except the
+    last per partition closes at ≥ target bytes, an oversized file lands
+    alone in its own bin (its predecessor total already crossed the
+    boundary), and the assignment is a single window cumsum: deterministic,
+    engine-identical integer arithmetic, one sort exchange over the
+    MANIFEST (metadata scale — millions of rows for a 10^12-doc table,
+    never the data).
+
+    Returns one row per (partition, bin): (partition, bin, n_files,
+    total_bytes) — the rewrite task list; bins with n_files == 1 and
+    total_bytes ≥ target are already-compact files a runner skips.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc(size_col), F.asc(file_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    staged = manifest.select(
+        F.col(partition_col).alias("partition"),
+        F.col(size_col).cast("bigint").alias("_sz"),
+        cum_before.cast("bigint").alias("_cum"),
+    )
+    # integer DIV, not float floor — cumulative bytes can pass 2^53 on a
+    # real manifest and double division would mis-bin the tail
+    binned = staged.select(
+        "partition",
+        "_sz",
+        F.expr(f"_cum DIV {int(target_bytes)}").alias("bin"),
+    )
+    return binned.groupBy("partition", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("_sz").alias("total_bytes"),
+    )

@@ -33,6 +33,9 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_intersect_estimate",
+    "kmv_build",
+    "kmv_merge",
+    "kmv_estimate",
 ]
 
 
@@ -248,3 +251,113 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# --------------------------------------------------------------- KMV (bottom-k)
+
+_KMV_H48 = 1 << 48  # 12 hex chars — enough precision for the estimator
+
+
+def _kmv_hex(term: Column) -> Column:
+    """Full md5 hex of 'kmv:term' — the sketch value. Lowercase fixed-width
+    hex orders identically to the 128-bit integer it encodes, so bottom-k
+    is a plain string ORDER BY in any engine; the estimator reads only the
+    first 12 hex chars (48 bits) as an integer."""
+    return F.md5(F.concat(F.lit("kmv:"), term.cast("string")))
+
+
+def _kmv_h48(hex_col: Column) -> Column:
+    return F.conv(F.substring(hex_col, 1, 12), 16, 10).cast("bigint")
+
+
+def kmv_build(
+    items: DataFrame,
+    term_col: str,
+    *,
+    k: int = 32,
+    group_cols: tuple = (),
+    oversample: int = 8,
+) -> DataFrame:
+    """(*group_cols, rk, hx) bottom-k (KMV / min-wise) sample sketch over a
+    term column — the k smallest md5 hashes of the DISTINCT terms, one
+    independent sketch per group. Mergeable (union + re-bottom-k ==
+    sketch of the concatenation — min-wise sampling is coordinated across
+    sketches because the hash, not an RNG, picks survivors) and doubles as
+    a distinct-count estimator (`kmv_estimate`) and a uniform sample of
+    the distinct domain (quantile/Jaccard probes).
+
+    Scale shape: a naive bottom-k would `distinct()` the full (group,
+    term) domain through an exchange and then sort it. Instead a first
+    map-side-combining pass computes `approx_count_distinct` per group
+    (HLL, deterministic), and a broadcast-joined hash THRESHOLD
+    `oversample·k / nd` prefilters the scan — only ~oversample·k rows per
+    group survive to the (tiny) distinct + row_number. P[the true k-th
+    hash exceeds the threshold] ≤ exp(-Θ(k·oversample)) (Chernoff; ~e^-93
+    at k=32, oversample=8, including HLL's ±5%): at 10^12 rows the wide
+    ops run over O(groups·k·oversample) rows, and the scan's only full
+    pass is the cheap count. Groups with nd ≤ oversample·k skip the
+    filter entirely (threshold saturates at 1)."""
+    gcols = list(group_cols)
+    staged = (
+        items.where(F.col(term_col).isNotNull())
+        .select(*gcols, _kmv_hex(F.col(term_col)).alias("hx"))
+    )
+    nd = staged.groupBy(*gcols).agg(
+        F.approx_count_distinct("hx").alias("_nd")
+    )
+    thr = F.least(
+        F.lit(_KMV_H48),
+        (F.lit(int(oversample * k) * _KMV_H48) / F.greatest(F.col("_nd"), F.lit(1)))
+        .cast("bigint")
+        + F.lit(1),
+    )
+    if gcols:
+        survivors = staged.join(F.broadcast(nd.select(*gcols, thr.alias("_thr"))), gcols)
+    else:
+        survivors = staged.crossJoin(F.broadcast(nd.select(thr.alias("_thr"))))
+    survivors = survivors.where(_kmv_h48(F.col("hx")) <= F.col("_thr")).select(
+        *gcols, "hx"
+    )
+    return _kmv_topk(survivors.distinct(), k, gcols)
+
+
+def _kmv_topk(rel: DataFrame, k: int, gcols: list) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols).orderBy("hx") if gcols else Window.orderBy("hx")
+    return (
+        rel.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*gcols, "rk", "hx")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 32, group_cols: tuple = ()) -> DataFrame:
+    """Union sketch relations and re-bottom-k per group. Because survivors
+    are hash-selected, bottom-k of a union of per-part bottom-k sets IS
+    the bottom-k of the union of the underlying domains — per-day sketches
+    roll up to any coarser grain without touching raw data (tested)."""
+    it = iter(sketches)
+    acc = next(it)
+    for s in it:
+        acc = acc.unionByName(s)
+    gcols = list(group_cols)
+    return _kmv_topk(acc.select(*gcols, "hx").distinct(), k, gcols)
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 32, group_cols: tuple = ()) -> DataFrame:
+    """(*group_cols, n_sketch, est) distinct-count estimate per group: if
+    the sketch holds fewer than k hashes it holds the WHOLE domain (est =
+    n_sketch, exact); else the classic KMV estimator (k-1)/h_(k) with
+    h_(k) as a 48-bit fraction — evaluated in pure 64-bit integer
+    arithmetic ((k-1)·2^48 DIV h48, exact and engine-identical; no float
+    division). Relative error ~ 1/sqrt(k-2)."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(_kmv_h48(F.col("hx"))).alias("_kth"),
+    )
+    est = F.when(F.col("n_sketch") < k, F.col("n_sketch")).otherwise(
+        F.expr(f"CAST({(k - 1) * _KMV_H48} AS BIGINT) DIV _kth")
+    )
+    return agg.select(*gcols, "n_sketch", est.cast("bigint").alias("est"))

@@ -3391,6 +3391,9 @@ def all_queries():
         "bins_quantity_lineitem": bins_quantity_lineitem,
         "zorder_layout_lineitem": zorder_layout_lineitem,
         "bpe_apply_docs": bpe_apply_docs,
+        "kmv_daily_events": kmv_daily_events,
+        "mmd_drift_embeddings": mmd_drift_embeddings,
+        "compaction_plan_events": compaction_plan_events,
     }
 
 
@@ -3552,6 +3555,9 @@ def all_oracles():
         "bins_quantity_lineitem": ORACLE_BINS,
         "zorder_layout_lineitem": ORACLE_ZORDER,
         "bpe_apply_docs": ORACLE_BPE_APPLY,
+        "kmv_daily_events": ORACLE_KMV_DAILY,
+        "mmd_drift_embeddings": ORACLE_MMD_DRIFT,
+        "compaction_plan_events": ORACLE_COMPACTION_PLAN,
     }
 
 
@@ -7308,3 +7314,142 @@ FROM wd JOIN lens USING (w) GROUP BY 1"""
 
 
 ORACLE_BPE_APPLY = _bpe_apply_oracle_sql(4)
+
+
+def kmv_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KMV (bottom-k) distinct-user sketches plus their rollup:
+    build a k=64 min-wise sample sketch per day over events.user_id
+    (operators/sketches.kmv_build — threshold-prefiltered so the wide ops
+    see ~8k rows per group, never the raw domain), estimate each day's
+    distinct count from the sketch in exact integer arithmetic, then
+    kmv_merge the per-day sketches into an 'ALL' rollup WITHOUT touching
+    raw data — min-wise sampling is hash-coordinated, so bottom-k of the
+    per-day bottom-k union is exactly the global bottom-k. Completes the
+    mergeable-sketch algebra beside HLL (registers) and CMS (counters)
+    with the one sketch that is also a uniform SAMPLE of the domain."""
+    from jsonschema_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    sk = kmv_build(ev, "user_id", k=64, group_cols=("day",))
+    daily = kmv_estimate(sk, k=64, group_cols=("day",))
+    rollup = kmv_merge(sk.withColumn("day", F.lit("ALL")), k=64, group_cols=("day",))
+    merged = kmv_estimate(rollup, k=64, group_cols=("day",))
+    return daily.unionByName(merged)
+
+
+ORACLE_KMV_DAILY = """
+WITH t AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         md5('kmv:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL),
+d AS (SELECT DISTINCT day, hx FROM t),
+r AS (SELECT day, hx, row_number() OVER (PARTITION BY day ORDER BY hx) AS rk FROM d),
+g AS (SELECT DISTINCT hx FROM t),
+gr AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rk FROM g),
+allsk AS (
+  SELECT day, hx FROM r WHERE rk <= 64
+  UNION ALL
+  SELECT 'ALL' AS day, hx FROM gr WHERE rk <= 64),
+agg AS (
+  SELECT day, count(*) AS n_sketch,
+         max(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS kth
+  FROM allsk GROUP BY day)
+SELECT day, CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+                 ELSE CAST(17732923532771328 AS BIGINT) // kth END AS BIGINT) AS est
+FROM agg
+"""
+
+
+def mmd_drift_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment embedding drift between label cohorts: pairwise MMD²
+    under the degree-2 polynomial kernel (operators/drift.
+    embedding_mmd_drift) — ‖C_A − C_B‖²_F over per-cohort second-moment
+    matrices. Complements `centroid_drift_embeddings` (first moment): a
+    cohort whose covariance spreads or rotates around an unmoved mean is
+    invisible to the centroid cosine but lights up here. Pure +/· all the
+    way down (no transcendentals), so the oracle matches to float
+    precision under the standard 1e-6 snap."""
+    from jsonschema_spark.operators.drift import embedding_mmd_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_mmd_drift(emb, "embedding", "label")
+
+
+ORACLE_MMD_DRIFT = """
+WITH src AS (
+  SELECT label AS cohort, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+e1 AS (
+  SELECT cohort, e, generate_subscripts(e, 1) AS i, unnest(e) AS vi FROM src),
+e2 AS (
+  SELECT cohort, i, vi, generate_subscripts(e, 1) AS j, unnest(e) AS vj FROM e1),
+cells AS (
+  SELECT cohort, i, j, sum(vi * vj) AS s, count(*) AS c
+  FROM e2 GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT a.cohort AS cohort_a, b.cohort AS cohort_b,
+         max(a.c) AS n_a, max(b.c) AS n_b,
+         sum((a.s / a.c - b.s / b.c) * (a.s / a.c - b.s / b.c)) AS m2
+  FROM cells a JOIN cells b ON a.i = b.i AND a.j = b.j AND a.cohort < b.cohort
+  GROUP BY 1, 2)
+SELECT cohort_a, cohort_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       floor(m2 * 1000000.0 + 0.000001) / 1000000.0 AS mmd2
+FROM pairs
+"""
+
+
+def compaction_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/layout.compaction_plan) over a
+    deterministic synthetic manifest: one 'file' per (day, user bucket)
+    with size = Σ(props bytes + 64 B row overhead) — the accretion pattern
+    a per-day streaming ingest leaves behind. Files are binned toward a
+    4 KiB target by size-desc cumulative-sum blocking; output is the
+    rewrite task list (partition, bin, n_files, total_bytes). The window
+    cumsum runs over the MANIFEST relation (metadata scale), never the
+    data."""
+    from jsonschema_spark.operators.layout import compaction_plan
+
+    ev = _t(spark, sf_dir, "events")
+    manifest = (
+        ev.groupBy(
+            F.col("ts").cast("date").cast("string").alias("part"),
+            F.coalesce(F.col("user_id") % 16, F.lit(-1)).alias("file_id"),
+        )
+        .agg(
+            F.sum(F.length(F.coalesce(F.col("props"), F.lit(""))) + 64).alias(
+                "size_bytes"
+            )
+        )
+    )
+    return compaction_plan(
+        manifest,
+        partition_col="part",
+        file_col="file_id",
+        size_col="size_bytes",
+        target_bytes=4096,
+    )
+
+
+ORACLE_COMPACTION_PLAN = """
+WITH m AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+         COALESCE(user_id % 16, -1) AS file_id,
+         SUM(length(COALESCE(props, '')) + 64) AS size_bytes
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT part, size_bytes,
+         COALESCE(SUM(size_bytes) OVER (
+             PARTITION BY part ORDER BY size_bytes DESC, file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM m)
+SELECT part AS partition, CAST(cum_before // 4096 AS BIGINT) AS bin,
+       count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+FROM w GROUP BY 1, 2
+"""

@@ -1,0 +1,186 @@
+"""Session-9 operators: KMV bottom-k sketch laws, polynomial-kernel MMD
+drift, and the compaction bin-packing planner."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.drift import embedding_mmd_drift
+from jsonschema_spark.operators.layout import compaction_plan
+from jsonschema_spark.operators.sketches import kmv_build, kmv_estimate, kmv_merge
+
+
+# ------------------------------------------------------------------ KMV
+
+def _brute_bottom_k(terms, k):
+    hs = sorted(
+        hashlib.md5(f"kmv:{t}".encode()).hexdigest() for t in set(terms)
+    )
+    return hs[:k]
+
+
+def test_kmv_build_matches_brute_force_bottom_k(spark):
+    # heavy duplication: 20k rows, 1.1k distinct — the row-count-based
+    # threshold would undershoot here; the approx_count_distinct one must not
+    terms = [f"u{i % 1100}" for i in range(20000)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sk = kmv_build(df, "term", k=32).orderBy("rk").collect()
+    assert [r["hx"] for r in sk] == _brute_bottom_k(terms, 32)
+    assert [r["rk"] for r in sk] == list(range(1, 33))
+
+
+def test_kmv_small_domain_is_exact(spark):
+    df = spark.createDataFrame([(f"u{i}",) for i in range(10)], "term string")
+    sk = kmv_build(df, "term", k=32)
+    est = kmv_estimate(sk, k=32).collect()[0]
+    assert est["n_sketch"] == 10
+    assert est["est"] == 10  # sketch holds the whole domain -> exact
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    rows = [(f"d{i % 3}", f"u{i % 400}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "day string, term string")
+    per_day = kmv_build(df, "term", k=16, group_cols=("day",))
+    merged = kmv_merge(
+        per_day.withColumn("day", F.lit("ALL")), k=16, group_cols=("day",)
+    )
+    direct = kmv_build(
+        df.withColumn("day", F.lit("ALL")), "term", k=16, group_cols=("day",)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_estimate_error_bound(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "term string")
+    est = kmv_estimate(kmv_build(df, "term", k=256), k=256).collect()[0]
+    # relative error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est["est"] - n) / n < 0.25
+
+
+# ------------------------------------------------------------------ MMD
+
+def _mmd_numpy(groups):
+    cs = {
+        c: (np.asarray(x, dtype=np.float64).T @ np.asarray(x, dtype=np.float64))
+        / len(x)
+        for c, x in groups.items()
+    }
+    out = {}
+    for a in sorted(cs):
+        for b in sorted(cs):
+            if a < b:
+                out[(a, b)] = float(((cs[a] - cs[b]) ** 2).sum())
+    return out
+
+
+@pytest.fixture(scope="module")
+def mmd_df(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(3):
+        # same mean (zero), different covariance scale per cohort
+        x = rng.normal(0.0, 1.0 + 0.5 * c, size=(40, 8))
+        rows += [(c, [float(v) for v in r]) for r in x]
+    return spark.createDataFrame(rows, "label int, embedding array<double>")
+
+
+def test_mmd_matches_numpy(spark, mmd_df):
+    groups = {}
+    for r in mmd_df.collect():
+        groups.setdefault(r["label"], []).append(r["embedding"])
+    expect = _mmd_numpy(groups)
+    got = {
+        (r["cohort_a"], r["cohort_b"]): r["mmd2"]
+        for r in embedding_mmd_drift(mmd_df, "embedding", "label").collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_mmd_arrow_path_parity(spark, mmd_df):
+    col = embedding_mmd_drift(mmd_df, "embedding", "label", method="column")
+    arw = embedding_mmd_drift(mmd_df, "embedding", "label", method="arrow")
+    assert sorted(map(tuple, col.collect())) == sorted(map(tuple, arw.collect()))
+
+
+def test_mmd_sees_covariance_shift_centroid_misses(spark, mmd_df):
+    # cohorts share a zero mean: MMD (2nd moment) must separate them
+    rows = embedding_mmd_drift(mmd_df, "embedding", "label").collect()
+    assert all(r["mmd2"] > 0.1 for r in rows)
+
+
+def test_mmd_identical_cohorts_is_zero(spark):
+    base = [[float(i + j) for j in range(4)] for i in range(20)]
+    rows = [(c, v) for c in (0, 1) for v in base]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    out = embedding_mmd_drift(df, "embedding", "label").collect()
+    assert len(out) == 1 and out[0]["mmd2"] == 0.0
+
+
+# ----------------------------------------------------------- compaction
+
+@pytest.fixture(scope="module")
+def manifest_df(spark):
+    rows = []
+    for p in ("a", "b"):
+        for i in range(20):
+            rows.append((p, i, 100 + 37 * ((i * 7) % 13)))
+    rows.append(("a", 99, 5000))  # oversized file
+    return spark.createDataFrame(rows, "part string, file_id int, sz long")
+
+
+def test_compaction_conserves_files_and_bytes(spark, manifest_df):
+    plan = compaction_plan(
+        manifest_df, partition_col="part", file_col="file_id",
+        size_col="sz", target_bytes=1000,
+    )
+    tot = plan.agg(F.sum("n_files"), F.sum("total_bytes")).collect()[0]
+    src = manifest_df.agg(F.count("*"), F.sum("sz")).collect()[0]
+    assert (tot[0], tot[1]) == (src[0], src[1])
+
+
+def test_compaction_bins_are_bounded(spark, manifest_df):
+    target = 1000
+    plan = compaction_plan(
+        manifest_df, partition_col="part", file_col="file_id",
+        size_col="sz", target_bytes=target,
+    ).collect()
+    max_sz = 5000
+    for r in plan:
+        # next-fit bound: a bin never exceeds target + one max-size file
+        assert r["total_bytes"] <= target + max_sz
+    # the oversized file sits alone in its bin
+    solo = [r for r in plan if r["total_bytes"] >= 5000]
+    assert any(r["n_files"] == 1 for r in solo)
+
+
+def test_compaction_matches_reference_assignment(spark, manifest_df):
+    target = 1000
+    plan = {
+        (r["partition"], r["bin"]): (r["n_files"], r["total_bytes"])
+        for r in compaction_plan(
+            manifest_df, partition_col="part", file_col="file_id",
+            size_col="sz", target_bytes=target,
+        ).collect()
+    }
+    expect: dict = {}
+    rows = manifest_df.collect()
+    for p in {r["part"] for r in rows}:
+        cum = 0
+        for r in sorted(
+            (r for r in rows if r["part"] == p),
+            key=lambda r: (-r["sz"], r["file_id"]),
+        ):
+            b = cum // target
+            n, t = expect.get((p, b), (0, 0))
+            expect[(p, b)] = (n + 1, t + r["sz"])
+            cum += r["sz"]
+    assert plan == expect

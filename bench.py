@@ -173,6 +173,7 @@ HEADLINE = [
     "kmv_daily_events",
     "mmd_drift_embeddings",
     "compaction_plan_events",
+    "cdc_apply_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

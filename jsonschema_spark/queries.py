@@ -3394,6 +3394,7 @@ def all_queries():
         "kmv_daily_events": kmv_daily_events,
         "mmd_drift_embeddings": mmd_drift_embeddings,
         "compaction_plan_events": compaction_plan_events,
+        "cdc_apply_events": cdc_apply_events,
     }
 
 
@@ -3558,6 +3559,7 @@ def all_oracles():
         "kmv_daily_events": ORACLE_KMV_DAILY,
         "mmd_drift_embeddings": ORACLE_MMD_DRIFT,
         "compaction_plan_events": ORACLE_COMPACTION_PLAN,
+        "cdc_apply_events": ORACLE_CDC_APPLY,
     }
 
 
@@ -7452,4 +7454,87 @@ w AS (
 SELECT part AS partition, CAST(cum_before // 4096 AS BIGINT) AS bin,
        count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS total_bytes
 FROM w GROUP BY 1, 2
+"""
+
+
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a synthesized CDC changeset into the events table
+    (operators/cdc.apply_cdc_batch) and report the per-day post-merge
+    audit: deletes for event_id % 13 == 5, value updates (+100) for
+    event_id % 7 == 3 (minus the deleted), inserts under fresh ids for
+    event_id % 17 == 2. Output (day, n_rows, n_updated, n_inserted,
+    n_deleted, sum_value_milli) — the value sum is per-row-rounded to
+    integer millis BEFORE summing so the audit column is exact integer
+    arithmetic (no float-accumulation order sensitivity across engines).
+    The base table sees exactly one wide op (broadcast anti-join on the
+    touched keys); matched-U / fresh-I checks exchange only the base's
+    projected key column."""
+    from jsonschema_spark.operators.cdc import apply_cdc_batch
+
+    ev = _t(spark, sf_dir, "events")
+    cols = ev.columns
+    eid = F.col("event_id")
+    d_ch = ev.where(eid % 13 == 5).select(F.lit("D").alias("op"), *cols)
+    u_ch = (
+        ev.where((eid % 7 == 3) & (eid % 13 != 5))
+        .withColumn("value", F.col("value") + 100.0)
+        .select(F.lit("U").alias("op"), *cols)
+    )
+    i_ch = (
+        ev.where(eid % 17 == 2)
+        .withColumn("event_id", eid + 1000000000)
+        .select(F.lit("I").alias("op"), *cols)
+    )
+    merged = apply_cdc_batch(
+        ev, d_ch.unionByName(u_ch).unionByName(i_ch), key_col="event_id"
+    )
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    summary = merged.groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("_action") == "updated").cast("bigint")).alias("n_updated"),
+        F.sum((F.col("_action") == "inserted").cast("bigint")).alias("n_inserted"),
+        F.sum(
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("bigint")
+        ).alias("sum_value_milli"),
+    )
+    deletes = (
+        ev.where(eid % 13 == 5)
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_deleted"))
+    )
+    return summary.join(deletes, "day", "left").select(
+        "day",
+        "n_rows",
+        "n_updated",
+        "n_inserted",
+        F.coalesce(F.col("n_deleted"), F.lit(0)).cast("bigint").alias("n_deleted"),
+        "sum_value_milli",
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH merged AS (
+  SELECT ts, value, 'kept' AS act
+  FROM events
+  WHERE event_id % 13 <> 5 AND NOT (event_id % 7 = 3 AND event_id % 13 <> 5)
+  UNION ALL
+  SELECT ts, value + 100.0 AS value, 'updated' AS act
+  FROM events WHERE event_id % 7 = 3 AND event_id % 13 <> 5
+  UNION ALL
+  SELECT ts, value, 'inserted' AS act
+  FROM events WHERE event_id % 17 = 2),
+s AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN act = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+         CAST(sum(CASE WHEN act = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+         CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_milli
+  FROM merged GROUP BY 1),
+del AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_deleted
+  FROM events WHERE event_id % 13 = 5 GROUP BY 1)
+SELECT s.day, s.n_rows, s.n_updated, s.n_inserted,
+       CAST(COALESCE(del.n_deleted, 0) AS BIGINT) AS n_deleted,
+       s.sum_value_milli
+FROM s LEFT JOIN del ON s.day = del.day
 """

@@ -184,3 +184,55 @@ def test_compaction_matches_reference_assignment(spark, manifest_df):
             expect[(p, b)] = (n + 1, t + r["sz"])
             cum += r["sz"]
     assert plan == expect
+
+
+# ------------------------------------------------------------------ CDC
+
+def _cdc(spark, base_rows, change_rows):
+    from jsonschema_spark.operators.cdc import apply_cdc_batch
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    ch = spark.createDataFrame(change_rows, "op string, k long, v string")
+    out = apply_cdc_batch(base, ch, key_col="k").collect()
+    return {r["k"]: (r["v"], r["_action"]) for r in out}
+
+
+def test_cdc_merge_semantics(spark):
+    got = _cdc(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        [("D", 2, None), ("U", 3, "c2"), ("I", 9, "z")],
+    )
+    assert got == {
+        1: ("a", "kept"),
+        3: ("c2", "updated"),
+        4: ("d", "kept"),
+        9: ("z", "inserted"),
+    }
+
+
+def test_cdc_strict_ops_are_noops_when_unmatched(spark):
+    # U on a missing key and I on an existing key must not apply
+    got = _cdc(
+        spark,
+        [(1, "a")],
+        [("U", 5, "ghost"), ("I", 1, "dupe")],
+    )
+    assert got == {1: ("a", "kept")}
+
+
+def test_cdc_delete_wins_over_update_on_same_key(spark):
+    got = _cdc(
+        spark,
+        [(1, "a"), (2, "b")],
+        [("D", 1, None), ("U", 1, "revived")],
+    )
+    assert got == {2: ("b", "kept")}
+
+
+def test_cdc_conserves_untouched_rows(spark):
+    base = [(i, f"v{i}") for i in range(50)]
+    got = _cdc(spark, base, [("D", 7, None), ("U", 11, "x"), ("I", 99, "y")])
+    assert len(got) == 50  # 50 - 1 deleted + 1 inserted
+    kept = [k for k, (_, a) in got.items() if a == "kept"]
+    assert len(kept) == 48

@@ -418,3 +418,44 @@ class TestPartitionPruning:
         assert "dynamicpruning" in p.lower(), (
             "filtered dim join should induce runtime partition pruning"
         )
+
+
+def test_kmv_prefilter_broadcasts_thresholds_no_python(spark):
+    """KMV build: the approx-count threshold side must broadcast (the scan
+    never shuffles raw rows before the filter), and the whole sketch stays
+    JVM-side."""
+    from jsonschema_spark.queries import kmv_daily_events
+
+    p = _plan(kmv_daily_events(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p[:500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_mmd_column_path_no_python_no_cartesian(spark):
+    """MMD cells: generate → map-side-combined aggregation; the pair join
+    runs on the tiny cell relation, never a cartesian over rows."""
+    from jsonschema_spark.queries import mmd_drift_embeddings
+
+    p = _plan(mmd_drift_embeddings(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_compaction_plan_single_sort_exchange_on_manifest(spark):
+    """Compaction: one window sort per partition key over the manifest
+    relation; integer DIV binning, no Python."""
+    from jsonschema_spark.queries import compaction_plan_events
+
+    p = _plan(compaction_plan_events(spark, "/root/testdata/sf0.001"))
+    assert "Window" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cdc_apply_broadcasts_touched_keys(spark):
+    """CDC merge: the base table's anti-join against the touched-key set
+    must broadcast the (tiny) key side — the base is never shuffled."""
+    from jsonschema_spark.queries import cdc_apply_events
+
+    p = _plan(cdc_apply_events(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p, p[:500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -174,6 +174,7 @@ HEADLINE = [
     "mmd_drift_embeddings",
     "compaction_plan_events",
     "cdc_apply_events",
+    "forecast_backtest_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

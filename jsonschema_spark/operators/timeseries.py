@@ -53,6 +53,7 @@ __all__ = [
     "retention_cohorts",
     "rolling_anomalies",
     "cusum_changepoints",
+    "forecast_backtest",
 ]
 
 _US = 1_000_000
@@ -448,4 +449,72 @@ def cusum_changepoints(
         F.when(F.col("a.sp") >= F.col("a.sn"), F.lit("up"))
         .otherwise(F.lit("down"))
         .alias("direction"),
+    )
+
+
+def forecast_backtest(
+    daily: DataFrame,
+    *,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    window: int = 8,
+    decay: float = 0.75,
+    season: int = 7,
+) -> DataFrame:
+    """One-step-ahead forecast backtest per key over a daily series: EWMA
+    (trailing `window` points, geometric weights `decay^i`) vs the
+    seasonal-naive baseline (value `season` rows back). Returns
+    (key, n_days, n_scored, mape_snaive, mape_ewma) — the standard "is a
+    smoother beating the dumb baseline" telemetry health check, and the
+    forecasting complement to `rolling_anomalies` (which scores the
+    CURRENT point against its trailing stats rather than predicting the
+    next).
+
+    Exactness contract: the EWMA numerator/denominator are CHAINED lag
+    terms — `w0·lag(x,1) + w1·lag(x,2) + …` with the weights emitted as
+    exact literals (powers of 3/4 are finite binary fractions) — so both
+    Spark and any SQL oracle evaluate the same left-associated float sum
+    bit-for-bit; no array fold whose reduction order an engine could pick
+    differently. Missing leading points drop out of numerator AND
+    denominator (partial-window EWMA, standard).
+
+    Scale shape: ONE hash exchange on the key; every lag shares the
+    (key, day) sort. The input is the already-rolled-up daily relation
+    (keys × days), not raw events — metadata scale. Rows with a NULL or
+    zero actual are excluded from MAPE (division guard) but still feed
+    the lag windows."""
+    from pyspark.sql import Window
+
+    assert 1 <= window <= 30
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    x = F.col(value_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(1, window + 1):
+        wt = decay ** (i - 1)
+        li = F.lag(x, i).over(w)
+        num = num + F.when(li.isNotNull(), li * F.lit(wt)).otherwise(F.lit(0.0))
+        den = den + F.when(li.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    ewma = F.when(den > 0, num / den)
+    snaive = F.lag(x, season).over(w)
+    scored = daily.select(
+        F.col(key_col).alias("key"),
+        x.alias("actual"),
+        ewma.alias("f_ewma"),
+        snaive.alias("f_snaive"),
+    )
+    ok = (
+        F.col("actual").isNotNull()
+        & (F.col("actual") != 0)
+        & F.col("f_ewma").isNotNull()
+        & F.col("f_snaive").isNotNull()
+    )
+    ape = lambda f: F.abs(F.col("actual") - F.col(f)) / F.abs(F.col("actual"))  # noqa: E731
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(ok.cast("bigint")).alias("n_scored"),
+        snap(F.avg(F.when(ok, ape("f_snaive")))).alias("mape_snaive"),
+        snap(F.avg(F.when(ok, ape("f_ewma")))).alias("mape_ewma"),
     )

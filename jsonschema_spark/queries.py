@@ -3395,6 +3395,7 @@ def all_queries():
         "mmd_drift_embeddings": mmd_drift_embeddings,
         "compaction_plan_events": compaction_plan_events,
         "cdc_apply_events": cdc_apply_events,
+        "forecast_backtest_events": forecast_backtest_events,
     }
 
 
@@ -3560,6 +3561,7 @@ def all_oracles():
         "mmd_drift_embeddings": ORACLE_MMD_DRIFT,
         "compaction_plan_events": ORACLE_COMPACTION_PLAN,
         "cdc_apply_events": ORACLE_CDC_APPLY,
+        "forecast_backtest_events": ORACLE_FORECAST_BACKTEST,
     }
 
 
@@ -7538,3 +7540,64 @@ SELECT s.day, s.n_rows, s.n_updated, s.n_inserted,
        s.sum_value_milli
 FROM s LEFT JOIN del ON s.day = del.day
 """
+
+
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead forecast backtest over the per-(event_type, day)
+    mean-value series (operators/timeseries.forecast_backtest): trailing-8
+    EWMA with 3/4-decay vs the seasonal-naive (lag-7) baseline, scored by
+    MAPE per event_type. The EWMA is a chained-lag literal-weight sum, so
+    the fold order is pinned left-associative in both engines."""
+    from jsonschema_spark.operators.timeseries import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.col("ts").cast("date").cast("string").alias("day"),
+        )
+        .agg(F.avg("value").alias("mv"))
+    )
+    return forecast_backtest(
+        daily, key_col="etype", day_col="day", value_col="mv"
+    ).withColumnRenamed("key", "event_type")
+
+
+def _forecast_oracle_sql(window: int = 8, decay: float = 0.75, season: int = 7) -> str:
+    num = " + ".join(
+        f"CASE WHEN lag(mv, {i}) OVER w IS NOT NULL"
+        f" THEN lag(mv, {i}) OVER w * {decay ** (i - 1)!r} ELSE 0.0 END"
+        for i in range(1, window + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(mv, {i}) OVER w IS NOT NULL"
+        f" THEN {decay ** (i - 1)!r} ELSE 0.0 END"
+        for i in range(1, window + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type AS etype, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         avg(value) AS mv
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT etype, mv AS actual,
+         CASE WHEN ({den}) > 0 THEN (0.0 + {num}) / (0.0 + {den}) END AS f_ewma,
+         lag(mv, {season}) OVER w AS f_snaive
+  FROM daily WINDOW w AS (PARTITION BY etype ORDER BY day)),
+flags AS (
+  SELECT etype, actual, f_ewma, f_snaive,
+         (actual IS NOT NULL AND actual <> 0
+          AND f_ewma IS NOT NULL AND f_snaive IS NOT NULL) AS ok
+  FROM scored)
+SELECT etype AS event_type, count(*) AS n_days,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       floor(avg(CASE WHEN ok THEN abs(actual - f_snaive) / abs(actual) END)
+             * 1000000.0 + 0.000001) / 1000000.0 AS mape_snaive,
+       floor(avg(CASE WHEN ok THEN abs(actual - f_ewma) / abs(actual) END)
+             * 1000000.0 + 0.000001) / 1000000.0 AS mape_ewma
+FROM flags GROUP BY 1
+"""
+
+
+ORACLE_FORECAST_BACKTEST = _forecast_oracle_sql()

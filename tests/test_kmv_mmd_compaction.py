@@ -236,3 +236,54 @@ def test_cdc_conserves_untouched_rows(spark):
     assert len(got) == 50  # 50 - 1 deleted + 1 inserted
     kept = [k for k, (_, a) in got.items() if a == "kept"]
     assert len(kept) == 48
+
+
+# ------------------------------------------------------------- forecast
+
+def _backtest(spark, series, **kw):
+    from jsonschema_spark.operators.timeseries import forecast_backtest
+
+    rows = [("k", f"d{i:03d}", float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, day string, v double")
+    return forecast_backtest(df, key_col="k", day_col="day", value_col="v", **kw)
+
+
+def _ewma_ref(series, t, window=8, decay=0.75):
+    num = den = 0.0
+    for i in range(1, window + 1):
+        j = t - i
+        if j >= 0:
+            num += series[j] * decay ** (i - 1)
+            den += decay ** (i - 1)
+    return num / den if den > 0 else None
+
+
+def test_forecast_matches_python_reference(spark):
+    series = [10, 12, 11, 15, 14, 13, 16, 18, 17, 19, 20, 22, 21, 23]
+    out = _backtest(spark, series).collect()[0]
+    n = len(series)
+    apes_e, apes_s = [], []
+    for t in range(n):
+        f_e = _ewma_ref(series, t)
+        f_s = series[t - 7] if t >= 7 else None
+        if f_e is not None and f_s is not None and series[t] != 0:
+            apes_e.append(abs(series[t] - f_e) / abs(series[t]))
+            apes_s.append(abs(series[t] - f_s) / abs(series[t]))
+    assert out["n_days"] == n
+    assert out["n_scored"] == len(apes_e)
+    assert out["mape_ewma"] == pytest.approx(sum(apes_e) / len(apes_e), abs=2e-6)
+    assert out["mape_snaive"] == pytest.approx(sum(apes_s) / len(apes_s), abs=2e-6)
+
+
+def test_forecast_short_series_scores_nothing(spark):
+    out = _backtest(spark, [5.0, 6.0, 7.0]).collect()[0]
+    # no point has both a lag-7 baseline and an actual -> MAPE undefined
+    assert out["n_scored"] == 0
+    assert out["mape_ewma"] is None and out["mape_snaive"] is None
+
+
+def test_forecast_ewma_beats_snaive_on_trend(spark):
+    # steadily trending series: lag-7 is stale, EWMA tracks
+    series = [100 + 5 * i for i in range(30)]
+    out = _backtest(spark, series).collect()[0]
+    assert out["mape_ewma"] < out["mape_snaive"]

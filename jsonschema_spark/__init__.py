@@ -23,5 +23,6 @@ codes, not message strings, are the compatibility contract.
 
 __version__ = "0.1.0"
 
+from jsonschema_spark.compat import schema_compat  # noqa: F401
 from jsonschema_spark.compiler import Compiler, compile_schema  # noqa: F401
 from jsonschema_spark.evaluator import EvaluationResult  # noqa: F401

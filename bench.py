@@ -175,6 +175,7 @@ HEADLINE = [
     "compaction_plan_events",
     "cdc_apply_events",
     "forecast_backtest_events",
+    "zone_map_audit_lineitem",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "compaction_plan"]
+__all__ = ["zorder_key", "compaction_plan", "zone_map_stats", "zone_map_prune_audit"]
 
 
 def zorder_key(x: Column, y: Column, *, bits: int = 8) -> Column:
@@ -92,3 +92,78 @@ def compaction_plan(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("_sz").alias("total_bytes"),
     )
+
+
+def zone_map_stats(
+    manifest_rows: "DataFrame",
+    *,
+    file_col: str,
+    value_cols: list,
+) -> "DataFrame":
+    """Per-file zone maps as a tall relation (file, column, vmin, vmax,
+    n_rows, n_null) — the parquet-footer / Iceberg-manifest statistics
+    that drive data skipping, built in ONE map-side-combining aggregation
+    pass (no Expand: per-column min/max are plain agg columns, unpivoted
+    AFTER the groupBy so the exchange carries one row per file).
+    Mergeable to coarser grains by construction: min/max/sum re-aggregate
+    (file → partition → table) without touching data. Values are cast to
+    double — zone bounds are DATA values, no arithmetic, so they are
+    engine-exact."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in value_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"),
+        ]
+    per_file = manifest_rows.groupBy(F.col(file_col).alias("file")).agg(*aggs)
+    tall = None
+    for c in value_cols:
+        part = per_file.select(
+            "file",
+            F.lit(c).alias("column"),
+            F.col(f"_min_{c}").alias("vmin"),
+            F.col(f"_max_{c}").alias("vmax"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+        )
+        tall = part if tall is None else tall.unionByName(part)
+    return tall
+
+
+def zone_map_prune_audit(
+    zmaps: "DataFrame",
+    predicates: list,
+) -> "DataFrame":
+    """Skipping audit: for each closed-range predicate (column, lo, hi),
+    how many files (and rows) the zone maps alone prune — a file is
+    skippable when [vmin, vmax] is disjoint from [lo, hi] (all-NULL zones
+    are skippable for a range predicate too). Output one row per
+    predicate: (column, lo, hi, files_total, files_pruned, rows_pruned).
+    Runs entirely on the zone-map relation (metadata scale); this is the
+    readout that justifies `zorder_key` — a column uncorrelated with the
+    layout prunes ~nothing until the table is re-clustered."""
+    out = None
+    for col, lo, hi in predicates:
+        zm = zmaps.where(F.col("column") == col)
+        prunable = (
+            (F.col("vmax") < F.lit(float(lo)))
+            | (F.col("vmin") > F.lit(float(hi)))
+            | (F.col("n_null") == F.col("n_rows"))
+        )
+        row = zm.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(prunable.cast("bigint")).alias("files_pruned"),
+            F.sum(F.when(prunable, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "rows_pruned"
+            ),
+        ).select(
+            F.lit(col).alias("column"),
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            "files_total",
+            "files_pruned",
+            "rows_pruned",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3396,6 +3396,7 @@ def all_queries():
         "compaction_plan_events": compaction_plan_events,
         "cdc_apply_events": cdc_apply_events,
         "forecast_backtest_events": forecast_backtest_events,
+        "zone_map_audit_lineitem": zone_map_audit_lineitem,
     }
 
 
@@ -3562,6 +3563,7 @@ def all_oracles():
         "compaction_plan_events": ORACLE_COMPACTION_PLAN,
         "cdc_apply_events": ORACLE_CDC_APPLY,
         "forecast_backtest_events": ORACLE_FORECAST_BACKTEST,
+        "zone_map_audit_lineitem": ORACLE_ZONE_MAP_AUDIT,
     }
 
 
@@ -7601,3 +7603,69 @@ FROM flags GROUP BY 1
 
 
 ORACLE_FORECAST_BACKTEST = _forecast_oracle_sql()
+
+
+def zone_map_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit (operators/layout.zone_map_stats +
+    zone_map_prune_audit): synthesize the ingest file layout (4096 order
+    keys per file — the natural arrival clustering), build per-file
+    min/max/null zone maps in one aggregation pass, and measure how many
+    files two range predicates prune from metadata alone. The l_orderkey
+    band prunes almost everything (layout-correlated); the l_quantity band
+    prunes ~nothing (uncorrelated) — the quantitative case for
+    `zorder_layout_lineitem`'s re-clustering, completing the layout
+    family: clustering keys (zorder), file sizing (compaction), and now
+    the skipping statistics both exist to serve."""
+    from jsonschema_spark.operators.layout import (
+        zone_map_prune_audit,
+        zone_map_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr("l_orderkey DIV 4096").alias("file"),
+        "l_orderkey",
+        "l_quantity",
+    )
+    zm = zone_map_stats(rows, file_col="file", value_cols=["l_orderkey", "l_quantity"])
+    return zone_map_prune_audit(
+        zm, [("l_orderkey", 1000, 5000), ("l_quantity", 10, 20)]
+    )
+
+
+ORACLE_ZONE_MAP_AUDIT = """
+WITH r AS (
+  SELECT l_orderkey // 4096 AS f,
+         CAST(l_orderkey AS DOUBLE) AS ok, CAST(l_quantity AS DOUBLE) AS q
+  FROM lineitem),
+zm AS (
+  SELECT f, count(*) AS n_rows,
+         min(ok) AS min_ok, max(ok) AS max_ok,
+         sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS null_ok,
+         min(q) AS min_q, max(q) AS max_q,
+         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS null_q
+  FROM r GROUP BY 1),
+a1 AS (
+  SELECT 'l_orderkey' AS "column", CAST(1000.0 AS DOUBLE) AS lo,
+         CAST(5000.0 AS DOUBLE) AS hi,
+         CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN max_ok < 1000.0 OR min_ok > 5000.0
+                         OR null_ok = n_rows THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_pruned,
+         CAST(sum(CASE WHEN max_ok < 1000.0 OR min_ok > 5000.0
+                         OR null_ok = n_rows THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_pruned
+  FROM zm),
+a2 AS (
+  SELECT 'l_quantity' AS "column", CAST(10.0 AS DOUBLE) AS lo,
+         CAST(20.0 AS DOUBLE) AS hi,
+         CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN max_q < 10.0 OR min_q > 20.0
+                         OR null_q = n_rows THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_pruned,
+         CAST(sum(CASE WHEN max_q < 10.0 OR min_q > 20.0
+                         OR null_q = n_rows THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_pruned
+  FROM zm)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+"""

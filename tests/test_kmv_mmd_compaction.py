@@ -287,3 +287,66 @@ def test_forecast_ewma_beats_snaive_on_trend(spark):
     series = [100 + 5 * i for i in range(30)]
     out = _backtest(spark, series).collect()[0]
     assert out["mape_ewma"] < out["mape_snaive"]
+
+
+# ------------------------------------------------------------ zone maps
+
+@pytest.fixture(scope="module")
+def zm_rows(spark):
+    rows = []
+    for f in range(6):
+        for i in range(30):
+            v = f * 100 + i  # layout-correlated column
+            u = (i * 17) % 30  # uncorrelated column
+            rows.append((f, float(v), float(u) if i % 9 else None))
+    return spark.createDataFrame(rows, "file int, v double, u double")
+
+
+def test_zone_maps_match_brute_force(spark, zm_rows):
+    from jsonschema_spark.operators.layout import zone_map_stats
+
+    zm = {
+        (r["file"], r["column"]): (r["vmin"], r["vmax"], r["n_rows"], r["n_null"])
+        for r in zone_map_stats(zm_rows, file_col="file", value_cols=["v", "u"]).collect()
+    }
+    data = zm_rows.collect()
+    for f in range(6):
+        for c in ("v", "u"):
+            vals = [r[c] for r in data if r["file"] == f]
+            nn = [x for x in vals if x is not None]
+            assert zm[(f, c)] == (min(nn), max(nn), len(vals), len(vals) - len(nn))
+
+
+def test_prune_audit_never_prunes_a_matching_row(spark, zm_rows):
+    from jsonschema_spark.operators.layout import zone_map_prune_audit, zone_map_stats
+
+    zm = zone_map_stats(zm_rows, file_col="file", value_cols=["v", "u"])
+    preds = [("v", 150, 250), ("u", 5, 10)]
+    audit = {r["column"]: r for r in zone_map_prune_audit(zm, preds).collect()}
+    # soundness: rows matching the predicate never live in a pruned file
+    data = zm_rows.collect()
+    for col, lo, hi in preds:
+        pruned_rows = audit[col]["rows_pruned"]
+        total_rows = sum(1 for r in data if r["file"] is not None)
+        matching = [r for r in data if r[col] is not None and lo <= r[col] <= hi]
+        # every matching row is in a survivor file
+        assert total_rows - pruned_rows >= len(matching)
+    # the layout-correlated column prunes most files; uncorrelated prunes none
+    assert audit["v"]["files_pruned"] >= 4
+    assert audit["u"]["files_pruned"] == 0
+
+
+def test_zone_maps_merge_to_table_grain(spark, zm_rows):
+    from jsonschema_spark.operators.layout import zone_map_stats
+
+    per_file = zone_map_stats(zm_rows, file_col="file", value_cols=["v"])
+    table = per_file.groupBy("column").agg(
+        F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
+        F.sum("n_rows").alias("n_rows"), F.sum("n_null").alias("n_null"),
+    ).collect()[0]
+    direct = zone_map_stats(
+        zm_rows.withColumn("file", F.lit(0)), file_col="file", value_cols=["v"]
+    ).collect()[0]
+    assert (table["vmin"], table["vmax"], table["n_rows"], table["n_null"]) == (
+        direct["vmin"], direct["vmax"], direct["n_rows"], direct["n_null"]
+    )

@@ -176,6 +176,8 @@ HEADLINE = [
     "cdc_apply_events",
     "forecast_backtest_events",
     "zone_map_audit_lineitem",
+    "fd_discovery_customer",
+    "benford_price_lineitem",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

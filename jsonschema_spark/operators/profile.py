@@ -29,6 +29,8 @@ __all__ = [
     "approx_quantiles",
     "heavy_hitters",
     "key_candidates",
+    "fd_violations",
+    "benford_first_digit",
 ]
 
 
@@ -198,4 +200,87 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("value", "cnt", "rank")
+    )
+
+
+def fd_violations(df: DataFrame, pairs: list) -> DataFrame:
+    """Functional-dependency check for given (determinant, dependent)
+    column pairs: does A → B hold, and if not, how broken is it? Output
+    one row per pair: (determinant, dependent, n_groups,
+    n_violating_groups, n_repair_rows, holds) where `n_repair_rows` is the
+    minimum number of rows whose B would have to change to make the FD
+    hold (Σ over violating A-groups of group_size − majority-B count) —
+    the standard FD-repair distance, far more actionable than a boolean.
+
+    Scale shape per pair: groupBy (A, B) with map-side combine bounds the
+    first exchange by the distinct pair count; everything after runs on
+    the aggregated relation. Rows with NULL in either column are excluded
+    (SQL FD semantics are NULL-free). The single-column profile
+    complement is `key_candidates`; this is the cross-column half of the
+    profiling story (HyFD-style, for a candidate list — discovery over
+    all O(n²) pairs is the caller's loop)."""
+    out = None
+    for det, dep in pairs:
+        base = df.where(F.col(det).isNotNull() & F.col(dep).isNotNull())
+        pair_counts = base.groupBy(
+            F.col(det).alias("_a"), F.col(dep).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        per_group = pair_counts.groupBy("_a").agg(
+            F.count(F.lit(1)).alias("_n_b"),
+            F.sum("_n").alias("_total"),
+            F.max("_n").alias("_max"),
+        )
+        row = per_group.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("_n_b") > 1).cast("bigint")).alias("n_violating_groups"),
+            F.sum(F.col("_total") - F.col("_max")).alias("n_repair_rows"),
+        ).select(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            "n_groups",
+            "n_violating_groups",
+            "n_repair_rows",
+            (F.col("n_violating_groups") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law conformance of a numeric column: observed first-digit
+    frequencies vs log10(1 + 1/d), with the per-digit chi-square term —
+    the classic fabricated-data / unit-mix smell test for financial-style
+    magnitudes (a synthetic column generated uniform fails it loudly;
+    multiplicative real-world data passes). Rows with |value| < 1 are
+    excluded (no leading digit). Output 9 rows: (digit, n, p_obs, p_exp,
+    chi2_term), snapped on the 1e-6 grid; Σ chi2_term against χ²(8) is
+    the caller's verdict. Expected probabilities are emitted as exact
+    double LITERALS (computed once host-side), so both engines consume
+    bit-identical constants. One groupBy over ≤ 9 digits — map-side
+    combine makes the exchange 9 rows per task at any scale."""
+    import math
+
+    v = F.abs(F.col(col))
+    digit = F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(F.col(col).isNotNull() & (v >= 1))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_t"))
+    p_exp = F.lit(0.0)
+    for d in range(1, 10):
+        p_exp = F.when(F.col("digit") == d, F.lit(math.log10(1 + 1 / d))).otherwise(
+            p_exp
+        )
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    p_obs = F.col("n") / F.col("_t")
+    chi2 = (p_obs - p_exp) * (p_obs - p_exp) / p_exp * F.col("_t")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        snap(p_obs).alias("p_obs"),
+        snap(p_exp).alias("p_exp"),
+        snap(chi2).alias("chi2_term"),
     )

@@ -3397,6 +3397,8 @@ def all_queries():
         "cdc_apply_events": cdc_apply_events,
         "forecast_backtest_events": forecast_backtest_events,
         "zone_map_audit_lineitem": zone_map_audit_lineitem,
+        "fd_discovery_customer": fd_discovery_customer,
+        "benford_price_lineitem": benford_price_lineitem,
     }
 
 
@@ -3564,6 +3566,8 @@ def all_oracles():
         "cdc_apply_events": ORACLE_CDC_APPLY,
         "forecast_backtest_events": ORACLE_FORECAST_BACKTEST,
         "zone_map_audit_lineitem": ORACLE_ZONE_MAP_AUDIT,
+        "fd_discovery_customer": ORACLE_FD_DISCOVERY,
+        "benford_price_lineitem": ORACLE_BENFORD,
     }
 
 
@@ -7669,3 +7673,94 @@ a2 AS (
   FROM zm)
 SELECT * FROM a1 UNION ALL SELECT * FROM a2
 """
+
+
+def fd_discovery_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile (operators/profile.fd_violations) over
+    candidate column pairs on customer: the key FD (c_custkey →
+    c_nationkey) must hold with zero repairs; the cross-attribute pairs
+    (c_nationkey ↔ c_mktsegment) quantify HOW broken they are via the
+    minimum-repair row count — the dependency half of the profiling story
+    beside key_candidates' uniqueness half."""
+    from jsonschema_spark.operators.profile import fd_violations
+
+    c = _t(spark, sf_dir, "customer")
+    return fd_violations(
+        c,
+        [
+            ("c_custkey", "c_nationkey"),
+            ("c_nationkey", "c_mktsegment"),
+            ("c_mktsegment", "c_nationkey"),
+        ],
+    )
+
+
+def _fd_oracle_sql() -> str:
+    def one(det, dep):
+        return f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(total - mx) AS BIGINT) AS n_repair_rows,
+       sum(CASE WHEN n_b > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT _a, count(*) AS n_b, sum(_n) AS total, max(_n) AS mx
+  FROM (
+    SELECT {det} AS _a, {dep} AS _b, count(*) AS _n
+    FROM customer
+    WHERE {det} IS NOT NULL AND {dep} IS NOT NULL
+    GROUP BY 1, 2)
+  GROUP BY 1)"""
+
+    pairs = [
+        ("c_custkey", "c_nationkey"),
+        ("c_nationkey", "c_mktsegment"),
+        ("c_mktsegment", "c_nationkey"),
+    ]
+    return "\nUNION ALL\n".join(one(d, p) for d, p in pairs)
+
+
+ORACLE_FD_DISCOVERY = _fd_oracle_sql()
+
+
+def benford_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of l_extendedprice
+    (operators/profile.benford_first_digit): observed leading-digit
+    shares vs log10(1+1/d) with per-digit chi-square terms — the
+    fabricated-data / unit-mix smell test, here loudly failed because the
+    synthetic price column is near-uniform (exactly what the check is for:
+    the chi2 mass says 'this column was not produced by a multiplicative
+    process')."""
+    from jsonschema_spark.operators.profile import benford_first_digit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_first_digit(li, "l_extendedprice")
+
+
+def _benford_oracle_sql() -> str:
+    import math
+
+    case = " ".join(
+        f"WHEN digit = {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 1),
+counts AS (SELECT digit, count(*) AS n FROM src GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM counts),
+j AS (
+  SELECT digit, n, CAST(n AS DOUBLE) / t AS p_obs,
+         CASE {case} ELSE 0.0 END AS p_exp, CAST(t AS DOUBLE) AS t
+  FROM counts, tot)
+SELECT digit, n,
+       floor(p_obs * 1000000.0 + 0.000001) / 1000000.0 AS p_obs,
+       floor(p_exp * 1000000.0 + 0.000001) / 1000000.0 AS p_exp,
+       floor((p_obs - p_exp) * (p_obs - p_exp) / p_exp * t
+             * 1000000.0 + 0.000001) / 1000000.0 AS chi2_term
+FROM j
+"""
+
+
+ORACLE_BENFORD = _benford_oracle_sql()

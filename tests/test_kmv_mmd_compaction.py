@@ -350,3 +350,63 @@ def test_zone_maps_merge_to_table_grain(spark, zm_rows):
     assert (table["vmin"], table["vmax"], table["n_rows"], table["n_null"]) == (
         direct["vmin"], direct["vmax"], direct["n_rows"], direct["n_null"]
     )
+
+
+# --------------------------------------------------- FD / Benford profile
+
+def test_fd_violations_exact_repairs(spark):
+    from jsonschema_spark.operators.profile import fd_violations
+
+    rows = [
+        ("a", 1), ("a", 1), ("a", 2),      # a: 2 dep values, repair 1
+        ("b", 3), ("b", 3),                # b: clean
+        ("c", 4), ("c", 5), ("c", 5), ("c", 6),  # c: 3 values, repair 2
+        (None, 9), ("d", None),            # NULLs excluded
+    ]
+    df = spark.createDataFrame(rows, "x string, y int")
+    out = fd_violations(df, [("x", "y")]).collect()[0]
+    assert out["n_groups"] == 3
+    assert out["n_violating_groups"] == 2
+    assert out["n_repair_rows"] == 3
+    assert out["holds"] is False
+
+
+def test_fd_holds_on_key(spark):
+    from jsonschema_spark.operators.profile import fd_violations
+
+    df = spark.createDataFrame([(i, i % 5) for i in range(40)], "k long, v long")
+    out = fd_violations(df, [("k", "v")]).collect()[0]
+    assert out["holds"] is True and out["n_repair_rows"] == 0
+
+
+def test_benford_multiplicative_passes_uniform_fails(spark):
+    import math
+
+    from jsonschema_spark.operators.profile import benford_first_digit
+
+    # geometric/multiplicative series follows Benford closely
+    mult = [(1.07 ** i,) for i in range(1, 600)]
+    uni = [(float(100 + i),) for i in range(600)]  # uniform in [100, 700)
+    chi_m = sum(
+        r["chi2_term"]
+        for r in benford_first_digit(
+            spark.createDataFrame(mult, "v double"), "v"
+        ).collect()
+    )
+    chi_u = sum(
+        r["chi2_term"]
+        for r in benford_first_digit(
+            spark.createDataFrame(uni, "v double"), "v"
+        ).collect()
+    )
+    assert chi_m < 20.0 < chi_u  # chi2(8) 99th pct ~ 20.1
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    from jsonschema_spark.operators.profile import benford_first_digit
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 500)], "v double")
+    rows = benford_first_digit(df, "v").collect()
+    assert sum(r["n"] for r in rows) == 499
+    assert sum(r["p_obs"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["p_exp"] for r in rows) == pytest.approx(1.0, abs=1e-4)

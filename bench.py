@@ -178,6 +178,7 @@ HEADLINE = [
     "zone_map_audit_lineitem",
     "fd_discovery_customer",
     "benford_price_lineitem",
+    "recluster_gain_lineitem",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

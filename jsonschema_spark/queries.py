@@ -3399,6 +3399,7 @@ def all_queries():
         "zone_map_audit_lineitem": zone_map_audit_lineitem,
         "fd_discovery_customer": fd_discovery_customer,
         "benford_price_lineitem": benford_price_lineitem,
+        "recluster_gain_lineitem": recluster_gain_lineitem,
     }
 
 
@@ -3568,6 +3569,7 @@ def all_oracles():
         "zone_map_audit_lineitem": ORACLE_ZONE_MAP_AUDIT,
         "fd_discovery_customer": ORACLE_FD_DISCOVERY,
         "benford_price_lineitem": ORACLE_BENFORD,
+        "recluster_gain_lineitem": ORACLE_RECLUSTER_GAIN,
     }
 
 
@@ -7764,3 +7766,80 @@ FROM j
 
 
 ORACLE_BENFORD = _benford_oracle_sql()
+
+
+def recluster_gain_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout family end-to-end: measure the data-skipping gain of
+    Z-order re-clustering. Build per-file zone maps for l_quantity under
+    (a) the natural ingest layout (files = 4096 order keys) and (b) the
+    re-clustered layout (files = 64 Z-order buckets of
+    (quantity, price-bucket), exactly `zorder_layout_lineitem`'s key),
+    then run the SAME quantity-band prune audit against both. Output two
+    rows (layout, column, lo, hi, files_total, files_pruned, rows_pruned):
+    the natural layout prunes ~nothing on quantity, the Z-ordered one
+    prunes most files — compaction picks file sizes, zorder picks file
+    CONTENTS, zone maps prove the difference."""
+    from jsonschema_spark.operators.layout import (
+        zone_map_prune_audit,
+        zone_map_stats,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_quantity",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("pb"),
+        F.expr("l_orderkey DIV 4096").alias("file_nat"),
+    ).withColumn("file_z", F.shiftright(zorder_key(F.col("q"), F.col("pb"), bits=6), 6))
+    pred = [("l_quantity", 10, 20)]
+    audits = []
+    for tag, fcol in (("natural", "file_nat"), ("zorder", "file_z")):
+        zm = zone_map_stats(
+            staged.select(F.col(fcol).alias("file"), "l_quantity"),
+            file_col="file",
+            value_cols=["l_quantity"],
+        )
+        audits.append(
+            zone_map_prune_audit(zm, pred).select(F.lit(tag).alias("layout"), "*")
+        )
+    return audits[0].unionByName(audits[1])
+
+
+ORACLE_RECLUSTER_GAIN = """
+WITH staged AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice / 1000) AS BIGINT) AS pb,
+         l_orderkey // 4096 AS file_nat
+  FROM lineitem),
+zk AS (
+  SELECT v, file_nat,
+         ( ((qc >> 0) % 2) * 1 + ((pc >> 0) % 2) * 2
+         + ((qc >> 1) % 2) * 4 + ((pc >> 1) % 2) * 8
+         + ((qc >> 2) % 2) * 16 + ((pc >> 2) % 2) * 32
+         + ((qc >> 3) % 2) * 64 + ((pc >> 3) % 2) * 128
+         + ((qc >> 4) % 2) * 256 + ((pc >> 4) % 2) * 512
+         + ((qc >> 5) % 2) * 1024 + ((pc >> 5) % 2) * 2048 ) >> 6 AS file_z
+  FROM (SELECT v, file_nat,
+               least(greatest(q, 0), 63) AS qc,
+               least(greatest(pb, 0), 63) AS pc
+        FROM staged)),
+lay AS (
+  SELECT 'natural' AS layout, file_nat AS f, v FROM zk
+  UNION ALL
+  SELECT 'zorder' AS layout, file_z AS f, v FROM zk),
+zm AS (
+  SELECT layout, f, count(*) AS n_rows,
+         min(v) AS vmin, max(v) AS vmax,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+  FROM lay GROUP BY 1, 2)
+SELECT layout, 'l_quantity' AS "column",
+       CAST(10.0 AS DOUBLE) AS lo, CAST(20.0 AS DOUBLE) AS hi,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN vmax < 10.0 OR vmin > 20.0 OR n_null = n_rows
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+       CAST(sum(CASE WHEN vmax < 10.0 OR vmin > 20.0 OR n_null = n_rows
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned
+FROM zm GROUP BY 1
+"""

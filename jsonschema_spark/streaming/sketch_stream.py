@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators.sketches import _hll_rho
 
-__all__ = ["stream_hll_windows"]
+__all__ = ["stream_hll_windows", "stream_zone_maps"]
 
 
 def stream_hll_windows(
@@ -58,3 +58,50 @@ def stream_hll_windows(
             "max_rho",
         )
     )
+
+
+def stream_zone_maps(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_cols: list,
+    *,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Ingest-time zone-map collection: per event-time window, the
+    min/max/count/null statistics of each value column — the footer/
+    manifest stats an Iceberg-style writer records at commit, computed in
+    the SAME watermarked aggregation that writes the window (min/max/sum
+    are all streaming-safe monoids, so state is bounded by
+    windows-in-flight and a window's stats row emits exactly once in
+    append mode). Emitted rows are the batch `layout.zone_map_stats`
+    monoid: window stats merge to partition/table grain with
+    min/min, max/max, sum/sum — a backfilled batch zone map and the live
+    stream land in one stats store with no dual-write skew (pinned by
+    test). Output: (window_start, window_end, column, vmin, vmax,
+    n_rows, n_null)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in value_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"),
+        ]
+    per_window = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration))
+        .agg(*aggs)
+    )
+    tall = None
+    for c in value_cols:
+        part = per_window.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.lit(c).alias("column"),
+            F.col(f"_min_{c}").alias("vmin"),
+            F.col(f"_max_{c}").alias("vmax"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+        )
+        tall = part if tall is None else tall.unionByName(part)
+    return tall

@@ -179,6 +179,7 @@ HEADLINE = [
     "fd_discovery_customer",
     "benford_price_lineitem",
     "recluster_gain_lineitem",
+    "interval_coverage_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

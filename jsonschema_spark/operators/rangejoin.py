@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join_points"]
+__all__ = ["range_join_points", "merge_intervals"]
 
 
 def _epoch_us(ts_col: str) -> Column:
@@ -91,3 +91,47 @@ def range_join_points(
         (F.col("_p_us") >= F.col("_s_us")) & (F.col("_p_us") < F.col("_e_us"))
     )
     return matched.drop("_blk", "_p_us", "_s_us", "_e_us")
+
+
+def merge_intervals(
+    df: "DataFrame",
+    *,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> "DataFrame":
+    """Interval union (gaps-and-islands): coalesce overlapping or touching
+    half-open [start, end) intervals per key into maximal disjoint
+    islands — the algebra behind redaction-span flattening, activity/
+    downtime coverage, and validity-interval compaction. Returns one row
+    per island: (key, island, start, end, n_src).
+
+    Touching intervals ([a,b) + [b,c)) merge; a gap of ≥1 unit starts a
+    new island. Bounds must be integer-comparable (epoch micros, offsets)
+    so island detection is exact in any engine.
+
+    Scale shape: ONE hash exchange on the key; the running max of
+    interval ends and the island counter are two stacked window
+    aggregates over the same (key, start, end) sort — same skew contract
+    as `sessions.sessionize` (the unit is the hottest key; salting would
+    split islands, bound per-key interval counts upstream instead)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("bigint")
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        new_island.alias("_new"),
+    )
+    w2 = Window.partitionBy("key").orderBy("_s", "_e")
+    with_island = staged.withColumn("island", F.sum("_new").over(w2))
+    return with_island.groupBy("key", "island").agg(
+        F.min("_s").alias("start"),
+        F.max("_e").alias("end"),
+        F.count(F.lit(1)).alias("n_src"),
+    )

@@ -3400,6 +3400,7 @@ def all_queries():
         "fd_discovery_customer": fd_discovery_customer,
         "benford_price_lineitem": benford_price_lineitem,
         "recluster_gain_lineitem": recluster_gain_lineitem,
+        "interval_coverage_events": interval_coverage_events,
     }
 
 
@@ -3570,6 +3571,7 @@ def all_oracles():
         "fd_discovery_customer": ORACLE_FD_DISCOVERY,
         "benford_price_lineitem": ORACLE_BENFORD,
         "recluster_gain_lineitem": ORACLE_RECLUSTER_GAIN,
+        "interval_coverage_events": ORACLE_INTERVAL_COVERAGE,
     }
 
 
@@ -7842,4 +7844,68 @@ SELECT layout, 'l_quantity' AS "column",
        CAST(sum(CASE WHEN vmax < 10.0 OR vmin > 20.0 OR n_null = n_rows
                      THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned
 FROM zm GROUP BY 1
+"""
+
+
+def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage per user (operators/rangejoin.
+    merge_intervals): each event opens a half-open activity interval of
+    (1s + value ms) from its timestamp; overlapping/touching intervals
+    coalesce into maximal islands via the gaps-and-islands double window
+    (one key exchange). Output per user: raw interval count, merged
+    island count, and exact covered milliseconds — all integer
+    microsecond arithmetic, the downtime/coverage readout interval
+    algebra exists for."""
+    from jsonschema_spark.operators.rangejoin import merge_intervals
+    from jsonschema_spark.operators.sessions import _epoch_us
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    dur_us = (
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000 + F.lit(0.5)).cast(
+            "bigint"
+        )
+        + F.lit(1000)
+    ) * F.lit(1000)
+    iv = ev.select(
+        "user_id",
+        _epoch_us("ts").alias("s_us"),
+        (_epoch_us("ts") + dur_us).alias("e_us"),
+    )
+    merged = merge_intervals(iv, key_col="user_id", start_col="s_us", end_col="e_us")
+    return merged.groupBy(F.col("key").alias("user_id")).agg(
+        F.sum("n_src").alias("n_raw"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.expr("CAST(sum(end - start) DIV 1000 AS BIGINT)").alias("covered_ms"),
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+         + (CAST(floor(COALESCE(value, 0.0) * 1000 + 0.5) AS BIGINT) + 1000)
+           * 1000 AS e
+  FROM events WHERE user_id IS NOT NULL),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged),
+merged AS (
+  SELECT user_id, island, min(s) AS ms, max(e) AS me, count(*) AS n_src
+  FROM islands GROUP BY 1, 2)
+SELECT user_id, CAST(sum(n_src) AS BIGINT) AS n_raw,
+       count(*) AS n_merged,
+       CAST(sum(me - ms) // 1000 AS BIGINT) AS covered_ms
+FROM merged GROUP BY 1
 """

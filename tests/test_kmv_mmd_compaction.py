@@ -410,3 +410,54 @@ def test_benford_probabilities_sum_to_one(spark):
     assert sum(r["n"] for r in rows) == 499
     assert sum(r["p_obs"] for r in rows) == pytest.approx(1.0, abs=1e-4)
     assert sum(r["p_exp"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+# ------------------------------------------------------------- intervals
+
+def _merge(spark, rows):
+    from jsonschema_spark.operators.rangejoin import merge_intervals
+
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, key_col="k", start_col="s", end_col="e")
+    return sorted(
+        (r["key"], r["start"], r["end"], r["n_src"]) for r in out.collect()
+    )
+
+
+def test_intervals_overlap_touch_gap(spark):
+    rows = [
+        ("a", 0, 10), ("a", 5, 15),   # overlap -> [0,15)
+        ("a", 15, 20),                # touching -> joins island
+        ("a", 25, 30),                # gap -> new island
+        ("b", 0, 1),
+    ]
+    assert _merge(spark, rows) == [
+        ("a", 0, 20, 3),
+        ("a", 25, 30, 1),
+        ("b", 0, 1, 1),
+    ]
+
+
+def test_intervals_contained_and_identical(spark):
+    rows = [("k", 0, 100), ("k", 10, 20), ("k", 10, 20), ("k", 90, 150)]
+    assert _merge(spark, rows) == [("k", 0, 150, 4)]
+
+
+def test_intervals_islands_are_disjoint_and_conserve(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [("k", s, s + rng.randint(1, 40)) for s in rng.sample(range(2000), 120)]
+    merged = _merge(spark, rows)
+    assert sum(n for _, _, _, n in merged) == len(rows)
+    prev_end = None
+    for _, s, e, _ in merged:
+        assert s < e
+        if prev_end is not None:
+            assert s > prev_end  # strict gap between islands
+        prev_end = e
+    # coverage equals the brute-force point union
+    covered = set()
+    for _, s, e in ((k, s, e) for k, s, e in [(r[0], r[1], r[2]) for r in rows]):
+        covered.update(range(s, e))
+    assert sum(e - s for _, s, e, _ in merged) == len(covered)

@@ -180,6 +180,7 @@ HEADLINE = [
     "benford_price_lineitem",
     "recluster_gain_lineitem",
     "interval_coverage_events",
+    "stream_zone_map_replay_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

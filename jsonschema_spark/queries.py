@@ -3401,6 +3401,7 @@ def all_queries():
         "benford_price_lineitem": benford_price_lineitem,
         "recluster_gain_lineitem": recluster_gain_lineitem,
         "interval_coverage_events": interval_coverage_events,
+        "stream_zone_map_replay_events": stream_zone_map_replay_events,
     }
 
 
@@ -3572,6 +3573,7 @@ def all_oracles():
         "benford_price_lineitem": ORACLE_BENFORD,
         "recluster_gain_lineitem": ORACLE_RECLUSTER_GAIN,
         "interval_coverage_events": ORACLE_INTERVAL_COVERAGE,
+        "stream_zone_map_replay_events": ORACLE_STREAM_ZONE_MAP_REPLAY,
     }
 
 
@@ -7908,4 +7910,78 @@ SELECT user_id, CAST(sum(n_src) AS BIGINT) AS n_raw,
        count(*) AS n_merged,
        CAST(sum(me - ms) // 1000 AS BIGINT) AS covered_ms
 FROM merged GROUP BY 1
+"""
+
+
+def stream_zone_map_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second STRUCTURED STREAMING entry in the driver gate: replay the
+    events table through `streaming/sketch_stream.stream_zone_maps`
+    (per-DAY min/max/count/null statistics of `value`, availableNow
+    trigger, memory sink) — the ingest-time writer-stats path, driver-
+    checked. Deterministic for the same reason as the HLL replay: append
+    mode emits exactly the windows whose end <= final watermark (max
+    event time, delay 0s), and min/max/count/null over a fixed row set
+    are engine-exact — a plain SQL oracle reproduces the stream output
+    bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from jsonschema_spark.streaming.sketch_stream import stream_zone_maps
+
+    src = os.path.join(sf_dir, "events.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        ".scratch",
+        f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(stage, "events.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = stream_zone_maps(
+        stream, "ts", ["value"], window_duration="1 day", watermark="0 seconds"
+    )
+    name = f"zm_replay_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="zm_replay_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("date").cast("string").alias("day"),
+        "column",
+        "vmin",
+        "vmax",
+        "n_rows",
+        "n_null",
+    )
+
+
+ORACLE_STREAM_ZONE_MAP_REPLAY = """
+WITH w AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         CAST(value AS DOUBLE) AS v
+  FROM events),
+zm AS (
+  SELECT ws, min(v) AS vmin, max(v) AS vmax,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM w GROUP BY 1),
+wm AS (SELECT max(ts) AS m FROM events)
+SELECT CAST(CAST(zm.ws AS DATE) AS VARCHAR) AS day, 'value' AS "column",
+       zm.vmin, zm.vmax, zm.n_rows, zm.n_null
+FROM zm, wm WHERE zm.ws + INTERVAL 1 DAY <= wm.m
 """

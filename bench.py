@@ -181,6 +181,7 @@ HEADLINE = [
     "recluster_gain_lineitem",
     "interval_coverage_events",
     "stream_zone_map_replay_events",
+    "json_schema_profile_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

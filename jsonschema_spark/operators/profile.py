@@ -31,6 +31,7 @@ __all__ = [
     "key_candidates",
     "fd_violations",
     "benford_first_digit",
+    "json_key_profile",
 ]
 
 
@@ -283,4 +284,58 @@ def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
         snap(p_obs).alias("p_obs"),
         snap(p_exp).alias("p_exp"),
         snap(chi2).alias("chi2_term"),
+    )
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema inference from raw JSON DATA: per top-level key, the
+    JSON-Schema type, presence count, presence fraction, and a `required`
+    verdict — the data-driven cousin of the footer-driven `schemagen` CLI
+    (which needs typed parquet; this works on a semi-structured string
+    column you have not schematized yet, the usual state of a `props`
+    bag). Feed the output to a schema author (or `builder.py`) and
+    `compat.schema_compat` can police the bag's drift from then on.
+
+    Engine shape: ONE parse_json per row (the repo-wide variant rule),
+    cast to map<string,variant>, key explode, and a map-side-combining
+    groupBy over (key, type) — the exchange carries distinct (key, type)
+    cells, never rows. Types come from `schema_of_variant` lowered to
+    JSON-Schema names (BIGINT/DECIMAL(p,0) → integer, other numerics →
+    number, VOID → null, ARRAY/STRUCT prefixes → array/object; same
+    contract as plans/variant.py)."""
+    parsed = F.try_parse_json(F.col(json_col))
+    entries = df.where(F.col(json_col).isNotNull()).select(
+        F.explode(parsed.try_cast("map<string,variant>")).alias("key", "_v")
+    )
+    st = F.schema_of_variant(F.col("_v"))
+    jtype = (
+        F.when(st == "VOID", F.lit("null"))
+        .when(st == "BOOLEAN", F.lit("boolean"))
+        .when(st == "STRING", F.lit("string"))
+        .when(
+            (st == "BIGINT") | st.rlike("^DECIMAL\\([0-9]+,0\\)$"), F.lit("integer")
+        )
+        .when(st.startswith("ARRAY"), F.lit("array"))
+        .when(
+            st.startswith("STRUCT") | st.startswith("OBJECT") | st.startswith("MAP"),
+            F.lit("object"),
+        )
+        .otherwise(F.lit("number"))
+    )
+    counts = entries.select("key", jtype.alias("jtype")).groupBy("key", "jtype").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = df.where(F.col(json_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    # required = the KEY (any type) is present in every document; computed
+    # over the tiny aggregated relation
+    n_key = F.sum("n").over(Window.partitionBy("key"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "key",
+        "jtype",
+        "n",
+        snap(F.col("n") / F.col("_t")).alias("frac"),
+        (n_key == F.col("_t")).alias("required"),
     )

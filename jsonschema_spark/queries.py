@@ -3402,6 +3402,7 @@ def all_queries():
         "recluster_gain_lineitem": recluster_gain_lineitem,
         "interval_coverage_events": interval_coverage_events,
         "stream_zone_map_replay_events": stream_zone_map_replay_events,
+        "json_schema_profile_events": json_schema_profile_events,
     }
 
 
@@ -3574,6 +3575,7 @@ def all_oracles():
         "recluster_gain_lineitem": ORACLE_RECLUSTER_GAIN,
         "interval_coverage_events": ORACLE_INTERVAL_COVERAGE,
         "stream_zone_map_replay_events": ORACLE_STREAM_ZONE_MAP_REPLAY,
+        "json_schema_profile_events": ORACLE_JSON_SCHEMA_PROFILE,
     }
 
 
@@ -7984,4 +7986,78 @@ wm AS (SELECT max(ts) AS m FROM events)
 SELECT CAST(CAST(zm.ws AS DATE) AS VARCHAR) AS day, 'value' AS "column",
        zm.vmin, zm.vmax, zm.n_rows, zm.n_null
 FROM zm, wm WHERE zm.ws + INTERVAL 1 DAY <= wm.m
+"""
+
+
+def json_schema_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference from raw JSON data (operators/profile.
+    json_key_profile): serialize a deterministic semi-structured bag per
+    event (string / number / integer / boolean / array / object fields,
+    each present under a different modular rule) and let the GENERIC
+    variant-based profiler recover per-key types, presence fractions, and
+    required verdicts. The oracle encodes the generation ground truth the
+    profiler does not see — inference is checked against what the data
+    actually was, not against a reimplementation of the profiler."""
+    from jsonschema_spark.operators.profile import json_key_profile
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            # clamp |v| under 1e7: Double.toString switches to scientific
+            # notation there, and integral mantissas ("1.2E7") parse to
+            # scale-0 decimals — i.e. JSON integers — flipping the type
+            # for ~1% of rows; the profile fixture wants a stable 'number'
+            F.when(
+                eid % 4 != 0,
+                F.least(F.greatest(F.col("value"), F.lit(-9999999.0)), F.lit(9999999.0)),
+            ).alias("v"),
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+            F.when(eid % 3 == 0, (eid % 2 == 0)).alias("flag"),
+            F.when(eid % 5 == 0, F.array(F.col("user_id"))).alias("tags"),
+            F.when(eid % 7 == 0, F.struct(F.col("user_id").alias("u"))).alias(
+                "meta"
+            ),
+        )
+    )
+    return json_key_profile(ev.select(j.alias("j")), "j")
+
+
+ORACLE_JSON_SCHEMA_PROFILE = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+n AS (
+  SELECT 'et' AS key, 'string' AS jtype,
+         CAST(count(*) AS BIGINT) AS n FROM events WHERE event_type IS NOT NULL
+  UNION ALL
+  -- JSON-Schema exact-number semantics (same as the reference's big.Rat
+  -- rule): a value with zero fractional part IS an integer — 11.0
+  -- parses to a scale-0 decimal and the profiler rightly types it
+  -- 'integer'; the ground truth splits on integrality accordingly
+  SELECT 'v', 'number', CAST(count(*) AS BIGINT)
+  FROM (SELECT least(greatest(value, -9999999.0), 9999999.0) AS vc
+        FROM events WHERE event_id % 4 <> 0 AND value IS NOT NULL)
+  WHERE floor(vc) <> vc
+  UNION ALL
+  SELECT 'v', 'integer', CAST(count(*) AS BIGINT)
+  FROM (SELECT least(greatest(value, -9999999.0), 9999999.0) AS vc
+        FROM events WHERE event_id % 4 <> 0 AND value IS NOT NULL)
+  WHERE floor(vc) = vc
+  UNION ALL
+  SELECT 'k', 'integer', CAST(count(*) AS BIGINT)
+  FROM events
+  WHERE props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+  UNION ALL
+  SELECT 'flag', 'boolean', CAST(count(*) AS BIGINT)
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT 'tags', 'array', CAST(count(*) AS BIGINT)
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT 'meta', 'object', CAST(count(*) AS BIGINT)
+  FROM events WHERE event_id % 7 = 0)
+SELECT key, jtype, n,
+       floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.000001) / 1000000.0 AS frac,
+       n = total AS required
+FROM n, t WHERE n > 0
 """

@@ -461,3 +461,41 @@ def test_intervals_islands_are_disjoint_and_conserve(spark):
     for _, s, e in ((k, s, e) for k, s, e in [(r[0], r[1], r[2]) for r in rows]):
         covered.update(range(s, e))
     assert sum(e - s for _, s, e, _ in merged) == len(covered)
+
+
+# ------------------------------------------------------ JSON key profile
+
+def test_json_key_profile_types_and_required(spark):
+    from jsonschema_spark.operators.profile import json_key_profile
+
+    rows = [
+        ('{"a": 1, "b": "x", "c": 1.5}',),
+        ('{"a": 2, "b": "y", "d": [1,2]}',),
+        ('{"a": "mixed", "b": "z", "e": {"f": 1}, "g": true, "h": null}',),
+        (None,),  # null docs excluded from the denominator
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {
+        (r["key"], r["jtype"]): (r["n"], r["required"])
+        for r in json_key_profile(df, "j").collect()
+    }
+    assert got == {
+        ("a", "integer"): (2, True),   # key 'a' present everywhere -> required
+        ("a", "string"): (1, True),    # ... even though its TYPE is mixed
+        ("b", "string"): (3, True),
+        ("c", "number"): (1, False),
+        ("d", "array"): (1, False),
+        ("e", "object"): (1, False),
+        ("g", "boolean"): (1, False),
+        ("h", "null"): (1, False),
+    }
+
+
+def test_json_key_profile_integral_doubles_are_integers(spark):
+    # JSON-Schema exact-number semantics: 11.0 IS an integer (reference
+    # big.Rat rule); the variant parser normalizes the trailing zero
+    from jsonschema_spark.operators.profile import json_key_profile
+
+    df = spark.createDataFrame([('{"x": 11.0}',), ('{"x": 11.5}',)], "j string")
+    got = {(r["key"], r["jtype"]): r["n"] for r in json_key_profile(df, "j").collect()}
+    assert got == {("x", "integer"): 1, ("x", "number"): 1}

@@ -32,6 +32,7 @@ __all__ = [
     "fd_violations",
     "benford_first_digit",
     "json_key_profile",
+    "schema_from_profile",
 ]
 
 
@@ -339,3 +340,31 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         snap(F.col("n") / F.col("_t")).alias("frac"),
         (n_key == F.col("_t")).alias("required"),
     )
+
+
+def schema_from_profile(profile_rows, *, extra_threshold: float = 0.0) -> dict:
+    """Turn `json_key_profile` output rows into a draft 2020-12 object
+    schema: per-key `type` (a union list when the data showed mixed
+    types, sorted for determinism), `required` for keys present in every
+    document, and keys whose presence fraction is ≤ `extra_threshold`
+    dropped entirely (noise keys a proposer should not enshrine). The
+    infer → validate loop closes: the proposed schema accepts every
+    document it was profiled from (tested), and `compat.schema_compat`
+    can police drift between two snapshots' proposals."""
+    by_key: dict = {}
+    required: set = set()
+    for r in profile_rows:
+        key, jtype, frac, req = r["key"], r["jtype"], r["frac"], r["required"]
+        if frac <= extra_threshold:
+            continue
+        by_key.setdefault(key, set()).add(jtype)
+        if req:
+            required.add(key)
+    props = {}
+    for key, types in sorted(by_key.items()):
+        ts = sorted(types)
+        props[key] = {"type": ts[0] if len(ts) == 1 else ts}
+    schema: dict = {"type": "object", "properties": props}
+    if required:
+        schema["required"] = sorted(required)
+    return schema

@@ -499,3 +499,36 @@ def test_json_key_profile_integral_doubles_are_integers(spark):
     df = spark.createDataFrame([('{"x": 11.0}',), ('{"x": 11.5}',)], "j string")
     got = {(r["key"], r["jtype"]): r["n"] for r in json_key_profile(df, "j").collect()}
     assert got == {("x", "integer"): 1, ("x", "number"): 1}
+
+
+def test_infer_then_validate_roundtrip(spark):
+    import json
+
+    from jsonschema_spark.compat import schema_compat
+    from jsonschema_spark.evaluator import Evaluator
+    from jsonschema_spark.operators.profile import (
+        json_key_profile,
+        schema_from_profile,
+    )
+
+    docs = [
+        {"a": 1, "b": "x"},
+        {"a": 2, "b": "y", "c": [1, 2]},
+        {"a": 3.5, "b": "z", "d": {"e": 1}},
+    ]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "j string")
+    profile = json_key_profile(df, "j").collect()
+    schema = schema_from_profile(profile)
+    assert schema["required"] == ["a", "b"]
+    assert schema["properties"]["a"]["type"] == ["integer", "number"]
+    # the proposed schema accepts every document it was profiled from
+    ev = Evaluator(schema)
+    for d in docs:
+        assert ev.validate(d).valid, d
+    # drift policing: a snapshot that loses key 'b' and narrows 'a' is
+    # caught by schema_compat between the two proposals
+    docs2 = [{"a": 1}, {"a": 2}]
+    df2 = spark.createDataFrame([(json.dumps(d),) for d in docs2], "j string")
+    schema2 = schema_from_profile(json_key_profile(df2, "j").collect())
+    breaking = [f for f in schema_compat(schema, schema2) if f["breaking"]]
+    assert any(f["change"] == "type_narrowed" for f in breaking)

@@ -182,6 +182,8 @@ HEADLINE = [
     "interval_coverage_events",
     "stream_zone_map_replay_events",
     "json_schema_profile_events",
+    "trend_slope_events",
+    "concentration_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

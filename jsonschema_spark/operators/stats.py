@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["column_stats", "column_cardinality", "robust_outliers", "derived_column_violations"]
+__all__ = ["column_stats", "column_cardinality", "robust_outliers", "derived_column_violations", "concentration"]
 
 
 def column_stats(
@@ -362,5 +362,67 @@ def equal_frequency_bins(
                 F.col("bin").cast("int") + 2,
             ).alias("hi"),
             "n",
+        )
+    )
+
+
+def concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Activity-concentration profile over a key: one row (n_keys, total,
+    gini, top1_share, top10_share, hhi) from the per-key count
+    distribution — the skew readout that decides whether a corpus is
+    dominated by a handful of sources/users (sampling quotas, the
+    salting decision for the hot-key joins, dedup priorities). Gini from
+    the closed form over ascending-sorted counts
+    (2·Σ rank·cᵢ / (n·Σc) − (n+1)/n, rank ties broken by key for
+    engine-stable ordering), HHI as Σ(share²). The groupBy exchange is
+    bounded by distinct keys (map-side combine); the rank window runs
+    over the aggregated relation only. All inputs to the float formulas
+    are exact integer sums; outputs snap on the 1e-6 grid."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("c", "k")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("rk").cast("bigint") * F.col("c")).alias("_src"),
+        F.max("c").alias("_cmax"),
+    )
+    top10 = (
+        ranked.withColumn(
+            "drk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k")))
+        )
+        .where(F.col("drk") <= 10)
+        .agg(F.sum("c").alias("_top10"))
+    )
+    hhi = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("c").alias("_t")))
+    ).agg(
+        F.sum(
+            (F.col("c").cast("double") / F.col("_t"))
+            * (F.col("c").cast("double") / F.col("_t"))
+        ).alias("_hhi")
+    )
+    n = F.col("n_keys").cast("double")
+    tot = F.col("total").cast("double")
+    gini = (F.lit(2.0) * F.col("_src").cast("double")) / (n * tot) - (
+        n + F.lit(1.0)
+    ) / n
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    return (
+        agg.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(hhi))
+        .select(
+            "n_keys",
+            "total",
+            snap(gini).alias("gini"),
+            snap(F.col("_cmax").cast("double") / tot).alias("top1_share"),
+            snap(F.col("_top10").cast("double") / tot).alias("top10_share"),
+            snap(F.col("_hhi")).alias("hhi"),
         )
     )

@@ -54,6 +54,7 @@ __all__ = [
     "rolling_anomalies",
     "cusum_changepoints",
     "forecast_backtest",
+    "trend_slope",
 ]
 
 _US = 1_000_000
@@ -517,4 +518,48 @@ def forecast_backtest(
         F.sum(ok.cast("bigint")).alias("n_scored"),
         snap(F.avg(F.when(ok, ape("f_snaive")))).alias("mape_snaive"),
         snap(F.avg(F.when(ok, ape("f_ewma")))).alias("mape_ewma"),
+    )
+
+
+def trend_slope(
+    daily: DataFrame,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key OLS trend over a (x, y) series — closed-form slope /
+    intercept / r² from the five sufficient sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) in ONE map-side-combining aggregation: the "is this metric
+    drifting over time" detector that complements `cusum_changepoints`
+    (level SHIFTS) with a monotone-trend readout. Formulas are evaluated
+    in a fixed operand order (n·Σxy − Σx·Σy over n·Σx² − Σx², textbook
+    form) so any SQL engine reproduces them to float precision; the
+    caller supplies integer x (e.g. day index) for exact sums. Returns
+    (key, n, slope, intercept, r2), snapped; keys with a degenerate x
+    variance (n < 2 or all-equal x) emit NULL slope/intercept/r2."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = daily.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(dx > 0, (F.col("sy") - cov / dx * F.col("sx")) / n)
+    r2 = F.when((dx > 0) & (dy > 0), cov * cov / (dx * dy))
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    return agg.select(
+        "key",
+        "n",
+        snap(slope).alias("slope"),
+        snap(intercept).alias("intercept"),
+        snap(r2).alias("r2"),
     )

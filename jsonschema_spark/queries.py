@@ -3403,6 +3403,8 @@ def all_queries():
         "interval_coverage_events": interval_coverage_events,
         "stream_zone_map_replay_events": stream_zone_map_replay_events,
         "json_schema_profile_events": json_schema_profile_events,
+        "trend_slope_events": trend_slope_events,
+        "concentration_events": concentration_events,
     }
 
 
@@ -3576,6 +3578,8 @@ def all_oracles():
         "interval_coverage_events": ORACLE_INTERVAL_COVERAGE,
         "stream_zone_map_replay_events": ORACLE_STREAM_ZONE_MAP_REPLAY,
         "json_schema_profile_events": ORACLE_JSON_SCHEMA_PROFILE,
+        "trend_slope_events": ORACLE_TREND_SLOPE,
+        "concentration_events": ORACLE_CONCENTRATION,
     }
 
 
@@ -8060,4 +8064,98 @@ SELECT key, jtype, n,
        floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.000001) / 1000000.0 AS frac,
        n = total AS required
 FROM n, t WHERE n > 0
+"""
+
+
+def trend_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend over the daily mean-value series
+    (operators/timeseries.trend_slope): closed-form slope/intercept/r²
+    from one pass of sufficient sums — the monotone-drift detector beside
+    CUSUM's level shifts and the forecast backtest's predictive check.
+    Day index is anchored to 2024-01-01 so x is an exact small integer."""
+    from jsonschema_spark.operators.timeseries import trend_slope
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+                "x"
+            ),
+        )
+        .agg(F.avg("value").alias("y"))
+    )
+    return trend_slope(daily, key_col="etype", x_col="x", y_col="y").withColumnRenamed(
+        "key", "event_type"
+    )
+
+
+ORACLE_TREND_SLOPE = """
+WITH daily AS (
+  SELECT event_type AS key,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         avg(value) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+agg AS (
+  SELECT key, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM daily GROUP BY 1),
+d AS (
+  SELECT key, n,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS dx,
+         CAST(n AS DOUBLE) * syy - sy * sy AS dy,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+         sx, sy FROM agg)
+SELECT key AS event_type, n,
+       floor(CASE WHEN dx > 0 THEN cov / dx END * 1000000.0 + 0.000001)
+         / 1000000.0 AS slope,
+       floor(CASE WHEN dx > 0 THEN (sy - cov / dx * sx) / CAST(n AS DOUBLE) END
+             * 1000000.0 + 0.000001) / 1000000.0 AS intercept,
+       floor(CASE WHEN dx > 0 AND dy > 0 THEN cov * cov / (dx * dy) END
+             * 1000000.0 + 0.000001) / 1000000.0 AS r2
+FROM d
+"""
+
+
+def concentration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity concentration over events (operators/stats.
+    concentration): Gini, top-1/top-10 shares, and HHI from the per-user
+    count distribution — the skew readout behind sampling quotas and the
+    hot-key salting decision. All float formulas consume exact integer
+    sums; rank ties break on the key for engine-stable ordering."""
+    from jsonschema_spark.operators.stats import concentration
+
+    ev = _t(spark, sf_dir, "events")
+    return concentration(ev, "user_id")
+
+
+ORACLE_CONCENTRATION = """
+WITH counts AS (
+  SELECT user_id AS k, count(*) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1),
+ranked AS (
+  SELECT k, c, row_number() OVER (ORDER BY c, k) AS rk FROM counts),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(rk * c) AS BIGINT) AS src, max(c) AS cmax
+  FROM ranked),
+top10 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t10
+  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, k ASC) AS drk FROM counts)
+  WHERE drk <= 10),
+hhi AS (
+  SELECT sum((CAST(c AS DOUBLE) / t) * (CAST(c AS DOUBLE) / t)) AS h
+  FROM counts, (SELECT sum(c) AS t FROM counts))
+SELECT n_keys, total,
+       floor(((2.0 * CAST(src AS DOUBLE)) / (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE))
+              - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE))
+             * 1000000.0 + 0.000001) / 1000000.0 AS gini,
+       floor(CAST(cmax AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.000001)
+         / 1000000.0 AS top1_share,
+       floor(CAST(t10 AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.000001)
+         / 1000000.0 AS top10_share,
+       floor(h * 1000000.0 + 0.000001) / 1000000.0 AS hhi
+FROM agg, top10, hhi
 """

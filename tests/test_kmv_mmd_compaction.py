@@ -532,3 +532,54 @@ def test_infer_then_validate_roundtrip(spark):
     schema2 = schema_from_profile(json_key_profile(df2, "j").collect())
     breaking = [f for f in schema_compat(schema, schema2) if f["breaking"]]
     assert any(f["change"] == "type_narrowed" for f in breaking)
+
+
+# ------------------------------------------------- trend / concentration
+
+def test_trend_slope_exact_line(spark):
+    from jsonschema_spark.operators.timeseries import trend_slope
+
+    rows = [("k", i, 2.0 * i + 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, x int, y double")
+    out = trend_slope(df, key_col="key", x_col="x", y_col="y").collect()[0]
+    assert out["slope"] == pytest.approx(2.0, abs=2e-6)
+    assert out["intercept"] == pytest.approx(3.0, abs=2e-6)
+    assert out["r2"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_trend_slope_degenerate_x_is_null(spark):
+    from jsonschema_spark.operators.timeseries import trend_slope
+
+    df = spark.createDataFrame([("k", 5, 1.0), ("k", 5, 2.0)], "key string, x int, y double")
+    out = trend_slope(df, key_col="key", x_col="x", y_col="y").collect()[0]
+    assert out["slope"] is None and out["r2"] is None
+
+
+def test_concentration_uniform_vs_dominated(spark):
+    from jsonschema_spark.operators.stats import concentration
+
+    uni = spark.createDataFrame([(i % 50,) for i in range(500)], "k int")
+    dom = spark.createDataFrame(
+        [(0,)] * 951 + [(i,) for i in range(1, 50)], "k int"
+    )
+    u = concentration(uni, "k").collect()[0]
+    d = concentration(dom, "k").collect()[0]
+    assert u["gini"] == pytest.approx(0.0, abs=2e-6)  # perfectly equal
+    assert u["top1_share"] == pytest.approx(10 / 500, abs=2e-6)
+    assert d["gini"] > 0.9
+    assert d["top1_share"] == pytest.approx(0.951, abs=2e-6)
+    assert d["hhi"] > 0.9
+    assert u["hhi"] == pytest.approx(1 / 50, abs=2e-6)
+
+
+def test_concentration_gini_matches_reference_formula(spark):
+    from jsonschema_spark.operators.stats import concentration
+
+    counts = [5, 1, 9, 3, 7, 7, 2]
+    rows = [(k,) for k, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "k int")
+    out = concentration(df, "k").collect()[0]
+    cs = sorted(counts)
+    n, tot = len(cs), sum(cs)
+    gini = 2 * sum((i + 1) * c for i, c in enumerate(cs)) / (n * tot) - (n + 1) / n
+    assert out["gini"] == pytest.approx(gini, abs=2e-6)

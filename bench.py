@@ -184,6 +184,8 @@ HEADLINE = [
     "json_schema_profile_events",
     "trend_slope_events",
     "concentration_events",
+    "quality_threshold_docs",
+    "quality_calibration_docs",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -28,6 +28,8 @@ __all__ = [
     "fit_nb_quality_model",
     "score_quality_model",
     "binary_auc_bucketed",
+    "threshold_pick_bucketed",
+    "calibration_deciles_bucketed",
 ]
 
 
@@ -182,4 +184,140 @@ def binary_auc_bucketed(
         ).alias("auc"),
         F.sum("p").alias("n_pos"),
         F.sum("n").alias("n_neg"),
+    )
+
+
+def threshold_pick_bucketed(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: float = -64.0,
+    hi: float = 64.0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Operating-point selection for a classifier gate: sweep every
+    bucket edge of the fixed score grid as a candidate threshold and
+    return the Youden-J argmax — ONE row (threshold, tpr, fpr, youden_j,
+    precision, recall, f1, n_pos, n_neg). Completes the model-eval loop
+    after `binary_auc_bucketed` (ranking quality) with the answer a
+    pipeline actually deploys: WHERE to cut.
+
+    Same scale shape as the AUC: one map-side-combining histogram
+    groupBy; TP/FP at every candidate edge are suffix sums over the
+    ≤n_buckets-row relation (bounded window, never data). Ties on J
+    break toward the LOWEST threshold (more recall), deterministically.
+    The grid width is a power of two so thresholds are exact doubles."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    h = (
+        scored.select(b.alias("b"), F.col(label_col).cast("boolean").alias("pos"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
+    tot = h.agg(F.sum("p").alias("tot_p"), F.sum("n").alias("tot_n"))
+    cand = (
+        h.withColumn("tp", F.sum("p").over(wdesc))
+        .withColumn("fp", F.sum("n").over(wdesc))
+        .crossJoin(F.broadcast(tot))
+    )
+    tpr = F.col("tp").cast("double") / F.col("tot_p")
+    fpr = F.col("fp").cast("double") / F.col("tot_n")
+    j = tpr - fpr
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    )
+    f1 = F.when(
+        (prec + tpr) > 0, F.lit(2.0) * prec * tpr / (prec + tpr)
+    )
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    staged = cand.select(
+        (F.lit(lo) + F.col("b").cast("double") * F.lit(width)).alias("threshold"),
+        snap(tpr).alias("tpr"),
+        snap(fpr).alias("fpr"),
+        snap(j).alias("youden_j"),
+        snap(prec).alias("precision"),
+        snap(tpr).alias("recall"),
+        snap(f1).alias("f1"),
+        F.col("tot_p").alias("n_pos"),
+        F.col("tot_n").alias("n_neg"),
+    )
+    ranked = staged.withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.desc("youden_j"), F.asc("threshold"))),
+    )
+    return ranked.where(F.col("_rk") == 1).drop("_rk")
+
+
+def calibration_deciles_bucketed(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: float = -64.0,
+    hi: float = 64.0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Reliability diagram from the same fixed-grid histogram: split the
+    score distribution into 10 equal-count deciles (cumulative-count
+    blocking over the bounded histogram — the `equal_frequency_bins`
+    trick, no data re-sort) and report each decile's observed positive
+    rate beside its mean score: (decile, n, n_pos, mean_score, pos_rate).
+    A well-calibrated gate shows pos_rate monotone in mean_score; the
+    mean uses bucket midpoints (fixed power-of-two grid, engine-exact
+    products)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    h = (
+        scored.select(b.alias("b"), F.col(label_col).cast("boolean").alias("pos"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("p"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("n"),
+        )
+    )
+    wasc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    tot = h.agg(F.sum(F.col("p") + F.col("n")).alias("T"))
+    staged = (
+        h.withColumn("cum", F.coalesce(F.sum(F.col("p") + F.col("n")).over(wasc), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.least(F.expr("(cum * 10) DIV T").cast("int"), F.lit(9)),
+        )
+    )
+    mid = F.lit(lo) + (F.col("b").cast("double") + F.lit(0.5)) * F.lit(width)
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    agg = staged.groupBy("decile").agg(
+        F.sum(F.col("p") + F.col("n")).alias("n"),
+        F.sum("p").alias("n_pos"),
+        F.sum(mid * (F.col("p") + F.col("n")).cast("double")).alias("_ms"),
+    )
+    return agg.select(
+        "decile",
+        "n",
+        "n_pos",
+        snap(F.col("_ms") / F.col("n")).alias("mean_score"),
+        snap(F.col("n_pos").cast("double") / F.col("n")).alias("pos_rate"),
     )

@@ -3405,6 +3405,8 @@ def all_queries():
         "json_schema_profile_events": json_schema_profile_events,
         "trend_slope_events": trend_slope_events,
         "concentration_events": concentration_events,
+        "quality_threshold_docs": quality_threshold_docs,
+        "quality_calibration_docs": quality_calibration_docs,
     }
 
 
@@ -3580,6 +3582,8 @@ def all_oracles():
         "json_schema_profile_events": ORACLE_JSON_SCHEMA_PROFILE,
         "trend_slope_events": ORACLE_TREND_SLOPE,
         "concentration_events": ORACLE_CONCENTRATION,
+        "quality_threshold_docs": ORACLE_QUALITY_THRESHOLD,
+        "quality_calibration_docs": ORACLE_QUALITY_CALIBRATION,
     }
 
 
@@ -8158,4 +8162,136 @@ SELECT n_keys, total,
          / 1000000.0 AS top10_share,
        floor(h * 1000000.0 + 0.000001) / 1000000.0 AS hhi
 FROM agg, top10, hhi
+"""
+
+
+# Shared NB-scoring prefix (identical to ORACLE_QUALITY_AUC through the
+# fixed-grid histogram `h`) for the threshold / calibration oracles.
+_NB_HIST_PREFIX = """
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 262144 AS b
+  FROM (SELECT doc_id, pos, unnest(toks) AS tok FROM t)),
+cnt AS (
+  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+  FROM e GROUP BY 1),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+w AS (
+  SELECT b, ln((cp + 1.0) / (tp + 262144.0)) - ln((cn + 1.0) / (tn + 262144.0)) AS weight
+  FROM cnt, tot),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS bias
+  FROM t),
+sc AS (
+  SELECT e.doc_id, bool_or(e.pos) AS pos, bias + sum(w.weight) AS score
+  FROM e JOIN w USING (b), prior GROUP BY e.doc_id, bias),
+hb AS (
+  SELECT least(greatest(CAST(floor((score - (-64.0)) / 0.125) AS BIGINT), 0), 1023) AS b,
+         pos
+  FROM sc),
+h AS (
+  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n
+  FROM hb GROUP BY 1)"""
+
+
+def _nb_scored_docs(spark: SparkSession, sf_dir: str):
+    from jsonschema_spark.operators.quality_model import (
+        fit_nb_quality_model,
+        score_quality_model,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("pos", F.col("lang") == "en")
+    weights, consts = fit_nb_quality_model(d, "doc_id", "text", "pos")
+    scored = score_quality_model(d, weights, consts, "doc_id", "text")
+    return scored.join(d.select(F.col("doc_id").alias("id"), "pos"), "id")
+
+
+def quality_threshold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point pick for the NB quality gate (operators/
+    quality_model.threshold_pick_bucketed): sweep every fixed-grid bucket
+    edge as a candidate threshold via suffix sums over the bounded score
+    histogram and return the Youden-J argmax with its precision/recall/F1
+    — the deployable WHERE-to-cut beside quality_auc_docs' HOW-WELL-it-
+    ranks."""
+    from jsonschema_spark.operators.quality_model import threshold_pick_bucketed
+
+    return threshold_pick_bucketed(_nb_scored_docs(spark, sf_dir), "score", "pos")
+
+
+ORACLE_QUALITY_THRESHOLD = _NB_HIST_PREFIX + """,
+tt AS (SELECT CAST(sum(p) AS BIGINT) AS P, CAST(sum(n) AS BIGINT) AS N FROM h),
+cand AS (
+  SELECT b,
+         sum(p) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS tp,
+         sum(n) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS fp
+  FROM h),
+m AS (
+  SELECT CAST(-64.0 AS DOUBLE) + CAST(b AS DOUBLE) * CAST(0.125 AS DOUBLE)
+           AS threshold,
+         CAST(tp AS DOUBLE) / P AS tpr_raw,
+         CAST(fp AS DOUBLE) / N AS fpr_raw,
+         CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec_raw,
+         P, N
+  FROM cand, tt),
+s AS (
+  SELECT threshold,
+         floor(tpr_raw * 1000000.0 + 0.000001) / 1000000.0 AS tpr,
+         floor(fpr_raw * 1000000.0 + 0.000001) / 1000000.0 AS fpr,
+         floor((tpr_raw - fpr_raw) * 1000000.0 + 0.000001) / 1000000.0 AS youden_j,
+         floor(prec_raw * 1000000.0 + 0.000001) / 1000000.0 AS "precision",
+         floor(tpr_raw * 1000000.0 + 0.000001) / 1000000.0 AS recall,
+         floor(CASE WHEN prec_raw + tpr_raw > 0
+                    THEN 2.0 * prec_raw * tpr_raw / (prec_raw + tpr_raw) END
+               * 1000000.0 + 0.000001) / 1000000.0 AS f1,
+         P AS n_pos, N AS n_neg
+  FROM m)
+SELECT threshold, tpr, fpr, youden_j, "precision", recall, f1, n_pos, n_neg
+FROM s ORDER BY youden_j DESC, threshold ASC LIMIT 1
+"""
+
+
+def quality_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB quality gate (operators/
+    quality_model.calibration_deciles_bucketed): equal-count score
+    deciles from cumulative-count blocking over the bounded histogram,
+    each with observed positive rate beside mean score — monotone
+    pos_rate in mean_score is what lets a pipeline trust the gate's
+    scores as probabilities-up-to-ordering."""
+    from jsonschema_spark.operators.quality_model import (
+        calibration_deciles_bucketed,
+    )
+
+    return calibration_deciles_bucketed(
+        _nb_scored_docs(spark, sf_dir), "score", "pos"
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = _NB_HIST_PREFIX + """,
+tt AS (SELECT CAST(sum(p + n) AS BIGINT) AS T FROM h),
+st AS (
+  SELECT b, p, n,
+         coalesce(sum(p + n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum
+  FROM h),
+dec AS (
+  SELECT least(CAST((cum * 10) // T AS INT), 9) AS decile, b, p, n
+  FROM st, tt),
+agg AS (
+  SELECT decile, CAST(sum(p + n) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+         sum((CAST(-64.0 AS DOUBLE) + (CAST(b AS DOUBLE) + 0.5) * CAST(0.125 AS DOUBLE))
+             * CAST(p + n AS DOUBLE)) AS ms
+  FROM dec GROUP BY 1)
+SELECT decile, n, n_pos,
+       floor(ms / n * 1000000.0 + 0.000001) / 1000000.0 AS mean_score,
+       floor(CAST(n_pos AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 AS pos_rate
+FROM agg
 """

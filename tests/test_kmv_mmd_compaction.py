@@ -583,3 +583,69 @@ def test_concentration_gini_matches_reference_formula(spark):
     n, tot = len(cs), sum(cs)
     gini = 2 * sum((i + 1) * c for i, c in enumerate(cs)) / (n * tot) - (n + 1) / n
     assert out["gini"] == pytest.approx(gini, abs=2e-6)
+
+
+# ------------------------------------------- threshold pick / calibration
+
+def test_threshold_pick_separable(spark):
+    from jsonschema_spark.operators.quality_model import threshold_pick_bucketed
+
+    rows = [(float(-5 - i % 3), False) for i in range(50)] + [
+        (float(5 + i % 3), True) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    out = threshold_pick_bucketed(df, "score", "pos").collect()[0]
+    assert out["youden_j"] == pytest.approx(1.0, abs=2e-6)
+    assert out["precision"] == pytest.approx(1.0, abs=2e-6)
+    assert out["recall"] == pytest.approx(1.0, abs=2e-6)
+    assert -5.0 < out["threshold"] <= 5.0  # lies in the gap
+    assert (out["n_pos"], out["n_neg"]) == (40, 50)
+
+
+def test_threshold_pick_tie_breaks_low(spark):
+    from pyspark.sql import functions as SF
+
+    from jsonschema_spark.operators.quality_model import threshold_pick_bucketed
+
+    # candidates are the occupied bucket edges (ROC vertices); when every
+    # candidate shares the same J, the LOWEST threshold must win
+    rows = [(-8.0, False), (-8.0, True), (8.0, False), (8.0, True)]
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    out = threshold_pick_bucketed(df, "score", "pos").collect()[0]
+    assert out["youden_j"] == pytest.approx(0.0, abs=2e-6)  # uninformative gate
+    assert out["threshold"] == pytest.approx(-8.0, abs=1e-9)
+
+
+def test_threshold_pick_separable_candidate_is_positive_edge(spark):
+    from jsonschema_spark.operators.quality_model import threshold_pick_bucketed
+
+    rows = [(-20.0, False)] * 5 + [(20.0, True)] * 5
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    out = threshold_pick_bucketed(df, "score", "pos").collect()[0]
+    assert out["youden_j"] == pytest.approx(1.0, abs=2e-6)
+    assert out["threshold"] == pytest.approx(20.0, abs=1e-9)  # positives' bucket edge
+
+
+def test_calibration_deciles_monotone_and_conserve(spark):
+    from jsonschema_spark.operators.quality_model import (
+        calibration_deciles_bucketed,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(2000):
+        s = rng.uniform(-10, 10)
+        rows.append((s, rng.random() < 1 / (1 + 2.718281828 ** (-s))))
+    df = spark.createDataFrame(rows, "score double, pos boolean")
+    out = sorted(
+        calibration_deciles_bucketed(df, "score", "pos").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert sum(r["n"] for r in out) == 2000
+    # equal-count deciles within histogram-bucket granularity
+    assert all(150 <= r["n"] <= 250 for r in out)
+    # calibration: pos_rate grows with mean_score across the sweep
+    assert out[0]["pos_rate"] < 0.25 and out[-1]["pos_rate"] > 0.75
+    assert [r["mean_score"] for r in out] == sorted(r["mean_score"] for r in out)

@@ -186,6 +186,7 @@ HEADLINE = [
     "concentration_events",
     "quality_threshold_docs",
     "quality_calibration_docs",
+    "kmv_overlap_keys",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

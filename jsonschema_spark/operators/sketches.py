@@ -36,6 +36,7 @@ __all__ = [
     "kmv_build",
     "kmv_merge",
     "kmv_estimate",
+    "kmv_intersect_estimate",
 ]
 
 
@@ -361,3 +362,59 @@ def kmv_estimate(sketch: DataFrame, *, k: int = 32, group_cols: tuple = ()) -> D
         F.expr(f"CAST({(k - 1) * _KMV_H48} AS BIGINT) DIV _kth")
     )
     return agg.select(*gcols, "n_sketch", est.cast("bigint").alias("est"))
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, *, k: int = 32) -> DataFrame:
+    """One row (n_a, n_b, n_union_sample, n_both, est_a, est_b, est_union,
+    est_intersection, jaccard) from two ungrouped KMV sketches ALONE — the
+    min-wise counterpart of `hll_intersect_estimate`, with the better
+    variance story: bottom-k of the union is a uniform k-sample of the
+    union's distinct domain, and membership of a sample hash in BOTH
+    input sketches is EXACT intersection membership (coordinated
+    sampling), so jaccard ≈ n_both / |sample| with ~1/sqrt(k) error and
+    est_intersection = n_both·est_union DIV |sample| in pure 64-bit
+    integer arithmetic. The whole estimate reads 2k sketch rows — two
+    100 TB tables' key-overlap triaged from kilobytes (referential
+    integrity pre-check, join-size costing)."""
+    ah = a.select(F.col("hx").alias("hx"))
+    bh = b.select(F.col("hx").alias("hx"))
+    union_sk = _kmv_topk(ah.unionByName(bh).distinct(), k, [])
+    flagged = (
+        union_sk.join(ah.withColumn("_in_a", F.lit(1)), "hx", "left")
+        .join(bh.withColumn("_in_b", F.lit(1)), "hx", "left")
+    )
+    est = lambda n_sk, kth: F.when(n_sk < k, n_sk).otherwise(  # noqa: E731
+        F.expr(f"CAST({(k - 1) * _KMV_H48} AS BIGINT) DIV {kth}")
+    )
+    ua = a.agg(F.count(F.lit(1)).alias("n_a"), F.max(_kmv_h48(F.col("hx"))).alias("_ka"))
+    ub = b.agg(F.count(F.lit(1)).alias("n_b"), F.max(_kmv_h48(F.col("hx"))).alias("_kb"))
+    uu = flagged.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.sum(
+            (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()).cast("bigint")
+        ).alias("n_both"),
+        F.max(_kmv_h48(F.col("hx"))).alias("_ku"),
+    )
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    return (
+        ua.crossJoin(ub)
+        .crossJoin(uu)
+        .select(
+            "n_a",
+            "n_b",
+            "n_union_sample",
+            "n_both",
+            est(F.col("n_a"), "_ka").cast("bigint").alias("est_a"),
+            est(F.col("n_b"), "_kb").cast("bigint").alias("est_b"),
+            est(F.col("n_union_sample"), "_ku").cast("bigint").alias("est_union"),
+            F.expr(
+                "CAST(CASE WHEN n_union_sample > 0 THEN "
+                f"(n_both * (CASE WHEN n_union_sample < {k} THEN n_union_sample "
+                f"ELSE CAST({(k - 1) * _KMV_H48} AS BIGINT) DIV _ku END)) "
+                "DIV n_union_sample ELSE 0 END AS BIGINT)"
+            ).alias("est_intersection"),
+            snap(
+                F.col("n_both").cast("double") / F.col("n_union_sample")
+            ).alias("jaccard"),
+        )
+    )

@@ -3407,6 +3407,7 @@ def all_queries():
         "concentration_events": concentration_events,
         "quality_threshold_docs": quality_threshold_docs,
         "quality_calibration_docs": quality_calibration_docs,
+        "kmv_overlap_keys": kmv_overlap_keys,
     }
 
 
@@ -3584,6 +3585,7 @@ def all_oracles():
         "concentration_events": ORACLE_CONCENTRATION,
         "quality_threshold_docs": ORACLE_QUALITY_THRESHOLD,
         "quality_calibration_docs": ORACLE_QUALITY_CALIBRATION,
+        "kmv_overlap_keys": ORACLE_KMV_OVERLAP,
     }
 
 
@@ -8294,4 +8296,68 @@ SELECT decile, n, n_pos,
        floor(ms / n * 1000000.0 + 0.000001) / 1000000.0 AS mean_score,
        floor(CAST(n_pos AS DOUBLE) / n * 1000000.0 + 0.000001) / 1000000.0 AS pos_rate
 FROM agg
+"""
+
+
+def kmv_overlap_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only key-overlap triage (operators/sketches.
+    kmv_intersect_estimate): estimate |orders.o_custkey ∩
+    events.user_id|, their union size, and Jaccard from two k=128 KMV
+    sketches alone — min-wise sampling is hash-coordinated, so membership
+    of a union-sample hash in both sketches is EXACT intersection
+    membership and the estimator runs in pure integer arithmetic. The
+    kilobyte answer to "do these two 100 TB tables even share keys?"
+    before paying for the referential join."""
+    from jsonschema_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    sa = kmv_build(o, "o_custkey", k=128)
+    sb = kmv_build(ev, "user_id", k=128)
+    return kmv_intersect_estimate(sa, sb, k=128)
+
+
+ORACLE_KMV_OVERLAP = """
+WITH da AS (
+  SELECT DISTINCT md5('kmv:' || CAST(o_custkey AS VARCHAR)) AS hx
+  FROM orders WHERE o_custkey IS NOT NULL),
+ra AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rk FROM da),
+ska AS (SELECT hx FROM ra WHERE rk <= 128),
+db AS (
+  SELECT DISTINCT md5('kmv:' || CAST(user_id AS VARCHAR)) AS hx
+  FROM events WHERE user_id IS NOT NULL),
+rb AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rk FROM db),
+skb AS (SELECT hx FROM rb WHERE rk <= 128),
+un AS (SELECT DISTINCT hx FROM (SELECT hx FROM ska UNION ALL SELECT hx FROM skb)),
+ru AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rk FROM un),
+sku AS (SELECT hx FROM ru WHERE rk <= 128),
+f AS (
+  SELECT hx,
+         hx IN (SELECT hx FROM ska) AS ia,
+         hx IN (SELECT hx FROM skb) AS ib
+  FROM sku),
+aa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+              max(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS ka FROM ska),
+ab AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+              max(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS kb FROM skb),
+au AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+              CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              max(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS ku FROM f)
+SELECT n_a, n_b, nu AS n_union_sample, n_both,
+       CAST(CASE WHEN n_a < 128 THEN n_a
+                 ELSE CAST(35747322042253312 AS BIGINT) // ka END AS BIGINT) AS est_a,
+       CAST(CASE WHEN n_b < 128 THEN n_b
+                 ELSE CAST(35747322042253312 AS BIGINT) // kb END AS BIGINT) AS est_b,
+       CAST(CASE WHEN nu < 128 THEN nu
+                 ELSE CAST(35747322042253312 AS BIGINT) // ku END AS BIGINT) AS est_union,
+       CAST(CASE WHEN nu > 0 THEN
+                 (n_both * (CASE WHEN nu < 128 THEN nu
+                                 ELSE CAST(35747322042253312 AS BIGINT) // ku END))
+                 // nu ELSE 0 END AS BIGINT) AS est_intersection,
+       floor(CAST(n_both AS DOUBLE) / nu * 1000000.0 + 0.000001) / 1000000.0
+         AS jaccard
+FROM aa, ab, au
 """

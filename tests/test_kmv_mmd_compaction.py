@@ -649,3 +649,35 @@ def test_calibration_deciles_monotone_and_conserve(spark):
     # calibration: pos_rate grows with mean_score across the sweep
     assert out[0]["pos_rate"] < 0.25 and out[-1]["pos_rate"] > 0.75
     assert [r["mean_score"] for r in out] == sorted(r["mean_score"] for r in out)
+
+
+def test_kmv_intersect_estimate_accuracy(spark):
+    from jsonschema_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    # |A|=3000, |B|=2000, |A∩B|=1000 (B = 2000..3999)
+    a = spark.createDataFrame([(f"u{i}",) for i in range(3000)], "t string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(2000, 4000)], "t string")
+    out = kmv_intersect_estimate(
+        kmv_build(a, "t", k=256), kmv_build(b, "t", k=256), k=256
+    ).collect()[0]
+    assert abs(out["est_union"] - 4000) / 4000 < 0.25
+    assert abs(out["est_intersection"] - 1000) / 1000 < 0.45  # ratio compounds error
+    assert 0.15 < out["jaccard"] < 0.35  # true 0.25
+
+
+def test_kmv_intersect_disjoint_is_zero(spark):
+    from jsonschema_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersect_estimate,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(500)], "t string")
+    b = spark.createDataFrame([(f"y{i}",) for i in range(500)], "t string")
+    out = kmv_intersect_estimate(
+        kmv_build(a, "t", k=64), kmv_build(b, "t", k=64), k=64
+    ).collect()[0]
+    assert out["n_both"] == 0
+    assert out["est_intersection"] == 0 and out["jaccard"] == 0.0

@@ -459,3 +459,34 @@ def test_cdc_apply_broadcasts_touched_keys(spark):
     p = _plan(cdc_apply_events(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p, p[:500]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_threshold_pick_windows_run_on_bounded_histogram(spark):
+    """Operating-point sweep: the only Window sorts run over the ≤1024-row
+    score histogram, never data; no Python."""
+    from jsonschema_spark.queries import quality_threshold_docs
+
+    p = _plan(quality_threshold_docs(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmv_overlap_reads_sketches_broadcast_only(spark):
+    """Sketch-only overlap: the membership joins and estimate aggregation
+    run over ≤k-row relations; no cartesian, no Python."""
+    from jsonschema_spark.queries import kmv_overlap_keys
+
+    p = _plan(kmv_overlap_keys(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_interval_union_single_exchange_on_key(spark):
+    """Gaps-and-islands: both windows and the island groupBy share ONE
+    hash partitioning on the key — exactly one exchange of interval rows
+    (plus the tiny final summary exchange)."""
+    from jsonschema_spark.queries import interval_coverage_events
+
+    p = _plan(interval_coverage_events(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the two stacked Windows must not introduce separate exchanges
+    assert p.count("Exchange hashpartitioning(user_id") <= 2, p[:800]

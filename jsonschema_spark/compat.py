@@ -50,6 +50,12 @@ _BOUNDS = {
 _OPAQUE = ("allOf", "anyOf", "oneOf", "not", "$ref", "if", "then", "else")
 
 
+def _type_rank(t):
+    """Stable sort key; unknown type names (invalid schemas reach the
+    differ too) sort after the known ones instead of raising."""
+    return (_TYPE_ORDER.index(t), "") if t in _TYPE_ORDER else (len(_TYPE_ORDER), str(t))
+
+
 def _types(s: dict) -> set | None:
     t = s.get("type")
     if t is None:
@@ -95,8 +101,8 @@ def schema_compat(old: Any, new: Any, path: str = "") -> list[dict]:
             _find(
                 path,
                 "type_narrowed",
-                sorted(ot, key=_TYPE_ORDER.index) if ot else None,
-                sorted(nt, key=_TYPE_ORDER.index),
+                sorted(ot, key=_type_rank) if ot else None,
+                sorted(nt, key=_type_rank),
                 True,
             )
         )

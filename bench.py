@@ -187,6 +187,7 @@ HEADLINE = [
     "quality_threshold_docs",
     "quality_calibration_docs",
     "kmv_overlap_keys",
+    "violation_code_stats_docs",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -3408,6 +3408,7 @@ def all_queries():
         "quality_threshold_docs": quality_threshold_docs,
         "quality_calibration_docs": quality_calibration_docs,
         "kmv_overlap_keys": kmv_overlap_keys,
+        "violation_code_stats_docs": violation_code_stats_docs,
     }
 
 
@@ -3586,6 +3587,7 @@ def all_oracles():
         "quality_threshold_docs": ORACLE_QUALITY_THRESHOLD,
         "quality_calibration_docs": ORACLE_QUALITY_CALIBRATION,
         "kmv_overlap_keys": ORACLE_KMV_OVERLAP,
+        "violation_code_stats_docs": ORACLE_VIOLATION_CODE_STATS,
     }
 
 
@@ -8361,3 +8363,29 @@ SELECT n_a, n_b, nu AS n_union_sample, n_both,
          AS jaccard
 FROM aa, ab, au
 """
+
+
+def violation_code_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation triage view: the corpus-wide frequency of every
+    (instance_path, keyword, code) the flagship validation emits, plus
+    how many distinct documents each touches — the "what is failing
+    most" dashboard relation an operator reads before deciding which
+    constraint to fix or which producer to chase. Pure rollup of the
+    scalar-parity violation rows; the exchange carries one row per
+    distinct code triple (map-side combined)."""
+    v = validate_documents_violations(spark, sf_dir)
+    return v.groupBy("instance_path", "keyword", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+ORACLE_VIOLATION_CODE_STATS = (
+    "WITH v AS ("
+    + ORACLE_DOCS_VIOLATIONS
+    + """)
+SELECT instance_path, keyword, code, count(*) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM v GROUP BY 1, 2, 3
+"""
+)

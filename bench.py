@@ -188,6 +188,7 @@ HEADLINE = [
     "quality_calibration_docs",
     "kmv_overlap_keys",
     "violation_code_stats_docs",
+    "rank_churn_docs",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -3409,6 +3409,7 @@ def all_queries():
         "quality_calibration_docs": quality_calibration_docs,
         "kmv_overlap_keys": kmv_overlap_keys,
         "violation_code_stats_docs": violation_code_stats_docs,
+        "rank_churn_docs": rank_churn_docs,
     }
 
 
@@ -3588,6 +3589,7 @@ def all_oracles():
         "quality_calibration_docs": ORACLE_QUALITY_CALIBRATION,
         "kmv_overlap_keys": ORACLE_KMV_OVERLAP,
         "violation_code_stats_docs": ORACLE_VIOLATION_CODE_STATS,
+        "rank_churn_docs": ORACLE_RANK_CHURN,
     }
 
 
@@ -8389,3 +8391,81 @@ SELECT instance_path, keyword, code, count(*) AS n,
 FROM v GROUP BY 1, 2, 3
 """
 )
+
+
+def rank_churn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-stability drift: Spearman correlation of token-frequency
+    RANKINGS between the two doc_id-parity halves of the corpus — the
+    drift family's missing axis (KS/PSI/JS see mass move; a vocabulary
+    whose top terms REORDER while every marginal stays flat only shows
+    up in rank correlation). Top-100 per half by (count desc, token),
+    intersected, re-ranked within the common set, then the closed form
+    1 − 6Σd²/(m(m²−1)) — integer arithmetic to the final division. One
+    token-count exchange (map-side combined); every window runs on the
+    ≤100-row top lists. Output one row: (n_common, spearman)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents", hot=True)
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("half", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("half").orderBy(F.desc("c"), F.asc("tok"))
+    top = cnt.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 100)
+    a = top.where(F.col("half") == 0).select("tok", F.col("c").alias("ca"))
+    b = top.where(F.col("half") == 1).select("tok", F.col("c").alias("cb"))
+    common = a.join(b, "tok")
+    ra = F.row_number().over(Window.orderBy(F.desc("ca"), F.asc("tok")))
+    rb = F.row_number().over(Window.orderBy(F.desc("cb"), F.asc("tok")))
+    ranked = common.select("tok", ra.alias("ra"), rb.alias("rb"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(
+            (F.col("ra") - F.col("rb")).cast("bigint")
+            * (F.col("ra") - F.col("rb")).cast("bigint")
+        ).alias("_d2"),
+    )
+    m = F.col("n_common").cast("double")
+    rho = F.when(
+        F.col("n_common") > 1,
+        F.lit(1.0)
+        - F.lit(6.0) * F.col("_d2").cast("double") / (m * (m * m - F.lit(1.0))),
+    )
+    snapped = F.floor(rho * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)
+    return agg.select("n_common", snapped.alias("spearman"))
+
+
+ORACLE_RANK_CHURN = """
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(
+    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+  ) AS tok
+  FROM documents),
+cnt AS (SELECT half, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT half, tok, c,
+         row_number() OVER (PARTITION BY half ORDER BY c DESC, tok ASC) AS rk
+  FROM cnt),
+a AS (SELECT tok, c AS ca FROM top WHERE half = 0 AND rk <= 100),
+b AS (SELECT tok, c AS cb FROM top WHERE half = 1 AND rk <= 100),
+common AS (SELECT a.tok, ca, cb FROM a JOIN b ON a.tok = b.tok),
+ranked AS (
+  SELECT tok,
+         row_number() OVER (ORDER BY ca DESC, tok ASC) AS ra,
+         row_number() OVER (ORDER BY cb DESC, tok ASC) AS rb
+  FROM common),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+  FROM ranked)
+SELECT n_common,
+       floor(CASE WHEN n_common > 1 THEN
+                 1.0 - 6.0 * CAST(d2 AS DOUBLE)
+                 / (CAST(n_common AS DOUBLE)
+                    * (CAST(n_common AS DOUBLE) * CAST(n_common AS DOUBLE) - 1.0))
+             END * 1000000.0 + 0.000001) / 1000000.0 AS spearman
+FROM agg
+"""

@@ -681,3 +681,41 @@ def test_kmv_intersect_disjoint_is_zero(spark):
     ).collect()[0]
     assert out["n_both"] == 0
     assert out["est_intersection"] == 0 and out["jaccard"] == 0.0
+
+
+def test_rank_churn_identical_halves_is_one(spark, tmp_path):
+    # identical text in both halves -> identical rankings -> rho == 1
+    import os
+
+    rows = [(i, "alpha beta gamma delta " * (1 + i % 3), "en", "src1", 10)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sfq")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from jsonschema_spark.queries import rank_churn_docs
+
+    out = rank_churn_docs(spark, d).collect()[0]
+    assert out["spearman"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_rank_churn_reversed_rankings_is_negative(spark, tmp_path):
+    import os
+
+    # half 0 dominated by 'aaa', half 1 by 'zzz' with mirrored frequencies
+    rows = []
+    vocab = ["aaa", "bbb", "ccc", "ddd", "eee"]
+    did = 0
+    for i, t in enumerate(vocab):
+        rows.append((did, ((t + " ") * (10 * (5 - i))).strip(), "en", "s", 1)); did += 2
+    for i, t in enumerate(vocab):
+        rows.append((1 + 2 * i, ((t + " ") * (10 * (i + 1))).strip(), "en", "s", 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "sfr")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from jsonschema_spark.queries import rank_churn_docs
+
+    out = rank_churn_docs(spark, d).collect()[0]
+    assert out["n_common"] == 5
+    assert out["spearman"] == pytest.approx(-1.0, abs=2e-6)  # perfectly reversed

@@ -189,6 +189,7 @@ HEADLINE = [
     "kmv_overlap_keys",
     "violation_code_stats_docs",
     "rank_churn_docs",
+    "weekday_anomaly_events",
 ]
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))

@@ -3410,6 +3410,7 @@ def all_queries():
         "kmv_overlap_keys": kmv_overlap_keys,
         "violation_code_stats_docs": violation_code_stats_docs,
         "rank_churn_docs": rank_churn_docs,
+        "weekday_anomaly_events": weekday_anomaly_events,
     }
 
 
@@ -3590,6 +3591,7 @@ def all_oracles():
         "kmv_overlap_keys": ORACLE_KMV_OVERLAP,
         "violation_code_stats_docs": ORACLE_VIOLATION_CODE_STATS,
         "rank_churn_docs": ORACLE_RANK_CHURN,
+        "weekday_anomaly_events": ORACLE_WEEKDAY_ANOMALY,
     }
 
 
@@ -8468,4 +8470,83 @@ SELECT n_common,
                     * (CAST(n_common AS DOUBLE) * CAST(n_common AS DOUBLE) - 1.0))
              END * 1000000.0 + 0.000001) / 1000000.0 AS spearman
 FROM agg
+"""
+
+
+def weekday_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-cohort anomaly detection: z-score each day's mean value
+    against its OWN (event_type, weekday) cohort — the seasonality-aware
+    complement to `rolling_anomaly_events` (trailing window, blind to
+    weekly rhythm) and `cusum_changepoints_events` (level shifts). A
+    Saturday that looks normal against the trailing week but is 2σ off
+    every other Saturday flags here and nowhere else. Weekday index is
+    `datediff(day, 2024-01-01) % 7` — pure integer arithmetic, dodging
+    the Sunday=0-vs-1 convention split between engines. Cohort mean/std
+    come from one pass of sufficient sums with pinned operand order;
+    days in cohorts with n < 3 or zero variance are not scored. Output
+    flagged days (|z| ≥ 1.2): (event_type, day, weekday, mean_value, z)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("etype"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.avg("value").alias("y"))
+        .withColumn(
+            "weekday",
+            (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7).cast(
+                "int"
+            ),
+        )
+    )
+    w = Window.partitionBy("etype", "weekday")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("y").over(w)
+    sxx = F.sum(F.col("y") * F.col("y")).over(w)
+    mean = sx / n
+    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    z = (F.col("y") - mean) / std
+    snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    return (
+        daily.withColumn("_n", n)
+        .withColumn("_std", std)
+        .withColumn("_z", z)
+        .where((F.col("_n") >= 3) & (F.col("_std") > 0) & (F.abs(F.col("_z")) >= 1.2))
+        .select(
+            F.col("etype").alias("event_type"),
+            F.col("day").cast("string").alias("day"),
+            "weekday",
+            snap(F.col("y")).alias("mean_value"),
+            snap(F.col("_z")).alias("z"),
+        )
+    )
+
+
+ORACLE_WEEKDAY_ANOMALY = """
+WITH daily AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS day, avg(value) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+wd AS (
+  SELECT etype, day, y,
+         CAST(date_diff('day', DATE '2024-01-01', day) % 7 AS INT) AS weekday
+  FROM daily),
+st AS (
+  SELECT etype, day, y, weekday,
+         CAST(count(*) OVER cohort AS DOUBLE) AS n,
+         sum(y) OVER cohort AS sx,
+         sum(y * y) OVER cohort AS sxx
+  FROM wd
+  WINDOW cohort AS (PARTITION BY etype, weekday)),
+z AS (
+  SELECT etype, day, y, weekday, n,
+         sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std,
+         (y - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS zz
+  FROM st)
+SELECT etype AS event_type, CAST(day AS VARCHAR) AS day, weekday,
+       floor(y * 1000000.0 + 0.000001) / 1000000.0 AS mean_value,
+       floor(zz * 1000000.0 + 0.000001) / 1000000.0 AS z
+FROM z WHERE n >= 3 AND std > 0 AND abs(zz) >= 1.2
 """

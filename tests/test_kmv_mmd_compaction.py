@@ -719,3 +719,30 @@ def test_rank_churn_reversed_rankings_is_negative(spark, tmp_path):
     out = rank_churn_docs(spark, d).collect()[0]
     assert out["n_common"] == 5
     assert out["spearman"] == pytest.approx(-1.0, abs=2e-6)  # perfectly reversed
+
+
+def test_weekday_anomaly_flags_planted_outlier(spark, tmp_path):
+    import datetime
+    import os
+
+    # 6 weeks of flat Saturdays except one planted 10x spike
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 6, 12, 0)  # a Saturday
+    for wk in range(6):
+        day = base + datetime.timedelta(weeks=wk)
+        v = 1000.0 if wk == 3 else 100.0
+        for i in range(5):
+            rows.append((eid, day + datetime.timedelta(minutes=i), 1, "click", v, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path / "sfw")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    from jsonschema_spark.queries import weekday_anomaly_events
+
+    out = weekday_anomaly_events(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["day"] == "2024-01-27" and out[0]["z"] > 2.0

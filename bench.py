@@ -190,7 +190,36 @@ HEADLINE = [
     "violation_code_stats_docs",
     "rank_churn_docs",
     "weekday_anomaly_events",
+    "ann_topk_docs",
+    "dedup_exact_events",
+    "kw_const_ifthen",
+    "kw_contains_spans",
+    "kw_dependent_applicators_events",
+    "kw_dependent_required_events",
+    "kw_format_customer",
+    "kw_logical_anyof_not",
+    "kw_prefix_maxitems_spans",
+    "kw_unevaluated_items_spans",
+    "lang_id_docs",
+    "localized_violations_docs",
+    "partition_verdicts_docs",
+    "referential_orders_clean",
+    "span_transitions_events",
+    "variant_nested_events",
 ]
+
+# Contract entries deliberately NOT benched, with reasons. The partition
+# HEADLINE + BENCH_EXCLUDED == all_queries() is pinned by
+# tests/test_contract_counts.py so bench coverage can never silently drift
+# from the driver contract again.
+BENCH_EXCLUDED = {
+    "cosine_near_dup_exact": "O(n^2) verifier twin of cosine_near_dup_lsh — "
+    "exists only to ground-truth the LSH path; timing it would reward the "
+    "anti-scale plan",
+    "lsh_recall_embeddings": "recall/precision self-evaluation that re-runs "
+    "the exact O(n^2) verifier internally; same reason as "
+    "cosine_near_dup_exact",
+}
 
 N_SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "200000"))
 

@@ -108,15 +108,25 @@ def schema_compat(old: Any, new: Any, path: str = "") -> list[dict]:
         )
 
     # --- enum / const ---
+    # JSON Schema distinguishes booleans from numbers, but Python equality
+    # conflates them (True == 1, 1.0 == 1) — key every member by
+    # (is-bool, value) so an enum narrowed from [1] to [true] still reports
+    # (round-4 advice)
+    def _jkey(v):
+        return (isinstance(v, bool), v) if not isinstance(v, (list, dict)) else (False, repr(v))
+
     if "enum" in new:
         oe = old.get("enum")
         if oe is None:
             out.append(_find(path, "enum_added", None, new["enum"], True))
         else:
-            removed = [v for v in oe if v not in new["enum"]]
+            new_keys = {_jkey(v) for v in new["enum"]}
+            removed = [v for v in oe if _jkey(v) not in new_keys]
             if removed:
                 out.append(_find(path, "enum_narrowed", oe, new["enum"], True))
-    if "const" in new and old.get("const") != new["const"]:
+    if "const" in new and (
+        "const" not in old or _jkey(old["const"]) != _jkey(new["const"])
+    ):
         out.append(
             _find(path, "const_changed", old.get("const"), new["const"], True)
         )

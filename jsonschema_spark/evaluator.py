@@ -38,6 +38,13 @@ def _ptr(path: str, token: str | int) -> str:
     return f"{path}/" + token.replace("~", "~0").replace("/", "~1")
 
 
+def _kptr(kp: str, *tokens: str | int) -> str:
+    """Extend a keyword-location (schema-side evaluation path) by tokens."""
+    for t in tokens:
+        kp = _ptr(kp, t)
+    return kp
+
+
 def _fmt_num(v: Any) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
@@ -61,6 +68,9 @@ class Violation:
     keyword: str
     code: str
     params: dict[str, str] = field(default_factory=dict)
+    # dynamic evaluation path on the SCHEMA side (official output-format
+    # `keywordLocation`): "/properties/a/type", "/allOf/1/minimum", ...
+    keyword_location: str = ""
 
     def message(self, locale: str = "en") -> str:
         return render_message(self.code, self.params, locale)
@@ -74,11 +84,17 @@ class _Res:
     evaluated_props: set[str] = field(default_factory=set)
     evaluated_items: set[int] = field(default_factory=set)
     violations: list[Violation] = field(default_factory=list)
+    # keyword-location prefix of the schema being evaluated (dynamic
+    # evaluation path, including applicator/$ref segments)
+    kp: str = ""
 
     def fail(self, path: str, keyword: str, code: str, **params: Any) -> None:
         self.valid = False
+        # false-schema failures have no keyword of their own: the location
+        # IS the (boolean) schema's own evaluation path
+        kloc = self.kp if keyword == "schema" else f"{self.kp}/{keyword}"
         self.violations.append(
-            Violation(path, keyword, code, {k: str(v) for k, v in params.items()})
+            Violation(path, keyword, code, {k: str(v) for k, v in params.items()}, kloc)
         )
 
     def merge_annotations(self, other: "_Res") -> None:
@@ -111,6 +127,35 @@ class EvaluationResult:
             }
             for v in sorted(self.violations, key=lambda v: (v.instance_path, v.keyword, v.code))
         ]
+
+    def to_basic(self, locale: str = "en") -> dict[str, Any]:
+        """Official 2020-12 "basic" output format (one flat outputUnit;
+        spec §12.4.2): valid / keywordLocation / instanceLocation at the
+        root plus an `errors` array of leaf outputUnits. Replayed against
+        the vendored JSON-Schema-Test-Suite output-tests goldens in
+        tests/test_output_goldens.py. Documented divergences: annotations
+        are not collected (violations-only engine — reference result.go
+        exposes errors the same way), and absoluteKeywordLocation is
+        omitted (this engine reports the dynamic evaluation path only)."""
+        out: dict[str, Any] = {
+            "valid": self.valid,
+            "keywordLocation": "",
+            "instanceLocation": "",
+        }
+        if not self.valid:
+            out["errors"] = [
+                {
+                    "valid": False,
+                    "keywordLocation": v.keyword_location,
+                    "instanceLocation": v.instance_path,
+                    "error": v.message(locale),
+                }
+                for v in sorted(
+                    self.violations,
+                    key=lambda v: (v.instance_path, v.keyword_location, v.code),
+                )
+            ]
+        return out
 
 
 class _Ctx:
@@ -259,8 +304,8 @@ class Evaluator:
 
     # ---------------------------------------------------------------- internal
 
-    def _eval(self, schema: Any, instance: Any, path: str, ctx: _Ctx) -> _Res:
-        res = _Res()
+    def _eval(self, schema: Any, instance: Any, path: str, ctx: _Ctx, kp: str = "") -> _Res:
+        res = _Res(kp=kp)
         if schema is True:
             return res
         if schema is False:
@@ -291,7 +336,7 @@ class Evaluator:
         # --- references (in-place applicators) -----------------------------
         if "$ref" in s and isinstance(s["$ref"], str):
             target, _ = ctx.registry.resolve_ref(s["$ref"], s, "")
-            sub = self._eval(target, v, path, ctx)
+            sub = self._eval(target, v, path, ctx, _kptr(res.kp, "$ref"))
             if sub.valid:
                 res.merge_annotations(sub)
             else:
@@ -300,7 +345,7 @@ class Evaluator:
                 res.fail(path, "$ref", "ref_mismatch")
         if "$dynamicRef" in s and isinstance(s["$dynamicRef"], str):
             target = self._resolve_dynamic(s["$dynamicRef"], s, ctx)
-            sub = self._eval(target, v, path, ctx)
+            sub = self._eval(target, v, path, ctx, _kptr(res.kp, "$dynamicRef"))
             if sub.valid:
                 res.merge_annotations(sub)
             else:
@@ -317,7 +362,7 @@ class Evaluator:
         if "allOf" in s and isinstance(s["allOf"], list):
             bad: list[int] = []
             for i, branch in enumerate(s["allOf"]):
-                sub = self._eval(branch, v, path, ctx)
+                sub = self._eval(branch, v, path, ctx, _kptr(res.kp, "allOf", i))
                 if sub.valid:
                     res.merge_annotations(sub)
                 else:
@@ -327,8 +372,8 @@ class Evaluator:
                 res.fail(path, "allOf", "all_of_item_mismatch", indexs=", ".join(map(str, bad)))
         if "anyOf" in s and isinstance(s["anyOf"], list):
             passing = []
-            for branch in s["anyOf"]:
-                sub = self._eval(branch, v, path, ctx)
+            for i, branch in enumerate(s["anyOf"]):
+                sub = self._eval(branch, v, path, ctx, _kptr(res.kp, "anyOf", i))
                 if sub.valid:
                     passing.append(sub)
             if passing:
@@ -340,7 +385,7 @@ class Evaluator:
             matches = []
             subs = []
             for i, branch in enumerate(s["oneOf"]):
-                sub = self._eval(branch, v, path, ctx)
+                sub = self._eval(branch, v, path, ctx, _kptr(res.kp, "oneOf", i))
                 subs.append(sub)
                 if sub.valid:
                     matches.append(i)
@@ -353,17 +398,17 @@ class Evaluator:
                     path, "oneOf", "one_of_multiple_matches", matches=", ".join(map(str, matches))
                 )
         if "not" in s:
-            sub = self._eval(s["not"], v, path, ctx)
+            sub = self._eval(s["not"], v, path, ctx, _kptr(res.kp, "not"))
             if sub.valid:
                 res.fail(path, "not", "not_schema_mismatch")
 
         # --- conditionals ----------------------------------------------------
         if "if" in s:
-            cond = self._eval(s["if"], v, path, ctx)
+            cond = self._eval(s["if"], v, path, ctx, _kptr(res.kp, "if"))
             if cond.valid:
                 res.merge_annotations(cond)
                 if "then" in s:
-                    sub = self._eval(s["then"], v, path, ctx)
+                    sub = self._eval(s["then"], v, path, ctx, _kptr(res.kp, "then"))
                     if sub.valid:
                         res.merge_annotations(sub)
                     else:
@@ -372,7 +417,7 @@ class Evaluator:
                         res.fail(path, "then", "if_then_mismatch")
             else:
                 if "else" in s:
-                    sub = self._eval(s["else"], v, path, ctx)
+                    sub = self._eval(s["else"], v, path, ctx, _kptr(res.kp, "else"))
                     if sub.valid:
                         res.merge_annotations(sub)
                     else:
@@ -383,7 +428,7 @@ class Evaluator:
             bad_props = []
             for prop, branch in s["dependentSchemas"].items():
                 if prop in v:
-                    sub = self._eval(branch, v, path, ctx)
+                    sub = self._eval(branch, v, path, ctx, _kptr(res.kp, "dependentSchemas", prop))
                     if sub.valid:
                         res.merge_annotations(sub)
                     else:
@@ -413,7 +458,7 @@ class Evaluator:
                             missing_properties=", ".join(missing),
                         )
                 else:
-                    sub = self._eval(dep, v, path, ctx)
+                    sub = self._eval(dep, v, path, ctx, _kptr(res.kp, "dependencies", prop))
                     if sub.valid:
                         res.merge_annotations(sub)
                     else:
@@ -433,7 +478,7 @@ class Evaluator:
             for i, item in enumerate(v):
                 if i in res.evaluated_items:
                     continue
-                sub = self._eval(s["unevaluatedItems"], item, _ptr(path, i), ctx)
+                sub = self._eval(s["unevaluatedItems"], item, _ptr(path, i), ctx, _kptr(res.kp, "unevaluatedItems"))
                 res.evaluated_items.add(i)
                 if not sub.valid:
                     bad.append(i)
@@ -452,7 +497,7 @@ class Evaluator:
             for k, item in v.items():
                 if k in res.evaluated_props:
                     continue
-                sub = self._eval(s["unevaluatedProperties"], item, _ptr(path, k), ctx)
+                sub = self._eval(s["unevaluatedProperties"], item, _ptr(path, k), ctx, _kptr(res.kp, "unevaluatedProperties"))
                 res.evaluated_props.add(k)
                 if not sub.valid:
                     bad_props.append(k)
@@ -512,7 +557,7 @@ class Evaluator:
             decoded = True
 
         if "contentSchema" in s and decoded:
-            sub = self._eval(s["contentSchema"], parsed, path, ctx)
+            sub = self._eval(s["contentSchema"], parsed, path, ctx, _kptr(res.kp, "contentSchema"))
             if not sub.valid:
                 res.violations.extend(sub.violations)
                 res.fail(path, "contentSchema", "content_schema_mismatch")
@@ -634,7 +679,7 @@ class Evaluator:
             bad = []
             prefix_len = min(len(s["prefixItems"]), n)
             for i in range(prefix_len):
-                sub = self._eval(s["prefixItems"][i], v[i], _ptr(path, i), ctx)
+                sub = self._eval(s["prefixItems"][i], v[i], _ptr(path, i), ctx, _kptr(res.kp, "prefixItems", i))
                 res.evaluated_items.add(i)
                 if not sub.valid:
                     bad.append(i)
@@ -647,7 +692,7 @@ class Evaluator:
         if "items" in s and isinstance(s["items"], (dict, bool)):
             bad = []
             for i in range(prefix_len, n):
-                sub = self._eval(s["items"], v[i], _ptr(path, i), ctx)
+                sub = self._eval(s["items"], v[i], _ptr(path, i), ctx, _kptr(res.kp, "items"))
                 res.evaluated_items.add(i)
                 if not sub.valid:
                     bad.append(i)
@@ -660,7 +705,7 @@ class Evaluator:
         if "contains" in s:
             matched = []
             for i, item in enumerate(v):
-                sub = self._eval(s["contains"], item, _ptr(path, i), ctx)
+                sub = self._eval(s["contains"], item, _ptr(path, i), ctx, _kptr(res.kp, "contains"))
                 if sub.valid:
                     matched.append(i)
                     res.evaluated_items.add(i)
@@ -713,7 +758,7 @@ class Evaluator:
                 if prop in v:
                     claimed.add(prop)
                     res.evaluated_props.add(prop)
-                    sub = self._eval(branch, v[prop], _ptr(path, prop), ctx)
+                    sub = self._eval(branch, v[prop], _ptr(path, prop), ctx, _kptr(res.kp, "properties", prop))
                     if not sub.valid:
                         bad_props.append(prop)
                         res.violations.extend(sub.violations)
@@ -735,7 +780,7 @@ class Evaluator:
                     if rx.search(prop) is not None:
                         claimed.add(prop)
                         res.evaluated_props.add(prop)
-                        sub = self._eval(branch, v[prop], _ptr(path, prop), ctx)
+                        sub = self._eval(branch, v[prop], _ptr(path, prop), ctx, _kptr(res.kp, "patternProperties", pattern))
                         if not sub.valid:
                             bad_props.append(prop)
                             res.violations.extend(sub.violations)
@@ -755,7 +800,7 @@ class Evaluator:
                 if prop in claimed:
                     continue
                 res.evaluated_props.add(prop)
-                sub = self._eval(s["additionalProperties"], v[prop], _ptr(path, prop), ctx)
+                sub = self._eval(s["additionalProperties"], v[prop], _ptr(path, prop), ctx, _kptr(res.kp, "additionalProperties"))
                 if not sub.valid:
                     bad_props.append(prop)
                     res.violations.extend(sub.violations)
@@ -774,7 +819,7 @@ class Evaluator:
         if "propertyNames" in s:
             bad_props = []
             for prop in v:
-                sub = self._eval(s["propertyNames"], prop, path, ctx)
+                sub = self._eval(s["propertyNames"], prop, path, ctx, _kptr(res.kp, "propertyNames"))
                 if not sub.valid:
                     bad_props.append(prop)
             if len(bad_props) == 1:

@@ -39,6 +39,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str, *, hot: bool = False) -> Dat
     return df
 
 
+def _stage_stream_source(sf_dir: str, name: str) -> str:
+    """Stage one parquet table for readStream under .scratch/, re-copying
+    whenever the source's size or mtime differs from the staged copy — a
+    persistent stale copy would silently replay an outdated fixture if the
+    testdata were ever regenerated (round-4 advice). copy2 preserves the
+    source mtime so the comparison is stable across calls."""
+    import shutil
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(
+        repo_root,
+        ".scratch",
+        f"stream_{name}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    dst = os.path.join(stage, f"{name}.parquet")
+    ss = os.stat(src)
+    stale = True
+    if os.path.exists(dst):
+        ds = os.stat(dst)
+        stale = ds.st_size != ss.st_size or int(ds.st_mtime) != int(ss.st_mtime)
+    if stale:
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy2(src, dst)
+    return stage
+
+
 def _violations(df: DataFrame, schema: dict, id_cols: list[str]) -> DataFrame:
     out = SparkPlanCompiler(schema, assert_format=True).apply(df)
     return out.select(*id_cols, F.explode("violations").alias("v")).select(
@@ -363,6 +390,228 @@ SELECT o_orderkey,
        CASE WHEN o_orderstatus = 'O' THEN o_totalprice >= 1000
             ELSE regexp_matches(o_orderpriority, '^[1-5]-') END AS valid
 FROM orders
+"""
+
+
+def kw_format_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`format` keyword via the compiled rlike path (reference format.go:14-63):
+    uuid / date / ipv4 columns constructed deterministically from c_custkey,
+    with 1-in-7 / 1-in-11 / 1-in-13 corruption so the oracle is non-vacuous."""
+    k = F.col("c_custkey")
+    uuid = F.format_string("%08x-0000-4000-8000-%012x", k, k)
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.concat(uuid, F.lit("Z"))).otherwise(uuid).alias("u"),
+        F.concat(
+            F.lit("2024-"),
+            F.lpad(F.when(k % 11 == 0, F.lit(13)).otherwise(k % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+        ).alias("d"),
+        F.concat_ws(
+            ".",
+            F.when(k % 13 == 0, F.lit(999)).otherwise(k % 256).cast("string"),
+            (F.floor(k / 7) % 256).cast("string"),
+            (k % 100).cast("string"),
+            (k % 250).cast("string"),
+        ).alias("ip"),
+    )
+    schema = {
+        "properties": {
+            "u": {"format": "uuid"},
+            "d": {"format": "date"},
+            "ip": {"format": "ipv4"},
+        }
+    }
+    return _violations(c, schema, ["c_custkey"])
+
+
+ORACLE_FORMAT_CUSTOMER = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0
+              THEN printf('%08x-0000-4000-8000-%012xZ', c_custkey, c_custkey)
+              ELSE printf('%08x-0000-4000-8000-%012x', c_custkey, c_custkey) END AS u,
+         '2024-' || lpad(CAST(CASE WHEN c_custkey % 11 = 0 THEN 13 ELSE c_custkey % 12 + 1 END AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0') AS d,
+         CAST(CASE WHEN c_custkey % 13 = 0 THEN 999 ELSE c_custkey % 256 END AS VARCHAR)
+           || '.' || CAST(CAST(FLOOR(c_custkey / 7) AS BIGINT) % 256 AS VARCHAR)
+           || '.' || CAST(c_custkey % 100 AS VARCHAR)
+           || '.' || CAST(c_custkey % 250 AS VARCHAR) AS ip
+  FROM customer),
+bad AS (
+  SELECT c_custkey,
+         (c_custkey % 7 = 0) AS bad_u,
+         (c_custkey % 11 = 0) AS bad_d,
+         (c_custkey % 13 = 0) AS bad_ip
+  FROM c)
+SELECT c_custkey, '/u' AS instance_path, 'format' AS keyword, 'format_mismatch' AS code
+FROM bad WHERE bad_u
+UNION ALL
+SELECT c_custkey, '/d', 'format', 'format_mismatch' FROM bad WHERE bad_d
+UNION ALL
+SELECT c_custkey, '/ip', 'format', 'format_mismatch' FROM bad WHERE bad_ip
+UNION ALL
+SELECT c_custkey, '', 'properties',
+       CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+FROM (
+  SELECT c_custkey,
+         (CASE WHEN bad_u THEN 1 ELSE 0 END)
+       + (CASE WHEN bad_d THEN 1 ELSE 0 END)
+       + (CASE WHEN bad_ip THEN 1 ELSE 0 END) AS nbad
+  FROM bad)
+WHERE nbad >= 1
+"""
+
+
+def kw_prefix_maxitems_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefixItems + maxItems over the interleaved-spans shape (reference
+    prefix_items.go:18-61, max_items.go:16-27): first span must have
+    offset <= 200, second span must be kind 'text', and docs are capped at
+    70 spans — all three violated by the natural data distribution."""
+    schema = {
+        "type": "object",
+        "required": ["doc_id", "spans"],
+        "properties": {
+            "spans": {
+                "prefixItems": [
+                    {"properties": {"offset": {"maximum": 200}}},
+                    {"properties": {"kind": {"const": "text"}}},
+                ],
+                "maxItems": 70,
+            }
+        },
+    }
+    return _violations(_events_as_spans(spark, sf_dir), schema, ["doc_id"])
+
+
+ORACLE_PREFIX_MAXITEMS_SPANS = """
+WITH s AS (
+  SELECT user_id AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         CAST(FLOOR(value) AS INT) AS off,
+         CASE WHEN event_type IN ('click','view') THEN 'text' ELSE 'media' END AS kind
+  FROM events),
+agg AS (
+  SELECT doc_id,
+         max(CASE WHEN pos = 0 THEN off END) AS off0,
+         max(CASE WHEN pos = 1 THEN kind END) AS kind1,
+         count(*) AS n
+  FROM s GROUP BY doc_id)
+SELECT doc_id, '/spans' AS instance_path, 'maxItems' AS keyword, 'items_too_long' AS code
+FROM agg WHERE n > 70
+UNION ALL
+SELECT doc_id, '/spans/0/offset', 'maximum', 'value_above_maximum' FROM agg WHERE off0 > 200
+UNION ALL
+SELECT doc_id, '/spans/0', 'properties', 'property_mismatch' FROM agg WHERE off0 > 200
+UNION ALL
+SELECT doc_id, '/spans/1/kind', 'const', 'const_mismatch' FROM agg WHERE kind1 <> 'text'
+UNION ALL
+SELECT doc_id, '/spans/1', 'properties', 'property_mismatch' FROM agg WHERE kind1 <> 'text'
+UNION ALL
+SELECT doc_id, '/spans', 'prefixItems',
+       CASE WHEN off0 > 200 AND kind1 <> 'text'
+            THEN 'prefix_items_mismatch' ELSE 'prefix_item_mismatch' END
+FROM agg WHERE off0 > 200 OR kind1 <> 'text'
+UNION ALL
+SELECT doc_id, '', 'properties', 'property_mismatch'
+FROM agg WHERE n > 70 OR off0 > 200 OR kind1 <> 'text'
+"""
+
+
+def kw_contains_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains / minContains / maxContains (reference contains.go:18-70):
+    every doc must interleave 30..45 media spans — both sides of the band
+    are violated by the natural per-user media counts at every SF."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "spans": {
+                "contains": {"properties": {"kind": {"const": "media"}}},
+                "minContains": 30,
+                "maxContains": 45,
+            }
+        },
+    }
+    return _violations(_events_as_spans(spark, sf_dir), schema, ["doc_id"])
+
+
+ORACLE_CONTAINS_SPANS = """
+WITH m AS (
+  SELECT user_id AS doc_id,
+         sum(CASE WHEN event_type NOT IN ('click','view') THEN 1 ELSE 0 END) AS nm
+  FROM events GROUP BY user_id)
+SELECT doc_id, '/spans' AS instance_path, 'contains' AS keyword, 'contains_too_few_items' AS code
+FROM m WHERE nm < 30
+UNION ALL
+SELECT doc_id, '/spans', 'maxContains', 'contains_too_many_items' FROM m WHERE nm > 45
+UNION ALL
+SELECT doc_id, '', 'properties', 'property_mismatch' FROM m WHERE nm < 30 OR nm > 45
+"""
+
+
+def kw_unevaluated_items_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unevaluatedItems with a prefixItems claim and no `items` (reference
+    unevaluated_items.go:23-97): element 0 is evaluated by the empty prefix
+    schema; every later span must keep offset <= 300."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "spans": {
+                "prefixItems": [{}],
+                "unevaluatedItems": {"properties": {"offset": {"maximum": 300}}},
+            }
+        },
+    }
+    return _violations(_events_as_spans(spark, sf_dir), schema, ["doc_id"])
+
+
+ORACLE_UNEVALUATED_ITEMS_SPANS = """
+WITH s AS (
+  SELECT user_id AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         CAST(FLOOR(value) AS INT) AS off
+  FROM events),
+bad AS (SELECT doc_id, pos FROM s WHERE pos >= 1 AND off > 300)
+SELECT doc_id, '/spans/' || pos || '/offset' AS instance_path,
+       'maximum' AS keyword, 'value_above_maximum' AS code
+FROM bad
+UNION ALL
+SELECT doc_id, '/spans/' || pos, 'properties', 'property_mismatch' FROM bad
+UNION ALL
+SELECT doc_id, '/spans', 'unevaluatedItems',
+       CASE WHEN count(*) = 1 THEN 'unevaluated_item_mismatch'
+            ELSE 'unevaluated_items_mismatch' END
+FROM bad GROUP BY doc_id
+UNION ALL
+SELECT DISTINCT doc_id, '', 'properties', 'property_mismatch' FROM bad
+"""
+
+
+def kw_dependent_required_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dependentRequired over a typed struct column (reference
+    dependent_required.go:17-50): presence of `et` demands `p` and `u`,
+    which are deterministically nulled for a fraction of events."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.when(F.col("value") > 50, F.col("props")).alias("p"),
+            F.when(F.col("event_id") % 3 == 0, F.col("user_id")).alias("u"),
+        ).alias("obj"),
+    )
+    schema = {"properties": {"obj": {"dependentRequired": {"et": ["p", "u"]}}}}
+    return _violations(e, schema, ["event_id"])
+
+
+ORACLE_DEPENDENT_REQUIRED_EVENTS = """
+WITH t AS (
+  SELECT event_id, (value > 50) AS hasp, (event_id % 3 = 0) AS hasu FROM events)
+SELECT event_id, '/obj' AS instance_path, 'dependentRequired' AS keyword,
+       'dependent_property_required' AS code
+FROM t WHERE NOT hasp OR NOT hasu
+UNION ALL
+SELECT event_id, '', 'properties', 'property_mismatch' FROM t WHERE NOT hasp OR NOT hasu
 """
 
 
@@ -3244,6 +3493,11 @@ def all_queries():
         "kw_numeric_lineitem": kw_numeric_lineitem,
         "kw_string_customer": kw_string_customer,
         "kw_const_ifthen": kw_const_ifthen,
+        "kw_format_customer": kw_format_customer,
+        "kw_prefix_maxitems_spans": kw_prefix_maxitems_spans,
+        "kw_contains_spans": kw_contains_spans,
+        "kw_unevaluated_items_spans": kw_unevaluated_items_spans,
+        "kw_dependent_required_events": kw_dependent_required_events,
         "kw_dependent_applicators_events": kw_dependent_applicators_events,
         "content_validate_props": content_validate_props,
         "variant_dynamic_objects": variant_dynamic_objects,
@@ -3425,6 +3679,11 @@ def all_oracles():
         "kw_numeric_lineitem": ORACLE_NUMERIC_LINEITEM,
         "kw_string_customer": ORACLE_STRING_CUSTOMER,
         "kw_const_ifthen": ORACLE_CONST_IFTHEN,
+        "kw_format_customer": ORACLE_FORMAT_CUSTOMER,
+        "kw_prefix_maxitems_spans": ORACLE_PREFIX_MAXITEMS_SPANS,
+        "kw_contains_spans": ORACLE_CONTAINS_SPANS,
+        "kw_unevaluated_items_spans": ORACLE_UNEVALUATED_ITEMS_SPANS,
+        "kw_dependent_required_events": ORACLE_DEPENDENT_REQUIRED_EVENTS,
         "kw_dependent_applicators_events": ORACLE_DEP_APPLICATORS,
         "content_validate_props": ORACLE_CONTENT_PROPS,
         "variant_dynamic_objects": ORACLE_VARIANT_DYN,
@@ -3620,8 +3879,19 @@ FROM events
 # ----- embedding-cosine near-dup + IVF ANN (scale paths) --------------------
 
 
+# Hard cap for the O(n^2) exact verifier: 50k vectors = 1.25e9 candidate
+# pairs, the most a verification SAMPLE should ever be. The scale path is
+# cosine_near_dup_lsh; this twin exists only to ground-truth it, and the
+# guard keeps it from ever being pointed at a production corpus.
+EXACT_VERIFIER_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_EXACT_VERIFIER_MAX", "50000"))
+
+
 def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (the verifier for the LSH path)."""
+    """Exact embedding-cosine near-dup pairs (the verifier for the LSH path).
+
+    GUARDED: refuses corpora above EXACT_VERIFIER_MAX_ROWS (default 50k)
+    because the plan is a deliberate O(n^2) crossJoin — use
+    cosine_near_dup_lsh for anything bigger, or verify on a sample."""
     from jsonschema_spark.operators.simsearch import _dot, _norm
 
     # normalize ONCE per row (2 aggregates per vector), so each of the O(n^2)
@@ -3630,6 +3900,14 @@ def cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
+    n_vec = emb.count()
+    if n_vec > EXACT_VERIFIER_MAX_ROWS:
+        raise ValueError(
+            f"cosine_near_dup_exact is the O(n^2) verifier twin and refuses "
+            f"{n_vec} vectors (cap {EXACT_VERIFIER_MAX_ROWS}); run "
+            f"cosine_near_dup_lsh instead, or verify on a <= "
+            f"{EXACT_VERIFIER_MAX_ROWS}-row sample"
+        )
     # norm staged in its own projection — an inlined _norm inside the
     # per-element lambda re-folds the array per element (O(d^2)/vector)
     unit = emb.withColumn("__n", _norm(F.col("vec"))).select(
@@ -7117,22 +7395,13 @@ def stream_hll_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint is fresh per call (replay, not resume; resume semantics
     are covered by tests/test_streaming.py)."""
     import os
-    import shutil
     import tempfile
     import uuid
 
     from jsonschema_spark.streaming.sketch_stream import stream_hll_windows
 
     src = os.path.join(sf_dir, "events.parquet")
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stage = os.path.join(
-        repo_root,
-        ".scratch",
-        f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stage = _stage_stream_source(sf_dir, "events")
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -7154,7 +7423,9 @@ def stream_hll_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(300)
+    # a timeout would silently read a partial memory-sink table (round-4
+    # advice): fail loudly instead
+    assert q.awaitTermination(300), "stream_hll_replay: query did not finish in 300s"
     return spark.table(name).select(
         F.col("window_start").cast("date").cast("string").alias("day"),
         "reg",
@@ -7534,13 +7805,16 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_deleted"))
     )
-    return summary.join(deletes, "day", "left").select(
+    # FULL outer join (round-4 advice): a day whose rows were ALL deleted has
+    # no post-merge summary row, but the audit must still surface its
+    # n_deleted instead of silently dropping the day.
+    return summary.join(deletes, "day", "full").select(
         "day",
-        "n_rows",
-        "n_updated",
-        "n_inserted",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.col("n_updated"), F.lit(0)).cast("bigint").alias("n_updated"),
+        F.coalesce(F.col("n_inserted"), F.lit(0)).cast("bigint").alias("n_inserted"),
         F.coalesce(F.col("n_deleted"), F.lit(0)).cast("bigint").alias("n_deleted"),
-        "sum_value_milli",
+        F.coalesce(F.col("sum_value_milli"), F.lit(0)).cast("bigint").alias("sum_value_milli"),
     )
 
 
@@ -7565,10 +7839,13 @@ s AS (
 del AS (
   SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_deleted
   FROM events WHERE event_id % 13 = 5 GROUP BY 1)
-SELECT s.day, s.n_rows, s.n_updated, s.n_inserted,
+SELECT COALESCE(s.day, del.day) AS day,
+       CAST(COALESCE(s.n_rows, 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(s.n_updated, 0) AS BIGINT) AS n_updated,
+       CAST(COALESCE(s.n_inserted, 0) AS BIGINT) AS n_inserted,
        CAST(COALESCE(del.n_deleted, 0) AS BIGINT) AS n_deleted,
-       s.sum_value_milli
-FROM s LEFT JOIN del ON s.day = del.day
+       CAST(COALESCE(s.sum_value_milli, 0) AS BIGINT) AS sum_value_milli
+FROM s FULL OUTER JOIN del ON s.day = del.day
 """
 
 
@@ -7942,22 +8219,13 @@ def stream_zone_map_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
     are engine-exact — a plain SQL oracle reproduces the stream output
     bit-for-bit."""
     import os
-    import shutil
     import tempfile
     import uuid
 
     from jsonschema_spark.streaming.sketch_stream import stream_zone_maps
 
     src = os.path.join(sf_dir, "events.parquet")
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stage = os.path.join(
-        repo_root,
-        ".scratch",
-        f"stream_events_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    if not os.path.exists(os.path.join(stage, "events.parquet")):
-        os.makedirs(stage, exist_ok=True)
-        shutil.copy(src, os.path.join(stage, "events.parquet"))
+    stage = _stage_stream_source(sf_dir, "events")
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -7977,7 +8245,9 @@ def stream_zone_map_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(300)
+    # a timeout would silently read a partial memory-sink table (round-4
+    # advice): fail loudly instead
+    assert q.awaitTermination(300), "stream_zone_map_replay: query did not finish in 300s"
     return spark.table(name).select(
         F.col("window_start").cast("date").cast("string").alias("day"),
         "column",
@@ -8074,7 +8344,9 @@ n AS (
   FROM events WHERE event_id % 7 = 0)
 SELECT key, jtype, n,
        floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.000001) / 1000000.0 AS frac,
-       n = total AS required
+       -- required is a per-KEY verdict (presence across ALL types == total),
+       -- matching json_key_profile's sum(n) over key — not per (key, type)
+       sum(n) OVER (PARTITION BY key) = total AS required
 FROM n, t WHERE n > 0
 """
 
@@ -8506,15 +8778,22 @@ def weekday_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).over(w).cast("double")
     sx = F.sum("y").over(w)
     sxx = F.sum(F.col("y") * F.col("y")).over(w)
-    mean = sx / n
-    std = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
-    z = (F.col("y") - mean) / std
     snap = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.000001)) / F.lit(1000000.0)  # noqa: E731
+    # variance is filtered BEFORE sqrt on both engines: fp rounding can make
+    # a zero-variance cohort's sufficient-sums variance a tiny negative,
+    # which Spark's sqrt turns into NaN (silently filtered) but DuckDB's
+    # sqrt raises on — erroring the whole oracle query (round-4 advice).
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")) / (
+        F.col("_n") - F.lit(1.0)
+    )
     return (
         daily.withColumn("_n", n)
-        .withColumn("_std", std)
-        .withColumn("_z", z)
-        .where((F.col("_n") >= 3) & (F.col("_std") > 0) & (F.abs(F.col("_z")) >= 1.2))
+        .withColumn("_sx", sx)
+        .withColumn("_sxx", sxx)
+        .withColumn("_var", var)
+        .where((F.col("_n") >= 3) & (F.col("_var") > 0))
+        .withColumn("_z", (F.col("y") - F.col("_sx") / F.col("_n")) / F.sqrt("_var"))
+        .where(F.abs(F.col("_z")) >= 1.2)
         .select(
             F.col("etype").alias("event_type"),
             F.col("day").cast("string").alias("day"),
@@ -8540,13 +8819,18 @@ st AS (
          sum(y * y) OVER cohort AS sxx
   FROM wd
   WINDOW cohort AS (PARTITION BY etype, weekday)),
-z AS (
+v AS (
+  -- variance filtered BEFORE sqrt: a zero-variance cohort can round to a
+  -- tiny negative here, and DuckDB's sqrt raises where Spark yields NaN
   SELECT etype, day, y, weekday, n,
-         sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std,
-         (y - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS zz
-  FROM st)
+         (sxx - sx * sx / n) / (n - 1.0) AS var, sx
+  FROM st WHERE n >= 3 AND (sxx - sx * sx / n) / (n - 1.0) > 0),
+z AS (
+  SELECT etype, day, y, weekday,
+         (y - sx / n) / sqrt(var) AS zz
+  FROM v)
 SELECT etype AS event_type, CAST(day AS VARCHAR) AS day, weekday,
        floor(y * 1000000.0 + 0.000001) / 1000000.0 AS mean_value,
        floor(zz * 1000000.0 + 0.000001) / 1000000.0 AS z
-FROM z WHERE n >= 3 AND std > 0 AND abs(zz) >= 1.2
+FROM z WHERE abs(zz) >= 1.2
 """

@@ -35,6 +35,24 @@ def test_bench_headline_names_resolve():
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
 
 
+def test_bench_covers_whole_contract():
+    """HEADLINE plus the explicit exclusion list must PARTITION the contract:
+    every queries() entry is either benched or excluded-with-a-reason, and
+    nothing is both (closes the round-4 bench/contract drift)."""
+    entry = _load("__spark_entry__", "__spark_entry__.py")
+    bench = _load("bench", "bench.py")
+    qs = set(entry.queries())
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.BENCH_EXCLUDED)
+    assert len(bench.HEADLINE) == len(headline), "duplicate names in HEADLINE"
+    assert not (headline & excluded), f"both benched and excluded: {sorted(headline & excluded)}"
+    assert headline | excluded == qs, (
+        f"unbenched without reason: {sorted(qs - headline - excluded)}; "
+        f"stale bench names: {sorted((headline | excluded) - qs)}"
+    )
+    assert all(bench.BENCH_EXCLUDED.values()), "every exclusion needs a reason"
+
+
 def test_readme_claim_matches_queries():
     entry = _load("__spark_entry__", "__spark_entry__.py")
     n = len(entry.queries())

@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry() = flagship validation query; queries()/oracle_sql() = the operator
-catalog from SURVEY.md §2 with DuckDB oracles (see jsonschema_spark/queries.py).
+catalog from SURVEY.md §2 with DuckDB oracles (see the jsonschema_spark/queries/ package).
 """
 
 from __future__ import annotations

@@ -228,6 +228,54 @@ class Compiler:
         extra = collect_extra(schema) if self._preserve_extra else None
         return CompiledSchema(evaluator, root_uri, extra)
 
+    def compile_batch(
+        self, schemas: dict[str, Any], *, validate_regex: bool = True
+    ) -> dict[str, CompiledSchema]:
+        """Compile many schemas with deferred cross-reference resolution
+        (reference: compiler.go:429-466 CompileBatch, compiler_test.go:661).
+
+        Every document is registered into ONE shared registry BEFORE any
+        evaluator is built, so batch members may forward-reference each
+        other in any order ("person.json" can `$ref` "address.json" that
+        appears later in the map). A schema without `$id` is registered
+        under its map key, mirroring the reference's `schema.ID = id`
+        fallback; `$ref` targets then resolve lazily at validate time
+        through the shared registry."""
+        parsed: dict[str, Any] = {}
+        for sid, schema in schemas.items():
+            if isinstance(schema, (str, bytes)):
+                schema = loads_exact(schema)
+            if not isinstance(schema, (dict, bool)):
+                raise SchemaCompileError(
+                    f"batch schema {sid!r} must be an object or boolean, got {type(schema)}"
+                )
+            if validate_regex:
+                problems: list[str] = []
+                _walk_patterns(schema, "", problems)
+                if problems:
+                    raise SchemaCompileError(f"{sid}: " + "; ".join(problems))
+            parsed[sid] = dialects.normalize_schema(schema, self._default_dialect)
+
+        registry = Registry(loader=self._wrapped_loader())
+        metaschemas.register_metaschemas(registry)
+        root_uris = {sid: registry.register(s, sid) for sid, s in parsed.items()}
+
+        out: dict[str, CompiledSchema] = {}
+        for sid, schema in parsed.items():
+            assert_format, no_validation = self._dialect_flags(schema, registry)
+            evaluator = Evaluator(
+                schema,
+                registry,
+                assert_format=assert_format or self._assert_format,
+                no_validation=no_validation,
+                assert_content=self._assert_content,
+                decoders=self._decoders,
+                media_types=self._media_types,
+            )
+            extra = collect_extra(schema) if self._preserve_extra else None
+            out[sid] = CompiledSchema(evaluator, root_uris[sid], extra)
+        return out
+
     def validate_schema(self, schema: Any) -> EvaluationResult:
         """Validate a schema DOCUMENT against its metaschema (reference:
         metaschema.go ValidateSchema). The metaschema is chosen from the

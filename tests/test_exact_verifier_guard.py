@@ -7,13 +7,14 @@ from __future__ import annotations
 import pytest
 
 from jsonschema_spark import queries
+from jsonschema_spark.queries import simsearch_reports
 
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_exact_verifier_refuses_above_cap(spark, monkeypatch):
-    monkeypatch.setattr(queries, "EXACT_VERIFIER_MAX_ROWS", 3)
+    monkeypatch.setattr(simsearch_reports, "EXACT_VERIFIER_MAX_ROWS", 3)
     with pytest.raises(ValueError, match="O\\(n\\^2\\) verifier"):
         queries.cosine_near_dup_exact(spark, SF_DIR)
 

@@ -1397,7 +1397,11 @@ def variant_nested_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from typed columns so the oracle can recompute validity relationally."""
     from jsonschema_spark.functions.udf import validate_json_column
 
-    e = _t(spark, sf_dir, "events").withColumn(
+    # hot=True: the cost is the Arrow-batched evaluator UDF — without the
+    # bench-mode scan spread the single-row-group sf fixture runs the whole
+    # interpreted projection on one task (measured 6.3s -> sub-second at
+    # sf0.1; no-op in the driver gate and production, see _t)
+    e = _t(spark, sf_dir, "events", hot=True).withColumn(
         "doc",
         F.to_json(
             F.struct(

@@ -1060,15 +1060,22 @@ def pair_set_eval(truth: DataFrame, approx: DataFrame, keys=("id_a", "id_b")) ->
     j = t.join(a, list(keys), "full_outer")
     n_truth = F.count("__t")
     n_approx = F.count("__a")
-    n_hit = F.sum(
-        F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1).otherwise(0)
+    # coalesce: sum over ZERO pairs is NULL, but an empty corpus has 0 hits
+    # (recall/precision stay NULL via 0/0 — same as the SQL oracle)
+    n_hit = F.coalesce(
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__a").isNotNull(), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
     return j.agg(
         n_truth.alias("n_truth"),
         n_approx.alias("n_approx"),
         n_hit.alias("n_hit"),
-        F.round(n_hit.cast("double") / n_truth, 6).alias("recall"),
-        F.round(n_hit.cast("double") / n_approx, 6).alias("precision"),
+        # try_divide: an empty truth/approx side yields NULL, not an ANSI
+        # divide-by-zero error
+        F.round(F.try_divide(n_hit.cast("double"), n_truth), 6).alias("recall"),
+        F.round(F.try_divide(n_hit.cast("double"), n_approx), 6).alias("precision"),
     )
 
 

@@ -792,13 +792,15 @@ j AS (
   SELECT t.id_a IS NOT NULL AS in_t, a.id_a IS NOT NULL AS in_a
   FROM truth t FULL OUTER JOIN approx a
     ON t.id_a = a.id_a AND t.id_b = a.id_b)
-SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
-       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
-       CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       round(CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
-             / sum(CASE WHEN in_t THEN 1 ELSE 0 END), 6) AS recall,
-       round(CAST(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
-             / sum(CASE WHEN in_a THEN 1 ELSE 0 END), 6) AS precision
+SELECT CAST(COALESCE(sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_truth,
+       CAST(COALESCE(sum(CASE WHEN in_a THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       -- counts coalesce to 0 on an EMPTY pair set (sum over zero rows is
+       -- NULL); the ratios stay NULL via 0/0, matching pair_set_eval
+       round(CAST(COALESCE(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / COALESCE(sum(CASE WHEN in_t THEN 1 ELSE 0 END), 0), 6) AS recall,
+       round(CAST(COALESCE(sum(CASE WHEN in_t AND in_a THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / COALESCE(sum(CASE WHEN in_a THEN 1 ELSE 0 END), 0), 6) AS precision
 FROM j
 """
 

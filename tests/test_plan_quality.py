@@ -490,3 +490,41 @@ def test_interval_union_single_exchange_on_key(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the two stacked Windows must not introduce separate exchanges
     assert p.count("Exchange hashpartitioning(user_id") <= 2, p[:800]
+
+
+def test_kw_format_is_pure_projection_no_python(spark):
+    """format (uuid/date/ipv4) lowers to rlike Columns: no Exchange, no
+    Python, and the scan reads only the key column (everything else is
+    derived)."""
+    from jsonschema_spark.queries import kw_format_customer
+
+    p = _plan(kw_format_customer(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p, "format validation must not shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read = p.split("ReadSchema: ")[1].splitlines()[0]
+    assert "c_name" not in read and "c_acctbal" not in read, f"scan not pruned: {read}"
+
+
+def test_kw_array_keyword_queries_single_exchange(spark):
+    """The spans-based keyword queries (prefixItems/maxItems, contains,
+    unevaluatedItems) build docs with ONE groupBy on user_id; the keyword
+    evaluation itself is a higher-order-function projection that must add
+    no further exchange and no Python."""
+    from jsonschema_spark.queries import (
+        kw_contains_spans,
+        kw_prefix_maxitems_spans,
+        kw_unevaluated_items_spans,
+    )
+
+    for q in (kw_prefix_maxitems_spans, kw_contains_spans, kw_unevaluated_items_spans):
+        p = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, q.__name__
+        assert p.count("Exchange hashpartitioning(user_id") <= 1, (q.__name__, p[:800])
+
+
+def test_kw_dependent_required_is_pure_projection(spark):
+    from jsonschema_spark.queries import kw_dependent_required_events
+
+    p = _plan(kw_dependent_required_events(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -206,6 +206,7 @@ HEADLINE = [
     "referential_orders_clean",
     "span_transitions_events",
     "variant_nested_events",
+    "violations_delta_docs",
 ]
 
 # Contract entries deliberately NOT benched, with reasons. The partition

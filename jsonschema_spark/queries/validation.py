@@ -553,3 +553,81 @@ SELECT event_id, '', 'properties', 'property_mismatch' FROM t WHERE NOT hasp OR 
 """
 
 
+
+
+def violations_delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day violation diff (reporting.violations_delta): the same
+    documents schema evaluated on the raw table (the "yesterday" snapshot)
+    and on a deterministically perturbed twin (doc_id%5 texts gain a '!'
+    breaking the pattern; doc_id%7 n_chars jump +200 over the maximum) —
+    every violation labeled new / resolved / persisting. The triage relation
+    a recurring validation run feeds to its alerting."""
+    from jsonschema_spark.reporting import violations_delta
+
+    schema = {
+        "properties": {
+            "text": {"pattern": "^[a-z ]+$"},
+            "n_chars": {"maximum": 400},
+        }
+    }
+    base = _t(spark, sf_dir, "documents")
+    old = _violations(base, schema, ["doc_id"])
+    perturbed = base.withColumns(
+        {
+            "text": F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),
+            "n_chars": F.when(
+                F.col("doc_id") % 7 == 0, F.col("n_chars") + 200
+            ).otherwise(F.col("n_chars")),
+        }
+    )
+    new = _violations(perturbed, schema, ["doc_id"])
+    return violations_delta(old, new, ["doc_id"])
+
+
+ORACLE_VIOLATIONS_DELTA = """
+WITH o AS (
+  SELECT doc_id, '/text' AS instance_path, 'pattern' AS keyword, 'pattern_mismatch' AS code
+  FROM documents WHERE NOT regexp_matches(text, '^[a-z ]+$')
+  UNION ALL
+  SELECT doc_id, '/n_chars', 'maximum', 'value_above_maximum' FROM documents WHERE n_chars > 400
+  UNION ALL
+  SELECT doc_id, '', 'properties',
+         CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+  FROM (
+    SELECT doc_id,
+           (CASE WHEN NOT regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END)
+         + (CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS nbad
+    FROM documents)
+  WHERE nbad >= 1),
+p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END AS text,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 200 ELSE n_chars END AS n_chars
+  FROM documents),
+n AS (
+  SELECT doc_id, '/text' AS instance_path, 'pattern' AS keyword, 'pattern_mismatch' AS code
+  FROM p WHERE NOT regexp_matches(text, '^[a-z ]+$')
+  UNION ALL
+  SELECT doc_id, '/n_chars', 'maximum', 'value_above_maximum' FROM p WHERE n_chars > 400
+  UNION ALL
+  SELECT doc_id, '', 'properties',
+         CASE WHEN nbad = 1 THEN 'property_mismatch' ELSE 'properties_mismatch' END
+  FROM (
+    SELECT doc_id,
+           (CASE WHEN NOT regexp_matches(text, '^[a-z ]+$') THEN 1 ELSE 0 END)
+         + (CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS nbad
+    FROM p)
+  WHERE nbad >= 1)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       COALESCE(o.instance_path, n.instance_path) AS instance_path,
+       COALESCE(o.keyword, n.keyword) AS keyword,
+       COALESCE(o.code, n.code) AS code,
+       CASE WHEN o.doc_id IS NULL THEN 'new'
+            WHEN n.doc_id IS NULL THEN 'resolved'
+            ELSE 'persisting' END AS status
+FROM o FULL OUTER JOIN n
+  ON o.doc_id = n.doc_id AND o.instance_path = n.instance_path
+ AND o.keyword = n.keyword AND o.code = n.code
+"""

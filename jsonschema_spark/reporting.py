@@ -20,6 +20,7 @@ __all__ = [
     "localized_output",
     "hierarchical_output",
     "partition_verdicts",
+    "violations_delta",
 ]
 
 
@@ -165,3 +166,32 @@ def partition_verdicts(
         )
         .orderBy("partition")
     )
+
+
+def violations_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Snapshot-to-snapshot violation diff — the regression-triage primitive
+    for a recurring validation run (north-rule extension; no reference
+    analogue — the Go validator is single-invocation). Both inputs are
+    violation-row relations (key_cols + instance_path/keyword/code, the
+    `list_output` shape); the result labels every violation `new` (in the
+    current run only), `resolved` (previous run only), or `persisting`.
+
+    Scale shape: ONE full-outer sort-merge/shuffled-hash join keyed on the
+    full violation identity (ids + path + keyword + code) — both sides
+    exchange bare key tuples, no payload columns, no driver collection;
+    a day-over-day run on 10^12 docs diffs violation sets whose size is
+    bounded by the defect rate, not the corpus."""
+    jk = [*key_cols, "instance_path", "keyword", "code"]
+    o = old.select(*jk).withColumn("__o", F.lit(1))
+    n = new.select(*jk).withColumn("__n", F.lit(1))
+    j = o.join(n, jk, "full_outer")
+    status = (
+        F.when(F.col("__o").isNull(), F.lit("new"))
+        .when(F.col("__n").isNull(), F.lit("resolved"))
+        .otherwise(F.lit("persisting"))
+    )
+    return j.select(*jk, status.alias("status"))

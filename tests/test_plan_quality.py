@@ -528,3 +528,15 @@ def test_kw_dependent_required_is_pure_projection(spark):
     p = _plan(kw_dependent_required_events(spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_violations_delta_joins_bare_keys_no_python(spark):
+    """Snapshot diff: one full-outer join on the violation identity tuple —
+    no cartesian, no Python, and no payload columns through the exchange
+    (both sides project to the join key + a 1-literal presence marker)."""
+    from jsonschema_spark.queries import violations_delta_docs
+
+    p = _plan(violations_delta_docs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FullOuter" in p or "full_outer" in p.lower(), p[:600]
